@@ -1,0 +1,329 @@
+"""Aggregation operators (SURVEY.md §2.1-D).
+
+All expressed as single declarative groupBy/agg plans so Catalyst plans
+partial (map-side) aggregation before the shuffle — at 100 TB the
+shuffle carries only per-group partials, not rows. Group-key
+cardinalities here are tiny (≤ thousands), so the final agg is cheap;
+for high-cardinality keys the same plans hold, with AQE coalescing and
+skew handling taking over partition sizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+# --- flagship: TPC-H-Q1-style pricing summary (SURVEY.md §2.1-D agg_sum_group)
+
+AGG_SUM_GROUP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6)                                       AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6)                                  AS avg_price,
+  ROUND(AVG(l_discount), 6)                                       AS avg_disc,
+  COUNT(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_sum_group", AGG_SUM_GROUP_ORACLE)
+def agg_sum_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: 6 groups over lineitem; the ``entry()`` flagship.
+
+    Plan shape: parquet scan with pushed shipdate filter + pruned
+    columns → partial HashAggregate → 2-key shuffle → final agg.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_multi_stats",
+    """
+    SELECT
+      o_orderstatus,
+      MIN(o_totalprice)                 AS min_price,
+      MAX(o_totalprice)                 AS max_price,
+      ROUND(SUM(o_totalprice), 2)       AS sum_price,
+      ROUND(AVG(o_totalprice), 6)       AS avg_price,
+      COUNT(*)                          AS n_orders,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/sum/avg/count(+distinct) in one pass over orders."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT
+      event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      COUNT(*)                                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (expand+two-phase agg plan)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): prolific customers."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; levels distinguished by NULL pattern
+    (DuckDB 1.0 lacks ``grouping()`` — SURVEY.md §5.3.4)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_extendedprice) AS sum_price, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of (returnflag, linestatus)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_extendedprice").alias("sum_price"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL path (DataFrame API has no
+    grouping-sets builder; the parsed plan is identical Catalyst IR)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_stddev_var",
+    """
+    SELECT
+      l_returnflag,
+      ROUND(stddev_samp(l_extendedprice), 6) AS std_price,
+      ROUND(var_pop(l_quantity), 6)          AS var_qty,
+      ROUND(var_samp(l_discount), 9)         AS var_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample/population stddev & variance per return flag."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
+            F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+            F.round(F.var_samp("l_discount"), 9).alias("var_disc"),
+        )
+    )
+
+
+@query(
+    "agg_corr_covar",
+    """
+    SELECT
+      l_linestatus,
+      ROUND(corr(l_extendedprice, l_quantity), 6)       AS corr_price_qty,
+      ROUND(covar_samp(l_extendedprice, l_quantity), 6) AS covar_price_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/covariance of extended price vs quantity.
+
+    Rounded to 6 dp on both engines: corr/covar accumulate in different
+    orders across engines and differ in the last few ULPs (SURVEY.md
+    §5.4 ROUND rule)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias("covar_price_qty"),
+        )
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    """
+    SELECT
+      event_type,
+      quantile_cont(value, 0.5) AS p50_value,
+      quantile_cont(value, 0.9) AS p90_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median / p90 per event type."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50_value"),
+            F.percentile("value", 0.9).alias("p90_value"),
+        )
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    """
+    SELECT
+      c_mktsegment,
+      arg_max(c_custkey, ROUND(c_acctbal * 100000000) + c_custkey) AS richest_cust,
+      arg_min(c_custkey, ROUND(c_acctbal * 100000000) + c_custkey) AS poorest_cust
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax per segment.
+
+    DuckDB 1.0's arg_max only takes scalar ordering keys, so ties are
+    broken by folding c_custkey into a composite numeric key: acctbal
+    has 2 decimals, so acctbal*1e8 is integer-valued with gaps of 1e6
+    ≫ max custkey — exact in doubles, total order on both engines."""
+    cust = load(spark, sf_dir, "customer")
+    ordkey = F.round(F.col("c_acctbal") * 100000000) + F.col("c_custkey")
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", ordkey).alias("richest_cust"),
+        F.min_by("c_custkey", ordkey).alias("poorest_cust"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    """
+    SELECT
+      l_orderkey,
+      array_to_string(list_sort(array_agg(l_linenumber)), ',') AS linenumbers
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group list, deterministically sorted, emitted as CSV string
+    (string form is hash-stable across engines; SURVEY.md §5.3.5)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), ",").alias("linenumbers")
+    )
+
+
+@query("agg_approx_distinct")  # T3: nondeterministic vs oracle; pytest tolerance-checks
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (±5 % asserted in
+    tests against the exact count). At 100 TB this is the only sane
+    default for ad-hoc distincts: no expand, single pass, mergeable."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )

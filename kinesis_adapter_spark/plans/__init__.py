@@ -1,0 +1,3 @@
+from kinesis_adapter_spark.plans.registry import ORACLES, QUERIES, query
+
+__all__ = ["ORACLES", "QUERIES", "query"]

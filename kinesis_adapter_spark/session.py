@@ -1,0 +1,88 @@
+"""SparkSession factory + runtime-conf preparation.
+
+Two entry paths (SURVEY.md §7.1 "session factory is the first line of
+code"):
+
+- ``build_spark()``: build our own session with every required conf —
+  used by tests and bench.
+- ``prepare_session(spark)``: the driver passes us ITS session
+  (``__spark_entry__.entry/queries``); we cannot rebuild it, but the
+  confs we need are all *runtime-settable* SQL confs, so we set them
+  defensively on every query entry. Idempotent and cheap.
+
+Required confs and why:
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet has
+  INT64 TIMESTAMP(NANOS) which Spark 4.1.2 refuses to read otherwise
+  ([PARQUET_TYPE_ILLEGAL]; SURVEY.md §5.3.3). With it, ``events.ts``
+  arrives as BIGINT nanoseconds-since-epoch.
+- ``spark.sql.session.timeZone=UTC`` — oracle (DuckDB) timestamps are
+  naive/UTC; extracts (year/month/hour) must agree.
+- ``spark.sql.shuffle.partitions`` — sized to cores at test scale; at
+  100 TB on a real cluster this is left to AQE coalescing from a high
+  initial value instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied both at build time and defensively
+# on sessions we did not build.
+_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_spark(
+    app_name: str = "kinesis-adapter-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a fully-configured local SparkSession.
+
+    On a real cluster the same confs apply; only master/memory sizing
+    changes. AQE is on so the static shuffle-partition count is an upper
+    bound that runtime coalescing shrinks.
+    """
+    cpus = _default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else max(8, cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Set required runtime confs on a session we did not build.
+
+    Safe to call repeatedly; every conf here is a runtime SQL conf.
+    Failures are swallowed per-conf so one locked-down conf cannot take
+    the whole query path out.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
