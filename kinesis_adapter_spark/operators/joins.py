@@ -1,0 +1,306 @@
+"""Join operators (SURVEY.md §2.1-C).
+
+Scale posture per join type:
+- equi joins: shuffled hash / sort-merge chosen by Catalyst+AQE; at
+  100 TB co-locate via bucketing on the join key where reused.
+- dim joins: explicit ``F.broadcast`` on bounded dimensions (region,
+  nation, customer at sf — anything < ~1 GB serialized on a real
+  cluster) to avoid shuffling the fact table.
+- non-equi (theta/as-of): never a naive cartesian — carry an equi
+  prefix (the key) so Catalyst plans a hash join, with the range
+  predicate as a post-join filter; the pure-range case uses the
+  union+window as-of technique (single shuffle, no O(n·m) blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+
+@query(
+    "join_inner",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer with a pushed dim filter."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with an ON-clause (not WHERE) filter on the right
+    side — preserves unmatched customers with NULL order columns."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_right",
+    """
+    SELECT n.n_name, s.s_suppkey, s.s_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: every nation survives even with no suppliers."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_full",
+    """
+    WITH a AS (SELECT o_custkey, COUNT(*) AS n_small FROM orders
+               WHERE o_totalprice < 50000 GROUP BY o_custkey),
+         b AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+               WHERE o_totalprice > 450000 GROUP BY o_custkey)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey, a.n_small, b.n_big
+    FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two disjoint-ish aggregates with NULL fill."""
+    o = load(spark, sf_dir, "orders")
+    # Distinct aliases avoid the ambiguous-self-join trap (both sides
+    # derive from the same scan, so o_custkey would share an expr id).
+    a = (
+        o.filter(F.col("o_totalprice") < 50000)
+        .groupBy(F.col("o_custkey").alias("custkey_a"))
+        .agg(F.count(F.lit(1)).alias("n_small"))
+    )
+    b = (
+        o.filter(F.col("o_totalprice") > 450000)
+        .groupBy(F.col("o_custkey").alias("custkey_b"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return a.join(b, F.col("custkey_a") == F.col("custkey_b"), "full").select(
+        F.coalesce("custkey_a", "custkey_b").alias("custkey"), "n_small", "n_big"
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 480000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter — left-semi join never duplicates the left."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence: customers with no large (>400k) order. (The FK
+    has no orphans at any sf, so the unfiltered variant is vacuously
+    empty — the filter keeps the anti-join result non-trivial.)"""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane on bounded dims (5×25)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_broadcast",
+    """
+    SELECT n.n_name, COUNT(*) AS n_custs, ROUND(SUM(c.c_acctbal), 2) AS tot_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join: the 25-row nation dim ships to every
+    executor; the customer side never shuffles for the join (only the
+    25-key aggregate shuffles). This is THE pattern for dim joins at
+    100 TB — verify BroadcastHashJoin in explain."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("tot_bal"),
+        )
+    )
+
+
+@query(
+    "join_multikey",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l2.l_quantity AS qty_twin
+    FROM lineitem l
+    JOIN lineitem l2
+      ON l.l_orderkey = l2.l_orderkey AND l.l_linenumber = l2.l_linenumber
+    WHERE l.l_returnflag = 'A'
+    """,
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi self-join (orderkey, linenumber)."""
+    li = load(spark, sf_dir, "lineitem")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.col("l_quantity").alias("qty_twin"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "A")
+        .join(l2, (F.col("l_orderkey") == F.col("k1")) & (F.col("l_linenumber") == F.col("k2")))
+        .select("l_orderkey", "l_linenumber", "qty_twin")
+    )
+
+
+@query(
+    "join_theta_range",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range predicate riding on an equi key: Catalyst plans
+    the equi part as a hash join and applies the range as a residual
+    filter — no nested-loop blowup at scale (SURVEY.md §4.2)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    )
+    return li.join(o, cond).select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+@query(
+    "join_asof",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events
+    ), ord AS (
+      SELECT o_custkey, epoch_ns(o_orderdate) AS ots, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey, epoch_ns(o_orderdate) ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+    FROM ev e
+    ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.ots
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, that user's latest order at/before
+    the event time (DuckDB native ASOF JOIN is the oracle).
+
+    Spark lacks ASOF; rather than an O(n·m) range join we use the
+    union+window technique: tag both sides, sort by (key, time, side),
+    and carry the latest order forward with last(..., ignorenulls) over
+    an unbounded-preceding window. One shuffle on the key, sort within
+    partitions — linear at 100 TB, skew handled by AQE.
+
+    Orders are pre-deduped to one per (custkey, ts) — max orderkey —
+    because ASOF tie-breaking among equal timestamps is otherwise
+    engine-defined.
+    """
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    w_dedup = Window.partitionBy("o_custkey", "ots").orderBy(F.col("o_orderkey").desc())
+    ords = (
+        o.select(
+            F.col("o_custkey").alias("key"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias("ots"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(w_dedup.partitionBy("key", "ots")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ord_side = ords.select(
+        "key",
+        F.col("ots").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("ts"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+    ev_side = ev.withColumn("ts", F.col("ts") - F.col("ts") % 1000).select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("last_orderkey"),
+        F.lit(None).cast("double").alias("last_totalprice"),
+    )
+    # Orders sort before events at equal t (is_event asc) => "at/before".
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ord_side.unionByName(ev_side).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        "ts",
+        "is_event",
+        F.last("last_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("last_totalprice", ignorenulls=True).over(w).alias("last_totalprice"),
+    )
+    return merged.filter(F.col("is_event") == 1).drop("is_event")
