@@ -1,0 +1,382 @@
+"""Scalar function families (SURVEY.md §2.1-H).
+
+One registered query per family, each exercising the representative
+functions side-by-side with the DuckDB spelling. All expressions are
+JVM-side built-ins — they stay inside whole-stage codegen; no Python
+touches the hot path.
+
+Cross-engine trap notes (SURVEY.md §5.3.5) handled here:
+- dayofweek: Spark 1=Sunday vs DuckDB dow 0=Sunday → normalize.
+- log naming: Spark ``F.log`` is ln; DuckDB ``log`` is log10 — use
+  ``ln`` on the DuckDB side.
+- libm last-ULP drift on exp/ln/pow/sqrt → ROUND 6dp both sides.
+- temporal outputs emitted as formatted STRINGS (engines disagree on
+  timestamp precision in transport; strings are hash-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+
+@query(
+    "fn_string_basic",
+    """
+    SELECT
+      doc_id,
+      upper(lang)                              AS lang_uc,
+      lower(source)                            AS source_lc,
+      trim(substring(text, 1, 20))             AS head20,
+      length(text)                             AS n_len,
+      lpad(CAST(doc_id AS VARCHAR), 8, '0')    AS id_pad,
+      concat_ws('|', lang, source)             AS lang_src,
+      replace(substring(text, 1, 30), ' ', '_') AS head_snake,
+      str_split(text, ' ')[1]                  AS first_word,
+      reverse(lang)                            AS lang_rev
+    FROM documents
+    """,
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """case/trim/pad/concat/substr/length/replace/split/reverse."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.lower("source").alias("source_lc"),
+        F.trim(F.substring("text", 1, 20)).alias("head20"),
+        F.length("text").alias("n_len"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_pad"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.replace(F.substring("text", 1, 30), F.lit(" "), F.lit("_")).alias("head_snake"),
+        F.split("text", " ").getItem(0).alias("first_word"),
+        F.reverse("lang").alias("lang_rev"),
+    )
+
+
+@query(
+    "fn_string_regexp",
+    """
+    SELECT
+      event_id,
+      regexp_extract(props, '([0-9]+)', 1)                AS k_digits,
+      regexp_replace(props, '[0-9]+', '#')                AS props_masked,
+      regexp_matches(event_type, '^(click|view)$')        AS is_impression,
+      regexp_extract(event_type, '^(.)', 1)               AS first_char
+    FROM events
+    """,
+)
+def fn_string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex extract/replace/match (patterns kept in the common subset
+    of Java regex and RE2 so both engines agree)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r"([0-9]+)", 1).alias("k_digits"),
+        F.regexp_replace("props", r"[0-9]+", "#").alias("props_masked"),
+        F.col("event_type").rlike(r"^(click|view)$").alias("is_impression"),
+        F.regexp_extract("event_type", r"^(.)", 1).alias("first_char"),
+    )
+
+
+@query(
+    "fn_date",
+    """
+    SELECT
+      o_orderkey,
+      year(o_orderdate)                                    AS yr,
+      month(o_orderdate)                                   AS mo,
+      day(o_orderdate)                                     AS dom,
+      dayofyear(o_orderdate)                               AS doy,
+      CAST(extract(dow FROM o_orderdate) AS INT) + 1                    AS dow_spark,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      strftime(last_day(o_orderdate), '%Y-%m-%d')          AS month_end,
+      datediff('day', DATE '1995-01-01', o_orderdate)      AS days_since_95,
+      strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d')  AS plus_90d,
+      CAST(quarter(o_orderdate) AS INT)                    AS qtr
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date truncate/extract/arithmetic. dow normalized to Spark's
+    1=Sunday; all date-typed outputs emitted as strings."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.dayofweek("o_orderdate").alias("dow_spark"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 90), "yyyy-MM-dd").alias(
+            "plus_90d"
+        ),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@query(
+    "fn_math",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      ROUND(l_extendedprice, 1)                   AS price_r1,
+      abs(l_discount - 0.05)                      AS disc_dev,
+      ceil(l_quantity / 7)                        AS q_ceil,
+      floor(l_extendedprice / 1000)               AS price_kfloor,
+      ROUND(power(l_quantity, 2), 6)              AS q_sq,
+      ROUND(sqrt(l_extendedprice), 6)             AS price_sqrt,
+      ROUND(ln(l_extendedprice + 1), 6)           AS price_ln,
+      ROUND(exp(l_discount), 6)                   AS disc_exp,
+      CAST(l_orderkey % 7 AS BIGINT)              AS key_mod7,
+      sign(l_discount - 0.05)                     AS disc_sign
+    FROM lineitem
+    WHERE l_orderkey <= 5000
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/power/sqrt/ln/exp/mod/sign (transcendental
+    outputs ROUNDed: JVM Math vs libm differ in the last ULP)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 5000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("q_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kfloor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_conditional",
+    """
+    SELECT
+      event_id,
+      CASE WHEN value < 50 THEN 'low' WHEN value < 200 THEN 'mid' ELSE 'high' END AS tier,
+      coalesce(nullif(event_type, 'error'), 'n/a')   AS type_clean,
+      greatest(value, 100.0)                         AS at_least_100,
+      least(value, 100.0)                            AS at_most_100,
+      CASE WHEN event_type = 'purchase' AND value > 100 THEN value ELSE 0.0 END AS big_purchase
+    FROM events
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / greatest / least."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("tier"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("n/a")).alias("type_clean"),
+        F.greatest("value", F.lit(100.0)).alias("at_least_100"),
+        F.least("value", F.lit(100.0)).alias("at_most_100"),
+        F.when((F.col("event_type") == "purchase") & (F.col("value") > 100), F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("big_purchase"),
+    )
+
+
+@query(
+    "fn_cast_try",
+    """
+    SELECT
+      event_id,
+      CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)  AS k_int,
+      TRY_CAST(event_type AS INT)                        AS type_as_int,
+      TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE)         AS value_roundtrip,
+      CASE WHEN CAST(user_id % 3 AS INT) = 0 THEN NULL
+           ELSE value / CAST(user_id % 3 AS INT) END     AS safe_div,
+      CAST(floor(value) AS BIGINT)                       AS value_floor
+    FROM events
+    """,
+)
+def fn_cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts + safe casts + guarded division (Spark try_divide ≡
+    NULLIF-guarded division; DuckDB integer / raises instead).
+
+    CAST(double AS BIGINT) is engine-defined (Spark truncates toward
+    zero, DuckDB rounds half-even — verified mismatch), so the op pins
+    semantics with an explicit floor() before the cast."""
+    ev = load(spark, sf_dir, "events")
+    denom = (F.col("user_id") % 3).cast("int")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r"([0-9]+)", 1).cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.col("value").cast("string").try_cast("double").alias("value_roundtrip"),
+        F.try_divide("value", F.nullif(denom, F.lit(0))).alias("safe_div"),
+        F.floor("value").cast("bigint").alias("value_floor"),
+    )
+
+
+@query(
+    "fn_array",
+    """
+    SELECT
+      vec_id,
+      len(embedding)                                          AS dim,
+      ROUND(CAST(embedding[1] AS DOUBLE), 6)                  AS first_elem,
+      ROUND(list_aggregate(list_transform(embedding[1:8],
+            x -> CAST(x AS DOUBLE)), 'sum'), 6)               AS head8_sum,
+      ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_elem,
+      len(list_distinct([label % 3, label % 5, 1]))           AS n_distinct_demo,
+      list_contains([2, 4, 6, 8], label)                      AS label_even_small
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array size/index/slice/HOF-transform/aggregate/distinct/contains
+    over the 64-d embedding column (float32 → cast DOUBLE before math)."""
+    e = load(spark, sf_dir, "embeddings")
+    head8 = F.slice("embedding", 1, 8)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(
+                F.transform(head8, lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("head8_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+        F.size(
+            F.array_distinct(F.array(F.col("label") % 3, F.col("label") % 5, F.lit(1)))
+        ).alias("n_distinct_demo"),
+        F.array_contains(F.array(*[F.lit(x) for x in (2, 4, 6, 8)]), F.col("label")).alias(
+            "label_even_small"
+        ),
+    )
+
+
+@query(
+    "fn_map",
+    """
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k')          AS k_str,
+      CAST(json_extract(props, '$.k') AS INT)    AS k_val,
+      array_to_string(json_keys(props), ',')     AS keys_csv
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map built from parsed JSON props: keys/values/element access
+    (Spark MapType ⟷ DuckDB JSON accessors)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").cast("string").alias("k_str"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+@query(
+    "fn_json",
+    """
+    SELECT
+      event_id,
+      CAST(json_extract(props, '$.k') AS INT)        AS k,
+      json_extract_string(props, '$.k')              AS k_text,
+      json_extract_string(props, '$.missing')        AS missing_path,
+      CAST(json_valid(props) AS BOOLEAN)             AS is_valid
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props string column."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").alias("k_text"),
+        F.get_json_object("props", "$.missing").alias("missing_path"),
+        F.when(F.from_json("props", "map<string,int>").isNotNull(), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_valid"),
+    )
+
+
+@query(
+    "fn_hash",
+    """
+    SELECT
+      doc_id,
+      md5(text)                 AS text_md5,
+      sha256(text)              AS text_sha256,
+      md5(concat(lang, '|', source)) AS bucket_key
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content hashing (dedup keys). md5/sha256 are
+    standardized — exact cross-engine match, unlike xxhash64 which is
+    Spark-internal (fine for partitioning, never in oracled output)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat_ws("|", "lang", "source")).alias("bucket_key"),
+    )
+
+
+@query(
+    "fn_struct_nested",
+    """
+    WITH words AS (
+      SELECT doc_id, lang,
+             unnest(str_split(text, ' ')) AS word,
+             generate_subscripts(str_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+      WHERE doc_id < 100
+    )
+    SELECT doc_id, lang, pos, word, length(word) AS word_len
+    FROM words
+    WHERE pos < 5
+    """,
+)
+def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + field access + posexplode of split arrays
+    (DuckDB twin: unnest + generate_subscripts zip)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    exploded = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    # Round-trip through a struct to exercise build + dot-access.
+    packed = exploded.select(
+        "doc_id",
+        "lang",
+        F.struct(F.col("pos"), F.col("word")).alias("pw"),
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.col("pw.pos").alias("pos"),
+        F.col("pw.word").alias("word"),
+        F.length(F.col("pw.word")).alias("word_len"),
+    ).filter(F.col("pos") < 5)

@@ -1,0 +1,552 @@
+"""LLM-data-pipeline operators: dedup + text analysis (SURVEY.md §2.1-J).
+
+These are the operators a 100 TB training-data pipeline actually runs.
+Design rules:
+- everything is DataFrame-native (explode/groupBy/join/HOF) — no
+  driver-side loops, no RDDs;
+- dedup keys are content hashes so the heavy shuffle carries 16-byte
+  digests, not document bodies;
+- near-dup has TWO paths: an exact inverted-index n-gram Jaccard
+  (oracle-able, quadratic only within shingle buckets) and a
+  MinHash+LSH path (the 100 TB approximation, T3 — recall asserted in
+  pytest against the exact path).
+
+Duplicate fixtures are derived in-query (documents has zero dups at
+any sf — FIXTURES.md): a deterministic subset is re-tagged with
+doc_id+1_000_000 and unioned, identically in Spark and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+# ---------------------------------------------------------------- fixtures
+
+# Docs with doc_id % 5 == 0 are duplicated under doc_id+1_000_000.
+DUPED_SQL = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def duped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-tagged copy of every 5th doc (exact dup rows)."""
+    d = load(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return d.unionByName(dup)
+
+
+# Near-dup fixture: every 7th doc reappears with the last two words cut.
+MUTATED_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(str_split(text, ' ')[1:len(str_split(text, ' ')) - 2], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def mutated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    mut = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ").alias("text"),
+        )
+    )
+    return d.unionByName(mut)
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH duped AS ({DUPED_SQL})
+    SELECT doc_id, lang, source
+    FROM duped
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per text digest.
+
+    Partitioning by md5(text) (not text) keeps the shuffle payload at
+    16 bytes/row regardless of document size — at 100 TB the dedup
+    shuffle moves ~2% of the corpus bytes. dropDuplicates would pick an
+    arbitrary survivor; the window makes it deterministic."""
+    d = duped_documents(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "dedup_normalized",
+    f"""
+    WITH duped AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) AS text
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id
+    FROM duped
+    QUALIFY row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) = 1
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on a normalized key (lowercase, collapsed whitespace) —
+    catches case/spacing variants that exact dedup misses; the derived
+    fixture re-injects every 5th doc UPPERCASED."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), F.upper("text").alias("text"))
+    )
+    key = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        d.unionByName(dup)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+# ------------------------------------------------------- near-dup (exact path)
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH docs AS ({MUTATED_SQL}),
+shing AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+  FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
+    FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM docs)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.6
+"""
+
+
+@query("dedup_near_ngram", NGRAM_JACCARD_ORACLE)
+def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate pairs by word-3-gram Jaccard ≥ 0.6.
+
+    Inverted-index pair generation: explode distinct shingles, self-
+    join on the shingle, count shared shingles per pair — candidates
+    are only pairs sharing ≥1 shingle, never the full cross product.
+    At 100 TB, hot shingles are the skew risk: drop stop-shingles with
+    document frequency above a cap (standard trick) — elided here
+    because the fixture vocabulary is tiny, noted for scale."""
+    docs = mutated_documents(spark, sf_dir)
+    toks = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+        " i -> concat_ws(' ', split(text,' ')[i-1], split(text,' ')[i], split(text,' ')[i+1]))"
+    )
+    sh = (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------- near-dup (MinHash+LSH, T3)
+
+N_HASHES = 32
+N_BANDS = 8  # 8 bands × 4 rows; P(candidate | j=0.6) ≈ 0.66, j=0.8 ≈ 0.985
+
+
+@query("dedup_near_minhash")  # T3: LSH is approximate — recall vs exact in pytest
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates with exact Jaccard verify —
+    the 100 TB path (cost linear in corpus + candidate pairs).
+
+    signature[i] = min(xxhash64(shingle, seed_i)) per doc; band hash =
+    hash of 4 consecutive signature slots; docs sharing any band bucket
+    become candidates; candidates are verified with exact Jaccard on
+    the shingle sets. xxhash64 stays internal (never oracled —
+    Spark-specific), which is why this key is rows-only."""
+    docs = mutated_documents(spark, sf_dir)
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+        " i -> concat_ws(' ', split(text,' ')[i-1], split(text,' ')[i], split(text,' ')[i+1]))"
+    )
+    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s")).distinct()
+
+    # 32 min-hashes in ONE aggregation pass (no 32-fold self-join).
+    minh = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(N_HASHES)]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "sig"
+            ),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = minh.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact Jaccard verify on candidates only.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash")  # T3: simhash uses xxhash64 (not expressible in the oracle)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document + candidate pairs at Hamming ≤ 2.
+
+    Bitwise majority vote over token hashes, computed as 16 conditional
+    sums in one aggregation (no per-bit explode). Pairing buckets on
+    the two 8-bit halves (pigeonhole: hamming ≤ 2 pairs share at least
+    one exact half... only guaranteed for ≤1; both halves used as
+    blocking keys, then exact hamming verify)."""
+    docs = mutated_documents(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    h = F.xxhash64("t")
+    bits = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(16)
+    ]
+    sigs = tok.groupBy("doc_id").agg(*bits)
+    sim = sigs.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            for b in range(16)
+        ).alias("simhash"),
+    )
+    lo = (F.col("simhash") % 256).alias("lo")
+    hi = (F.col("simhash") / 256).cast("long").alias("hi")
+    keyed = sim.select("doc_id", "simhash", lo, hi)
+    pairs = None
+    for half in ("lo", "hi"):
+        x = keyed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), half)
+        y = keyed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), half)
+        p = x.join(y, half).filter(F.col("doc_a") < F.col("doc_b")).drop(half)
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+# ---------------------------------------------------------------- text analysis
+
+
+@query(
+    "text_token_stats",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM words
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens with doc frequency (explode → groupBy; at
+    100 TB the per-word partial counts keep the shuffle tiny)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "text_lang_profile",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           ROUND(AVG(len(str_split(text, ' '))), 6) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(str_split(text, ' '))                        AS n_tokens,
+             len(list_distinct(str_split(text, ' ')))         AS n_uniq
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 6)        AS uniq_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6)       AS avg_token_len,
+           ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) *
+                 (CAST(n_uniq AS DOUBLE) / n_tokens), 6)      AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation × lexical diversity
+    (the shape of Gopher/C4-style quality filters, minus stopword lists
+    that this synthetic vocabulary doesn't have)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(
+            F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0)) * uniq_ratio, 6
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '([a-zA-Z0-9]+|[^a-zA-Z0-9\\s])', 1)) AS n_bpe_ish,
+           len(str_split(text, ' ')) AS n_ws
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish pre-tokenizer
+    regex (word runs + isolated punctuation) — the standard cheap
+    estimator for LLM token budgets."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"([a-zA-Z0-9]+|[^a-zA-Z0-9\s])"))).alias(
+            "n_bpe_ish"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))
+             AS vocab_fingerprint,
+           md5(concat_ws(' ', str_split(text, ' ')[1], str_split(text, ' ')[2],
+                         CAST(len(str_split(text, ' ')) AS VARCHAR)))
+             AS head_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive vocabulary fingerprint + head fingerprint
+    (md5 so the oracle agrees byte-for-byte; xxhash64 is the faster
+    Spark-internal choice when no oracle is involved)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias(
+            "vocab_fingerprint"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ", toks.getItem(0), toks.getItem(1), F.size(toks).cast("string")
+            )
+        ).alias("head_fingerprint"),
+    )
+
+
+@query(
+    "text_lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_intersect(str_split(text, ' '),
+                 ['the', 'a', 'of', 'and', 'to'])) AS en_score,
+             len(list_intersect(str_split(text, ' '),
+                 ['der', 'die', 'das', 'und', 'ist'])) AS de_score,
+             len(list_intersect(str_split(text, ' '),
+                 ['el', 'la', 'de', 'y', 'es'])) AS es_score
+      FROM documents
+    )
+    SELECT doc_id, lang, en_score, de_score, es_score,
+           CASE WHEN en_score >= de_score AND en_score >= es_score THEN 'en'
+                WHEN de_score >= es_score THEN 'de'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (n-gram-profile shape). On this
+    synthetic shared-vocabulary corpus the prediction is a coin flip —
+    the operator (dictionary intersect + argmax, fully vectorized) is
+    what's under test, with deterministic tie-breaking."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dicts = {
+        "en_score": ["the", "a", "of", "and", "to"],
+        "de_score": ["der", "die", "das", "und", "ist"],
+        "es_score": ["el", "la", "de", "y", "es"],
+    }
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(name)
+            for name, words in dicts.items()
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "en_score",
+        "de_score",
+        "es_score",
+        F.when(
+            (F.col("en_score") >= F.col("de_score"))
+            & (F.col("en_score") >= F.col("es_score")),
+            "en",
+        )
+        .when(F.col("de_score") >= F.col("es_score"), "de")
+        .otherwise("es")
+        .alias("pred_lang"),
+    )
+
+
+TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) <= 3
+"""
+
+
+@query("tfidf_topterms", TFIDF_ORACLE)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf, top-3 terms per document.
+
+    Rank on the ROUNDED score (6 dp) with the term as tiebreak — raw
+    doubles differ in the last ULP across engines (ln), which would
+    flip near-tied ranks. The doc-frequency table is tiny (vocabulary
+    ≪ corpus) → broadcast join against the tf table at any scale."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, driver-side by design (cheap count on metadata)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf")
+    )

@@ -1,0 +1,220 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.1-K).
+
+Demonstrates every Python-extension point with the performance
+hierarchy made explicit:
+
+1. built-in JVM expressions (everything else in this repo) — fastest;
+2. Arrow-vectorized pandas UDFs / applyInPandas / mapInPandas — the
+   ONLY acceptable Python path at scale (one Arrow batch per ~10k
+   rows, numpy vectorization inside);
+3. row-at-a-time @udf — included because the surface requires it,
+   deliberately on a small input; never in a 100 TB hot path.
+
+Each key that is semantically SQL-expressible still declares an
+oracle, so the Python implementations are hash-checked against pure
+SQL — the strongest possible test of the UDF plumbing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+
+@query(
+    "udf_scalar",
+    """
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS clean,
+           length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS clean_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (text cleaner), oracled against the
+    equivalent SQL. Input capped at 100 rows — the per-row Python
+    round-trip is the slow path by construction."""
+    import re
+
+    @F.udf(StringType())
+    def clean_text(s: str) -> str:
+        return re.sub(r"\s+", " ", s.strip()).lower()
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        clean_text("text").alias("clean"),
+        F.length(clean_text("text")).alias("clean_len"),
+    )
+
+
+@query(
+    "udf_pandas_vectorized",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 6) AS sim
+    FROM embeddings e CROSS JOIN q
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized cosine (numpy inside a pandas UDF) — the same
+    semantics as the HOF implementation in embeddings_ops.cosine; the
+    oracle hash-checks the two against DuckDB. One Arrow batch crosses
+    the JVM↔Python boundary per ~10k rows, numpy does the math."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )  # 64 floats to the driver — a bounded broadcast constant
+    q = np.array(qvec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+
+    @F.pandas_udf(DoubleType())
+    def cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype(np.float64)  # (batch, 64)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return e.select("vec_id", F.round(cos("embedding"), 6).alias("sim"))
+
+
+@query(
+    "udaf_pandas_grouped",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(AVG(value), 6) AS trimmed_mean
+    FROM ranked
+    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+    GROUP BY event_type
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: 10%-trimmed mean per event type,
+    oracled against the window-based SQL equivalent."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        arr = np.sort(v.to_numpy())
+        k = int(np.floor(len(arr) * 0.1))
+        return float(arr[k : len(arr) - k].mean())
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(trimmed_mean("value"), 6).alias("trimmed_mean")
+    )
+
+
+@query(
+    "udf_grouped_map",
+    """
+    SELECT event_id, user_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id)) /
+                 stddev_samp(value) OVER (PARTITION BY user_id), 6) AS z
+    FROM events
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group transform: z-score events within each
+    user (pandas mean/std(ddof=1) ≡ SQL avg/stddev_samp)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id bigint, user_id bigint, z double"
+    )
+
+
+@query(
+    "udf_map_partitions",
+    """
+    SELECT event_id,
+           CAST(floor(value / 10) AS BIGINT) AS value_bucket,
+           ROUND(ln(value + 1), 6)           AS log_value
+    FROM events
+    """,
+)
+def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas partition-wise enrichment (iterator of Arrow
+    batches — the shape used for batch model inference / feature
+    extraction at scale, where per-batch setup cost is amortized)."""
+    import numpy as np
+
+    def enrich(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "value_bucket": np.floor(pdf["value"] / 10).astype("int64"),
+                    "log_value": np.log(pdf["value"] + 1).round(6),
+                }
+            )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    return ev.mapInPandas(enrich, "event_id bigint, value_bucket bigint, log_value double")
+
+
+@query(
+    "udtf_python",
+    """
+    WITH sh AS (
+      SELECT doc_id, substring(text, i, 8) AS shingle
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+            FROM documents WHERE doc_id < 50)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct
+    FROM sh
+    GROUP BY doc_id
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input doc row → many (doc_id, shingle) rows
+    (8-char sliding window), then aggregated; oracled against the SQL
+    generate_series twin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, shingle string")
+    class CharShingles:
+        def eval(self, doc_id: int, text: str):
+            for i in range(len(text) - 7):
+                yield doc_id, text[i : i + 8]
+
+    CharShingles = spark.udtf.register("char_shingles", CharShingles)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(DISTINCT s.shingle) AS n_distinct
+        FROM docs_for_udtf d, LATERAL char_shingles(d.doc_id, d.text) s
+        GROUP BY s.doc_id
+        """
+    )

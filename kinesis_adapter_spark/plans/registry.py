@@ -52,6 +52,7 @@ def load_all_modules() -> None:
     # can be caught/isolated by callers that only need the core.
     from kinesis_adapter_spark.operators import (  # noqa: F401
         aggregates,
+        embeddings_ops,
         joins,
         llmops,
         projections,

@@ -1,0 +1,287 @@
+"""Scan sources and sinks (SURVEY.md §2.1-A).
+
+CSV/NDJSON fixtures are derived from the parquet tables into
+/tmp/kas_derived/<sf-basename>/ (never into the read-only testdata
+dir). Numeric formatting is pinned (%.2f for the 2-decimal `value`)
+so text round-trips reproduce the exact doubles, letting the oracles
+compare against the ORIGINAL events view — i.e. the whole
+export→parse path must be lossless to pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+from kinesis_adapter_spark.sources import aws
+
+DERIVED_ROOT = Path("/tmp/kas_derived")
+
+
+def derived_dir(sf_dir: str) -> Path:
+    d = DERIVED_ROOT / Path(sf_dir).name
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _events_table(sf_dir: str):
+    return pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+
+
+def ensure_events_csv(sf_dir: str) -> Path:
+    """events → single CSV (event_id,user_id,event_type,value)."""
+    out = derived_dir(sf_dir) / "events.csv"
+    if not out.exists():
+        pdf = _events_table(sf_dir)[["event_id", "user_id", "event_type", "value"]]
+        tmp = out.with_suffix(".tmp")
+        pdf.to_csv(tmp, index=False, float_format="%.2f")
+        os.replace(tmp, out)
+    return out
+
+
+def ensure_events_ndjson(sf_dir: str) -> Path:
+    """events → NDJSON files split by day (stands in for S3 objects).
+
+    ts is exported as an ISO-µs string (the oracle's precision — DuckDB
+    reads parquet NANOS at µs, SURVEY.md §5.3) plus the raw ns long.
+    """
+    out = derived_dir(sf_dir) / "events_ndjson"
+    done = out / "_SUCCESS"
+    if not done.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        pdf = _events_table(sf_dir).sort_values("event_id")
+        ts = pdf["ts"].astype("int64")
+        pdf = pdf.assign(
+            ts_ns=ts,
+            ts_iso=(ts // 1000 * 1000)
+            .pipe(lambda s: s.astype("datetime64[ns]"))
+            .dt.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            day=ts.astype("datetime64[ns]").dt.strftime("%Y%m%d"),
+        )
+        for day, grp in pdf.groupby("day"):
+            with open(out / f"events-{day}.json.tmp", "w") as f:
+                for r in grp.itertuples():
+                    f.write(
+                        json.dumps(
+                            {
+                                "event_id": int(r.event_id),
+                                "ts_iso": r.ts_iso,
+                                "ts_ns": int(r.ts_ns),
+                                "user_id": int(r.user_id),
+                                "event_type": r.event_type,
+                                "value": round(float(r.value), 2),
+                                "props": r.props,
+                            }
+                        )
+                        + "\n"
+                    )
+            os.replace(out / f"events-{day}.json.tmp", out / f"events-{day}.json")
+        done.touch()
+    return out
+
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts_iso TIMESTAMP, ts_ns BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+@query(
+    "scan_parquet",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan with projection + pushed filter: the scan
+    node must show PushedFilters [EqualTo(l_returnflag,R)] and a 4-col
+    ReadSchema (asserted in tests/test_plans.py)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@query(
+    "scan_csv",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV read of the derived export; the oracle reads the
+    ORIGINAL parquet, so the parquet→CSV→parse round-trip must be
+    value-exact to hash-match."""
+    path = ensure_events_csv(sf_dir)
+    return spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).csv(str(path), header=True)
+
+
+@query(
+    "scan_json",
+    """
+    SELECT event_id, user_id, event_type, value,
+           epoch_ns(ts) AS ts_ns
+    FROM events
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd NDJSON read (the reference's decode stage: S3 objects
+    hold newline-delimited JSON records — SURVEY.md §2.0)."""
+    path = ensure_events_ndjson(sf_dir)
+    return (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .json(str(path))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            # exported ts_ns keeps full ns fidelity; the oracle sees µs
+            (F.col("ts_ns") - F.col("ts_ns") % 1000).alias("ts_ns"),
+        )
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents partitioned by lang, read back, aggregate.
+
+    partitionBy(lang) is the layout primitive behind partition pruning
+    at 100 TB (scan only the partitions a filter names). The oracle
+    aggregates the ORIGINAL documents table, so write+read must be
+    lossless.
+    """
+    out = derived_dir(sf_dir) / "docs_by_lang.parquet"
+    d = load(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(str(out))
+    back = spark.read.parquet(str(out))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "source_s3_moto",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def source_s3_moto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SOURCE stage: list an S3 prefix, fetch objects,
+    decode NDJSON (SURVEY.md §2.0 row 1). S3 is moto-served; objects
+    are downloaded to a local staging dir and scanned with the same
+    schema'd json reader (no hadoop-aws jar in this env — with one,
+    this becomes spark.read.json('s3a://...') unchanged otherwise)."""
+    ndjson = ensure_events_ndjson(sf_dir)
+    s3 = aws.client("s3")
+    bucket = f"kas-src-{Path(sf_dir).name.replace('.', '-')}"
+    try:
+        s3.create_bucket(Bucket=bucket)
+    except Exception:
+        pass
+    staged = derived_dir(sf_dir) / "s3_download"
+    staged.mkdir(exist_ok=True)
+    for f in sorted(ndjson.glob("events-*.json")):
+        key = f"incoming/{f.name}"
+        try:
+            s3.head_object(Bucket=bucket, Key=key)
+        except Exception:
+            s3.upload_file(str(f), bucket, key)
+    listed = s3.list_objects_v2(Bucket=bucket, Prefix="incoming/")
+    for obj in listed.get("Contents", []):
+        dest = staged / Path(obj["Key"]).name
+        if not dest.exists():
+            s3.download_file(bucket, obj["Key"], str(dest))
+    return (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .json(str(staged))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "sink_kinesis",
+    """
+    SELECT event_id, event_type FROM events
+    """,
+)
+def sink_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SINK stage, batch form: partition-parallel
+    PutRecords (≤500/call, retry w/ backoff) into moto Kinesis, then
+    drain all shards and hand the payloads back as a DataFrame — the
+    oracle compares against the original events, so the full
+    serialize→put→shard→get round-trip must be lossless.
+
+    Writes run in ``foreachPartition`` on executors (each worker owns
+    its partition's batches — the production shape); the read-back
+    drain is driver-side by nature of the check."""
+    stream = f"kas-sink-{Path(sf_dir).name.replace('.', '-')}"
+    aws.create_stream(stream, shards=4)
+    endpoint = aws.endpoint_url()
+    kw = dict(aws.AWS_KW)
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+
+    def write_partition(rows):
+        # Self-contained: executors may not have this package on their
+        # sys.path, so the chunk/retry loop is inlined (mirrors
+        # aws.put_records_with_retry, which tests cover directly).
+        import json as _json
+        import time as _time
+
+        import boto3 as _boto3
+
+        kin = _boto3.client("kinesis", endpoint_url=endpoint, **kw)
+        recs = [
+            {
+                "Data": _json.dumps(
+                    {"event_id": r.event_id, "event_type": r.event_type}
+                ).encode(),
+                "PartitionKey": str(r.user_id % 4),
+            }
+            for r in rows
+        ]
+        for i in range(0, len(recs), 500):
+            chunk = recs[i : i + 500]
+            attempt = 0
+            while chunk:
+                resp = kin.put_records(StreamName=stream, Records=chunk)
+                if not resp.get("FailedRecordCount"):
+                    break
+                chunk = [
+                    rec for rec, st in zip(chunk, resp["Records"]) if "ErrorCode" in st
+                ]
+                attempt += 1
+                if attempt > 5:
+                    raise RuntimeError("kinesis put failed after retries")
+                _time.sleep(0.05 * (2**attempt))
+
+    ev.foreachPartition(write_partition)
+
+    records = aws.read_all_records(stream)
+    payloads = [json.loads(r["Data"]) for r in records]
+    # Re-runs append to the stream; latest write wins via distinct.
+    out = spark.createDataFrame(
+        payloads, "event_id BIGINT, event_type STRING"
+    ).distinct()
+    return out
