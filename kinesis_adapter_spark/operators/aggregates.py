@@ -62,6 +62,59 @@ def agg_sum_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style shipping priority: customer⋈orders⋈lineitem,
+    top-10 open orders by revenue (a BASELINE.md headline query).
+
+    Plan shape: both filters push to the scans; customer (a bounded
+    dim after the segment filter) broadcasts into orders, the big
+    orders⋈lineitem side stays a shuffle join on the fact keys; top-10
+    is TakeOrderedAndProject — no global sort. At 100 TB identical,
+    with lineitem/orders co-bucketed on the order key to kill the
+    remaining shuffle."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@query(
     "agg_multi_stats",
     """
     SELECT

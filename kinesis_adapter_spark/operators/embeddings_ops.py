@@ -97,35 +97,48 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivf_topk")  # T3: IVF is approximate — recall vs brute force in pytest
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-10: coarse-quantize the corpus into
-    cells (here: the label column stands in for k-means cell ids, the
-    exact layout a real pipeline would precompute), rank cells by
-    centroid similarity to the query, probe only the best nprobe=3
-    cells brute-force.
+    Voronoi cells (seed centroids from the label column, then one
+    Lloyd pass reassigns every vector to its NEAREST centroid — a real
+    pipeline precomputes this k-means offline), rank cells by centroid
+    similarity to the query, probe only the best nprobe=4 cells
+    brute-force.
 
     At scale the corpus is WRITTEN partitioned by cell id, so probing
-    3 of 1024 cells is partition pruning — the scan reads 0.3% of the
-    data. Recall@10 vs the exact baseline is asserted in pytest."""
+    4 of 1024 cells is partition pruning — the scan reads 0.4% of the
+    data; the centroid table (k × dim doubles) is always broadcast.
+    Recall@10 vs the exact baseline is asserted in pytest."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
-    # centroids per cell: mean per dimension via posexplode + reassemble
+    # seed centroids: per-label mean via posexplode + reassemble
     cent = (
         e.select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
         .groupBy("label", "pos")
         .agg(F.avg("col").alias("m"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+        .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+    )
+    # Lloyd assignment pass: each vector joins its nearest centroid,
+    # making cells geometric (Voronoi) rather than label-arbitrary.
+    wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "embedding", "cell",
+                cosine(F.col("embedding"), F.col("centroid")).alias("csim"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "csim")
     )
     best_cells = (
         cent.crossJoin(F.broadcast(q))
-        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("csim"))
-        .orderBy(F.col("csim").desc(), "label")
-        .limit(3)
-        .select("label")
+        .select("cell", cosine(F.col("centroid"), F.col("qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "cell")
+        .limit(4)
+        .select("cell")
     )
     return (
-        e.join(F.broadcast(best_cells), "label")  # cell pruning: the IVF probe
+        assigned.join(F.broadcast(best_cells), "cell")  # cell pruning: the IVF probe
         .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim_raw"))

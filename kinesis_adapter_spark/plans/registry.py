@@ -63,4 +63,4 @@ def load_all_modules() -> None:
     )
     from kinesis_adapter_spark.functions import scalar  # noqa: F401
     from kinesis_adapter_spark.sources import scans  # noqa: F401
-    from kinesis_adapter_spark.streaming import batch_twins, pipelines  # noqa: F401
+    from kinesis_adapter_spark.streaming import pipelines  # noqa: F401

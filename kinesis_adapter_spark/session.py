@@ -36,6 +36,10 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Right-size shuffles for a session we did not build (the driver's
+    # bare session defaults to 200 — wasteful at test scale). Runtime-
+    # settable; AQE coalescing still shrinks below this when warranted.
+    "spark.sql.shuffle.partitions": str(max(8, os.cpu_count() or 8)),
 }
 
 

@@ -85,11 +85,24 @@ def read_all_records(stream: str) -> list[dict]:
             ShardId=shard["ShardId"],
             ShardIteratorType="TRIM_HORIZON",
         )["ShardIterator"]
+        empties = 0
         while it:
             resp = kin.get_records(ShardIterator=it, Limit=10000)
             out.extend(resp["Records"])
-            if not resp["Records"]:
-                break
+            if resp["Records"]:
+                empties = 0
+            else:
+                # An empty page does NOT mean end-of-shard: Kinesis can
+                # return no records with a valid NextShardIterator while
+                # data remains further along. Only stop once the iterator
+                # is caught up (MillisBehindLatest == 0) or after several
+                # consecutive empty pages (bounded, for emulators that
+                # omit the field).
+                if resp.get("MillisBehindLatest", 0) == 0:
+                    break
+                empties += 1
+                if empties >= 5:
+                    break
             it = resp.get("NextShardIterator")
     return out
 

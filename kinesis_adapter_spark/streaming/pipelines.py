@@ -1,0 +1,395 @@
+"""Structured Streaming operators (SURVEY.md §2.1-I).
+
+The reference adapter's whole control loop (scheduler → list S3 prefix
+→ decode → batch → PutRecords → checkpoint) maps onto Structured
+Streaming primitives (SURVEY.md §3.4):
+
+    scheduler      → trigger(availableNow=True) / processingTime
+    S3 lister      → file source over a directory + maxFilesPerTrigger
+    decoder        → schema'd json source
+    batcher+sink   → foreachBatch → KinesisForeachBatchSink
+    checkpoint     → checkpointLocation (offset WAL + commit log)
+
+Every key below REALLY runs a streaming query (readStream →
+writeStream, availableNow) and then returns the materialized result as
+a DataFrame, so the driver's oracle check exercises true incremental
+execution. Fresh checkpoints per call keep results deterministic;
+checkpoint RESUME semantics are covered in tests/test_streaming.py
+(kill/restart, late-data, idempotent redelivery).
+
+Windowed keys run in "complete"/"update" output mode into a memory
+sink — fine here because window-state cardinality is bounded; at
+100 TB use append mode + watermark expiry and a real sink, with
+RocksDB state store and watermark TTL bounding state (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.plans.registry import query
+from kinesis_adapter_spark.sources import aws
+from kinesis_adapter_spark.sources.scans import EVENTS_JSON_SCHEMA, ensure_events_ndjson
+from kinesis_adapter_spark.streaming.kinesis_sink import KinesisForeachBatchSink
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None):
+    src_dir = ensure_events_ndjson(sf_dir)
+    reader = spark.readStream.schema(EVENTS_JSON_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.json(str(src_dir))
+
+
+def _run_to_memory(df, mode: str = "complete", max_files: int | None = None):
+    """Run a streaming DF to completion (availableNow) into a memory
+    sink; returns (spark_table_name, query_progress_list)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="kas_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name, q.recentProgress
+
+
+@query(
+    "stream_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums per event type, computed by a
+    REAL incremental query (file source, watermark, windowed state),
+    oracled against the batch date_trunc twin."""
+    src = _events_stream(spark, sf_dir, max_files=8)
+    agg = (
+        src.withWatermark("ts_iso", "1 hour")
+        .groupBy(F.window("ts_iso", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        F.round("sv", 4).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_sliding",
+    """
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * (INTERVAL '15 minutes')
+               AS win_start,
+             event_type, value
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min (each event lands in exactly
+    4 windows); oracle expands the 4 bucket offsets explicitly."""
+    src = _events_stream(spark, sf_dir, max_files=8)
+    agg = (
+        src.withWatermark("ts_iso", "1 hour")
+        .groupBy(F.window("ts_iso", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+    )
+
+
+@query(
+    "stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_ns(ts) AS t, value,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, t, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (30 min), oracled against the
+    batch sessionize_gap twin — the two formulations MUST agree on
+    static data (also asserted head-to-head in tests)."""
+    src = _events_stream(spark, sf_dir, max_files=8)
+    agg = (
+        src.withWatermark("ts_iso", "2 hours")
+        .groupBy(F.session_window("ts_iso", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    return spark.table(name).select(
+        "user_id",
+        (F.unix_micros(F.col("sw.start").cast("timestamp")) * 1000).alias("session_start"),
+        "n_events",
+        F.round("sv", 4).alias("session_value"),
+    )
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the staged directory contains
+    every file TWICE (duplicate deliveries — the reference's re-read
+    failure mode); dropDuplicates on event_id within the watermark
+    restores exactly-once counts."""
+    base = ensure_events_ndjson(sf_dir)
+    duped = Path(tempfile.gettempdir()) / f"kas_dup_{Path(sf_dir).name}"
+    done = duped / "_STAGED"
+    if not done.exists():
+        duped.mkdir(parents=True, exist_ok=True)
+        for f in sorted(base.glob("events-*.json")):
+            (duped / f.name).write_bytes(f.read_bytes())
+            (duped / f"dup-{f.name}").write_bytes(f.read_bytes())
+        done.touch()
+    src = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(str(duped))
+    )
+    deduped = src.withWatermark("ts_iso", "1 day").dropDuplicates(["event_id"])
+    name, _ = _run_to_memory(deduped, "append")
+    return spark.table(name).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "stream_stateful_count",
+    """
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming op (applyInPandasWithState):
+    per-user running counts carried across micro-batches; the final
+    per-user maximum must equal the batch COUNT(*) — which is exactly
+    what the oracle checks. maxFilesPerTrigger=5 forces ≥6 batches so
+    state genuinely persists across triggers."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running_count(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+    src = _events_stream(spark, sf_dir, max_files=5)
+    counted = src.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="cnt bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name, _ = _run_to_memory(counted, "update")
+    # update mode emits one row per (user, batch); the last (= max) is final
+    return spark.table(name).groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "stream_stream_join",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'purchase' AND user_id < 30),
+         c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'click' AND user_id < 30)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND p.t >= c.t AND p.t - c.t <= 600000000000
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to clicks by the same
+    user within the preceding 10 minutes, both sides watermarked (the
+    watermark + range bound is what lets Spark expire join state).
+
+    The µs-truncated ns timestamps keep the range arithmetic exact vs
+    the oracle (SURVEY.md §5.3.3)."""
+    purchases = (
+        _events_stream(spark, sf_dir, max_files=10)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_iso").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir, max_files=10)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_iso").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("purchase_id", "click_id")
+    name, _ = _run_to_memory(joined, "append")
+    return spark.table(name)
+
+
+@query(
+    "stream_backfill_availablenow",
+    """
+    SELECT CAST(CEIL(COUNT(DISTINCT strftime(ts, '%Y%m%d')) / 3.0) AS BIGINT) AS n_batches,
+           COUNT(*) AS n_rows
+    FROM events
+    """,
+)
+def stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SCHEDULER replacement: bounded catch-up over a
+    backlog with pacing (maxFilesPerTrigger=3 → ceil(files/3) micro-
+    batches; files are one-per-day, which the oracle counts). This is
+    how a 100 TB backfill stays memory-bounded: pacing caps per-batch
+    input while availableNow guarantees termination."""
+    src = _events_stream(spark, sf_dir, max_files=3)
+    name, progress = _run_to_memory(src.select("event_id"), "append")
+    n_rows = spark.table(name).count()
+    n_batches = sum(1 for p in progress if p.get("numInputRows", 0) > 0)
+    return spark.createDataFrame([(n_batches, n_rows)], "n_batches bigint, n_rows bigint")
+
+
+@query("stream_rate_source")  # T3: wall-clock-timed source, counts only
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic load source (rate-micro-batch): fixed
+    rowsPerBatch for bench/soak runs without input files."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 500)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="kas_ckpt_")
+    q = (
+        src.select("value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # bounded soak: stop after ≥3 batches or 30 s
+    import time
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("value").alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "stream_to_kinesis_e2e",
+    """
+    SELECT event_id, event_type, user_id FROM events WHERE event_type <> 'error'
+    """,
+)
+def stream_to_kinesis_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pipeline end-to-end (SURVEY.md §2.1-I row 8):
+    watch a directory of NDJSON objects ("S3") → schema'd decode →
+    transform (drop error events, assign partition key) → foreachBatch
+    → chunked PutRecords (≤500, retry/backoff) into moto Kinesis, with
+    checkpoint + batch-id idempotency ledger → drain every shard and
+    return the delivered payloads.
+
+    The oracle compares the drained records against the source table:
+    the whole pipeline must be lossless and exactly-once. Restart
+    semantics (same checkpoint, no double delivery) are exercised in
+    tests/test_streaming.py."""
+    run_id = uuid.uuid4().hex[:10]
+    stream = f"kas-e2e-{run_id}"
+    aws.create_stream(stream, shards=4)
+    ckpt = tempfile.mkdtemp(prefix="kas_e2e_ckpt_")
+    sink = KinesisForeachBatchSink(
+        stream=stream,
+        endpoint=aws.endpoint_url(),
+        aws_kw=aws.AWS_KW,
+        ledger_dir=str(Path(ckpt) / "ledger"),
+    )
+    src = _events_stream(spark, sf_dir, max_files=6)
+    out = src.filter(F.col("event_type") != "error").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (F.col("user_id") % 4).cast("string").alias("pk"),
+    )
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    payloads = [json.loads(r["Data"]) for r in aws.read_all_records(stream)]
+    return spark.createDataFrame(
+        payloads, "event_id bigint, event_type string, user_id bigint"
+    ).distinct()

@@ -1,0 +1,99 @@
+"""Quality gates for approximate operators (SURVEY.md §5.5): the
+oracle can't hash-check approximations, so pytest bounds their error
+against the exact implementations.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+from tests.oracle import SF_TEST
+
+load_all_modules()
+
+
+def test_approx_distinct_within_tolerance(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, SF_TEST).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in QUERIES["agg_count_distinct"](spark, SF_TEST).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.05, (k, approx[k], exact[k])
+
+
+def test_minhash_recall_vs_exact(spark):
+    """MinHash+LSH (8×4 bands) must recover ≥90% of the true ≥0.6-
+    Jaccard pairs and report the identical exact-verified scores."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_near_ngram"](spark, SF_TEST).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_near_minhash"](spark, SF_TEST).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    assert lsh.keys() <= exact.keys(), "LSH pairs are exact-verified — no false positives"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+
+
+def test_simhash_finds_mutated_neardups(spark):
+    """Every mutated doc (id+2e6) should be hamming-close to its
+    source; simhash-with-blocking must surface a decent fraction."""
+    pairs = QUERIES["dedup_simhash"](spark, SF_TEST).collect()
+    hits = {
+        (r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] - r["doc_a"] == 2_000_000
+    }
+    n_mutated = len([p for p in pairs]) and None  # noqa: F841 (readability)
+    import pyarrow.parquet as pq
+
+    n_sources = len(
+        [d for d in pq.read_table(f"{SF_TEST}/documents.parquet").column("doc_id").to_pylist() if d % 7 == 0]
+    )
+    assert len(hits) / n_sources >= 0.5, f"{len(hits)}/{n_sources} mutated pairs found"
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    exact = [r["vec_id"] for r in QUERIES["sim_topk"](spark, SF_TEST).collect()]
+    approx = [r["vec_id"] for r in QUERIES["ann_ivf_topk"](spark, SF_TEST).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 = {recall}"
+
+
+def test_embedding_cosine_blocking_agrees_at_high_threshold(spark):
+    """Sign-bit blocking at threshold 0.9: every reported pair must be
+    genuinely ≥0.9 (verified by construction) and symmetric duplicates
+    must not appear."""
+    rows = QUERIES["dedup_embedding_cosine"](spark, SF_TEST).collect()
+    seen = set()
+    for r in rows:
+        assert r["sim"] >= 0.9
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+
+
+def test_pandas_cosine_matches_hof_cosine(spark):
+    """The Arrow/numpy cosine and the JVM HOF cosine must agree to
+    1e-9 on every vector (two independent implementations)."""
+    hof = QUERIES["sim_topk"](spark, SF_TEST)
+    pd_udf = QUERIES["udf_pandas_vectorized"](spark, SF_TEST)
+    joined = (
+        pd_udf.alias("p")
+        .join(hof.alias("h"), F.col("p.vec_id") == F.col("h.vec_id"))
+        .select(F.abs(F.col("p.sim") - F.col("h.sim")).alias("d"))
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert joined <= 1e-9

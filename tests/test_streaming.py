@@ -1,0 +1,206 @@
+"""Streaming semantics that the oracle can't check (SURVEY.md §5.5):
+checkpoint recovery, watermark late-drop, idempotent redelivery,
+native-session-window ≡ batch-sessionization equivalence.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_ndjson(path: Path, rows: list[dict]):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+SCHEMA = "event_id BIGINT, ts_iso TIMESTAMP, user_id BIGINT, value DOUBLE"
+
+
+def _event(eid, iso, uid=1, value=1.0):
+    return {"event_id": eid, "ts_iso": iso, "user_id": uid, "value": value}
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """Kill a paced stream mid-backlog, restart from the checkpoint:
+    every row is delivered exactly once to the sink dir."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for i in range(6):
+        _write_ndjson(
+            src / f"f{i}.json",
+            [_event(i * 10 + j, f"2024-01-01T0{i}:00:0{j}") for j in range(5)],
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .json(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q
+
+    q = run_once()
+    # stop after the first committed batch — simulates a crash mid-backlog
+    while not any(p["numInputRows"] > 0 for p in q.recentProgress):
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    n_after_kill = spark.read.parquet(out).count()
+    assert n_after_kill < 30, "should have stopped before finishing the backlog"
+
+    q2 = run_once()
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # no loss
+    assert got.select("event_id").distinct().count() == 30  # no duplicates
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """A file arriving after the watermark passed its event times is
+    excluded from closed windows (append mode)."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    # batch 1: hour-0 events; batch 2: hour-10 events (advances watermark
+    # to 09:50); batch 3: late hour-0 events — must be dropped.
+    _write_ndjson(src / "a_f1.json", [_event(1, "2024-01-01T00:00:01")])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts_iso", "10 minutes")
+        .groupBy(F.window("ts_iso", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def run():
+        # file sink (memory sink can't recover from a checkpoint): append
+        # mode emits each window once, when the watermark closes it.
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    _write_ndjson(src / "b_f2.json", [_event(2, "2024-01-01T10:00:00")])
+    run()
+    _write_ndjson(src / "c_late.json", [_event(3, "2024-01-01T00:00:02")])
+    run()
+    # one more file far in the future forces the hour-10 window closed too
+    _write_ndjson(src / "d_flush.json", [_event(4, "2024-01-01T20:00:00")])
+    run()
+    rows = {
+        r["w"]["start"].strftime("%H"): r["n"] for r in spark.read.parquet(out).collect()
+    }
+    assert rows.get("00") == 1, f"late event must NOT bump the closed hour-0 window: {rows}"
+    assert rows.get("10") == 1
+
+
+def test_kinesis_e2e_restart_is_idempotent(spark, tmp_path):
+    """Re-running the e2e pipeline with the SAME checkpoint+ledger and
+    stream delivers nothing new (batch-id ledger suppresses replay)."""
+    from kinesis_adapter_spark.sources import aws
+    from kinesis_adapter_spark.streaming.kinesis_sink import KinesisForeachBatchSink
+
+    src = tmp_path / "src"
+    for i in range(3):
+        _write_ndjson(
+            src / f"f{i}.json",
+            [_event(i * 10 + j, f"2024-01-01T0{i}:00:0{j}", uid=j) for j in range(4)],
+        )
+    stream_name = f"kas-test-{tmp_path.name.lower()}"
+    aws.create_stream(stream_name, shards=2)
+    ckpt = str(tmp_path / "ckpt")
+    sink = KinesisForeachBatchSink(
+        stream=stream_name,
+        endpoint=aws.endpoint_url(),
+        aws_kw=aws.AWS_KW,
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+
+    def run():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .json(str(src))
+            .select("event_id", (F.col("user_id") % 2).cast("string").alias("pk"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    n1 = len(aws.read_all_records(stream_name))
+    assert n1 == 12
+    run()  # restart: checkpoint says done; even a replay would hit the ledger
+    n2 = len(aws.read_all_records(stream_name))
+    assert n2 == 12, "restart must not redeliver"
+
+
+def test_sink_retry_on_partial_failure(monkeypatch):
+    """put_records_with_retry re-enqueues only the failed records."""
+    from kinesis_adapter_spark.sources.aws import put_records_with_retry
+
+    calls = []
+
+    class FakeKinesis:
+        def put_records(self, StreamName, Records):
+            calls.append(len(Records))
+            if len(calls) == 1:  # first call: fail half the records
+                st = [
+                    {"ErrorCode": "Throttling"} if i % 2 else {"SequenceNumber": "1"}
+                    for i in range(len(Records))
+                ]
+                return {"FailedRecordCount": sum(1 for s in st if "ErrorCode" in s), "Records": st}
+            return {"FailedRecordCount": 0, "Records": [{"SequenceNumber": "1"}] * len(Records)}
+
+    n = put_records_with_retry(FakeKinesis(), "s", [{"Data": b"x", "PartitionKey": "0"}] * 600)
+    assert n == 600
+    assert calls[0] == 500 and calls[1] == 250 and calls[2] == 100  # chunking + retry
+
+
+def test_session_window_equals_batch_sessionization(spark):
+    """The native session_window streaming op and the batch window
+    formulation must produce identical session aggregates."""
+    from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    streaming = (
+        QUERIES["stream_session_window"](spark, SF)
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+    batch = (
+        QUERIES["sessionize_gap"](spark, SF)
+        .select(
+            "user_id",
+            F.col("session_start"),
+            "n_events",
+            F.round("session_value", 4).alias("session_value"),
+        )
+    )
+    s = {tuple(r) for r in streaming.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
