@@ -197,33 +197,69 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_cosine")  # T3 at scale; oracled variant below covers parity
+# Near-dup embedding fixture: every 10th vector reappears (vec_id+1M)
+# scaled by 1.001 — cosine-identical, and sign-invariant so the sign-
+# bit blocking below provably catches every injected pair.
+NEARDUP_EMB_SQL = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) AS emb
+  FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH corpus AS ({NEARDUP_EMB_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
+    """,
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.9) via bucketed blocking:
     block on the sign pattern of the first 8 components (a 1-bit-per-
     dim random-hyperplane LSH equivalent given roughly centered data),
     compare within blocks only, then exact-verify.
 
-    Rows-only key: blocking is approximate (sign-boundary pairs can be
-    missed); pytest asserts agreement with the brute-force pairs at
-    high threshold. At 100 TB the same plan holds with 16–32 sign bits
-    and a multi-probe union."""
+    The oracle is the BRUTE-FORCE pair list: random 64-d vectors stay
+    far below 0.9 cosine, so the true pairs are exactly the injected
+    scaled copies — which share their source's sign block by
+    construction, so blocking finds all of them and the approximate
+    plan hash-matches the exact one. At 100 TB the same plan holds
+    with 16–32 sign bits and a multi-probe union; the blocked join is
+    a shuffle on the block key instead of an O(n²) cross join."""
     e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    dup = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double") * 1.001).alias("emb"),
+        )
+    )
+    corpus = base.unionByName(dup)
     sig = F.concat_ws(
         "",
         *[
-            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            F.when(F.element_at("emb", i + 1) >= 0, "1").otherwise("0")
             for i in range(8)
         ],
     )
-    keyed = e.select("vec_id", "embedding", sig.alias("block"))
-    a = keyed.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "block")
-    b = keyed.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "block")
-    sim = cosine(F.col("va"), F.col("vb"))
+    keyed = corpus.select("vec_id", "emb", sig.alias("block"))
+    a = keyed.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"), "block")
+    b = keyed.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"), "block")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("sim"))
         .filter(F.col("sim") >= 0.9)
     )
 

@@ -55,6 +55,7 @@ def load_all_modules() -> None:
         embeddings_ops,
         joins,
         llmops,
+        multimodal,
         projections,
         setops,
         sorts,

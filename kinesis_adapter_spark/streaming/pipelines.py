@@ -306,6 +306,61 @@ def stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n_batches, n_rows)], "n_batches bigint, n_rows bigint")
 
 
+@query(
+    "stream_watermark_late",
+    """
+    SELECT '2024-01-01 00:00:00' AS win_start, CAST(1 AS BIGINT) AS n
+    UNION ALL
+    SELECT '2024-01-01 10:00:00', CAST(1 AS BIGINT)
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics end-to-end: four sequential micro-batch runs
+    against ONE checkpoint stage (1) an hour-0 event, (2) an hour-10
+    event that advances the watermark past hour 0, (3) a LATE hour-0
+    event — which append mode must drop, and (4) a far-future flush.
+    The oracle pins the exact expected output: the hour-0 window closes
+    with n=1 (late row excluded) and hour-10 with n=1.
+
+    At 100 TB the same contract bounds state: watermark delay is the
+    retention knob, and late data lands in a dead-letter path instead
+    of silently reopening windows."""
+    work = Path(tempfile.mkdtemp(prefix="kas_wm_"))
+    src, ckpt, out = work / "src", str(work / "ckpt"), str(work / "out")
+    src.mkdir()
+    schema = "event_id BIGINT, ts_iso TIMESTAMP"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withWatermark("ts_iso", "10 minutes")
+            .groupBy(F.window("ts_iso", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    staged = [
+        ("a.json", {"event_id": 1, "ts_iso": "2024-01-01T00:00:01"}),
+        ("b.json", {"event_id": 2, "ts_iso": "2024-01-01T10:00:00"}),
+        ("c_late.json", {"event_id": 3, "ts_iso": "2024-01-01T00:00:02"}),
+        ("d_flush.json", {"event_id": 4, "ts_iso": "2024-01-01T20:00:00"}),
+    ]
+    for fname, row in staged:
+        (src / fname).write_text(json.dumps(row) + "\n")
+        run_once()
+    return spark.read.parquet(out).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"), "n"
+    )
+
+
 @query("stream_rate_source")  # T3: wall-clock-timed source, counts only
 def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic load source (rate-micro-batch): fixed

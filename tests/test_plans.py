@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the scale contract, enforced.
+
+Correctness says an operator returns the right rows; these tests pin
+HOW — the plan properties that decide whether the same query survives
+a 1000-executor / 100 TB run: filters pushed into the parquet scan,
+bounded dims broadcast (never shuffled), top-k without a global sort,
+blocked similarity joins planned as equi-joins (never cartesian), and
+hot paths inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+from tests.oracle import SF_TEST
+
+load_all_modules()
+
+
+def plan_of(spark, key: str, executed: bool = False) -> str:
+    df = QUERIES[key](spark, SF_TEST)
+    if executed:
+        # AQE keeps the plan adaptive (no codegen spans visible) until
+        # the query actually runs; execute, then read the final plan.
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "agg_sum_group")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan[:2000]
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "agg_sum_group")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    cols = m.group(1)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert "l_quantity" in cols
+
+
+def test_bounded_dims_broadcast_not_shuffled(spark):
+    for key in ("join_broadcast", "q3_shipping_priority", "sim_topk"):
+        plan = plan_of(spark, key)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, key
+    # the dim side must not appear as a shuffle exchange input
+    plan = plan_of(spark, "join_broadcast")
+    assert "BroadcastExchange" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_blocked_similarity_join_is_not_cartesian(spark):
+    """The sign-block near-dup join must plan as an equi-join on the
+    block key — a CartesianProduct here would be O(n²) at scale."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_hot_paths_stay_in_codegen(spark):
+    """Aggregation pipelines must run inside whole-stage codegen (the
+    JVM fast path) — a plan with zero codegen spans means we fell back
+    to interpreted row-at-a-time execution."""
+    for key in ("agg_sum_group", "q3_shipping_priority", "win_rank_topn"):
+        plan = plan_of(spark, key, executed=True)
+        # codegen'd operators carry a "*(n)" stage prefix in toString
+        assert re.search(r"\*\(\d+\)", plan), key
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy plans must contain a partial HashAggregate before the
+    exchange — at 100 TB the shuffle carries per-group partials, not
+    raw rows."""
+    plan = plan_of(spark, "agg_sum_group")
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert "Exchange" in plan

@@ -72,9 +72,10 @@ def test_ann_ivf_recall_vs_brute_force(spark):
 
 
 def test_embedding_cosine_blocking_agrees_at_high_threshold(spark):
-    """Sign-bit blocking at threshold 0.9: every reported pair must be
-    genuinely ≥0.9 (verified by construction) and symmetric duplicates
-    must not appear."""
+    """Sign-bit blocking at threshold 0.9: every injected scaled copy
+    (vec_id+1M, cosine ≈ 1.0 with its source) must be found — blocking
+    cannot miss them since scaling preserves the sign pattern — and no
+    symmetric/duplicate/false pairs may appear."""
     rows = QUERIES["dedup_embedding_cosine"](spark, SF_TEST).collect()
     seen = set()
     for r in rows:
@@ -82,6 +83,18 @@ def test_embedding_cosine_blocking_agrees_at_high_threshold(spark):
         assert r["id_a"] < r["id_b"]
         assert (r["id_a"], r["id_b"]) not in seen
         seen.add((r["id_a"], r["id_b"]))
+    import pyarrow.parquet as pq
+
+    sources = [
+        v
+        for v in pq.read_table(f"{SF_TEST}/embeddings.parquet")
+        .column("vec_id")
+        .to_pylist()
+        if v % 10 == 0
+    ]
+    assert sources, "fixture must inject near-dups"
+    for v in sources:
+        assert (v, v + 1_000_000) in seen, f"injected pair for {v} missed"
 
 
 def test_pandas_cosine_matches_hof_cosine(spark):
