@@ -132,6 +132,26 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- near-dup (exact path)
 
+# Word-3-gram shingle set per doc. Two perf rules learned by measurement
+# (~8× each at sf0.1): hoist split() into its own projection so the
+# transform lambda reads a bound column instead of re-splitting the text
+# per element (O(T²) otherwise), and explode the EXPRESSION inline —
+# exploding a previously-projected array column materializes the array
+# into row format first.
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)),"
+    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+)
+
+
+def shingled(docs: DataFrame, exploded: bool) -> DataFrame:
+    """(doc_id, s) exploded shingles or (doc_id, sh) shingle arrays."""
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    if exploded:
+        return toked.select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
+    return toked.select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+
+
 NGRAM_JACCARD_ORACLE = f"""
 WITH docs AS ({MUTATED_SQL}),
 shing AS (
@@ -166,16 +186,7 @@ def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, hot shingles are the skew risk: drop stop-shingles with
     document frequency above a cap (standard trick) — elided here
     because the fixture vocabulary is tiny, noted for scale."""
-    docs = mutated_documents(spark, sf_dir)
-    toks = F.split("text", " ")
-    shingles = F.expr(
-        "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
-        " i -> concat_ws(' ', split(text,' ')[i-1], split(text,' ')[i], split(text,' ')[i+1]))"
-    )
-    sh = (
-        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
-        .distinct()
-    )
+    sh = shingled(mutated_documents(spark, sf_dir), exploded=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -213,13 +224,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle sets. xxhash64 stays internal (never oracled —
     Spark-specific), which is why this key is rows-only."""
     docs = mutated_documents(spark, sf_dir)
-    shingles = F.expr(
-        "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
-        " i -> concat_ws(' ', split(text,' ')[i-1], split(text,' ')[i], split(text,' ')[i+1]))"
-    )
-    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s")).distinct()
-
-    # 32 min-hashes in ONE aggregation pass (no 32-fold self-join).
+    # The 32 min-hashes run as codegen'd aggregates over the exploded
+    # shingles (nested HOF lambdas are interpreted per element in
+    # Spark — measured ~100× slower than explode + partial-agg, which
+    # also map-side-combines before the shuffle); the exact verify is
+    # array-native (array_intersect on per-doc shingle sets — no
+    # explode join).
+    sh = shingled(docs, exploded=True)
     minh = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(N_HASHES)]
     )
@@ -243,20 +254,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact Jaccard verify on candidates only.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # Exact Jaccard verify on candidates only, via array_intersect on
+    # the per-doc shingle sets (candidate pairs ≪ corpus, so the two
+    # lookup joins are cheap; at 100 TB broadcast the candidate list).
+    base = shingled(docs, exploded=False)
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    c = F.size(F.array_intersect("sa", "sb"))
+    jac = c / (F.size("sa") + F.size("sb") - c)
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .filter(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
