@@ -1,0 +1,219 @@
+"""Scale-pattern operators: the techniques that keep 100 TB runs
+healthy (skew salting, explicit-value pivot, hash sampling, bucketed
+co-located joins), each expressed so the result is oracle-checkable
+even though the point is the PLAN.
+
+Every key here returns results identical to a naive formulation — the
+oracle proves the optimization changes the execution shape only.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "agg_salted_skew",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: groupBy(key, salt) partials, then
+    groupBy(key) merge. With 5 event types over 32 cores, an unsalted
+    groupBy degenerates to ≤5 busy reducers; salting fans the partial
+    agg across salt×key reducers and the final merge touches only
+    key-cardinality rows. Same result as the plain groupBy (the oracle
+    proves it); avg is recomposed from decomposable sum/count."""
+    ev = load(spark, sf_dir, "events")
+    salted = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.sum("psum").alias("sv"))
+        .select(
+            "event_type",
+            "n",
+            F.round("sv", 4).alias("sum_value"),
+            F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "pivot_wide",
+    """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide with EXPLICIT pivot values — omitting them makes
+    Spark run a distinct-scan first to discover columns, an extra full
+    pass over 100 TB. Explicit values compile straight to conditional
+    aggregates (one pass, map-side combined)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "unpivot_long",
+    """
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long (melt): zero-shuffle narrow transform — each
+    input row emits k output rows locally, so at scale it is pure
+    map-side work that chains into the next shuffle's partial aggs."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select("o_orderkey", "o_totalprice", F.col("o_custkey").cast("double")).unpivot(
+        "o_orderkey", ["o_totalprice", "o_custkey"], "metric", "val"
+    )
+
+
+@query(
+    "sample_deterministic",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~25%: md5 first nibble in
+    0..3). Unlike df.sample(), this is reproducible across engines,
+    runs, and partitionings — the property a training-data pipeline
+    needs for holdout splits — and it pushes no RNG state into tasks."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_bucket_colocated",
+    """
+    SELECT o.o_orderkey, COUNT(*) AS n_items, ROUND(SUM(l.l_extendedprice), 2) AS order_value
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join: both sides written
+    bucketed+sorted on the join key, so the join (AND the downstream
+    groupBy on the same key) runs with ZERO exchanges — the shuffle
+    was paid once at write time. This is THE pattern for 100 TB
+    fact-to-fact joins that recur on the same key; the plan assertion
+    lives in tests/test_plans.py, the oracle proves identical results
+    to the plain shuffle join."""
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    db_dir = tempfile.gettempdir() + f"/kas_buckets_{sf_tag}"
+    spark.conf.set("spark.sql.legacy.createHiveTableByDefault", "false")
+    names = {"orders": f"kas_b_orders_{sf_tag}", "lineitem": f"kas_b_lineitem_{sf_tag}"}
+    keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for tbl, name in names.items():
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(8, keys[tbl])
+                .sortBy(keys[tbl])
+                .option("path", f"{db_dir}/{name}")
+                .saveAsTable(name)
+            )
+    o = spark.table(names["orders"]).filter(F.col("o_orderstatus") == "O")
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_value"),
+        )
+    )
+
+
+@query(
+    "pipeline_llm_prep",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             len(str_split(text, ' ')) AS n_tokens,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+      WHERE n_chars >= 100
+    ),
+    deduped AS (
+      SELECT * FROM scored
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep composite: length filter →
+    fingerprint dedup → per-language token accounting, in ONE plan so
+    Catalyst pipelines the filter into the scan and the dedup window
+    and final agg share the work. This is the shape of a real corpus-
+    prep job; at 100 TB the fingerprint dedup shuffles 16-byte md5
+    keys (never text bodies) and the final agg is map-side combined."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    from pyspark.sql import Window
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.lower(F.trim("text")).cast("binary")).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )

@@ -57,6 +57,7 @@ def load_all_modules() -> None:
         llmops,
         multimodal,
         projections,
+        scaleops,
         setops,
         sorts,
         udx,

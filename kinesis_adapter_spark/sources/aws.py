@@ -107,6 +107,35 @@ def read_all_records(stream: str) -> list[dict]:
     return out
 
 
+class moto_put_lock:
+    """Cross-process serialization of PutRecords against the LOCAL moto
+    emulator: moto's in-memory Kinesis backend drops records under
+    concurrent puts (measured: 7998/8000 with 8 writer threads). Real
+    Kinesis is concurrent-safe — production runs (no local endpoint)
+    skip the lock entirely. flock works across the Python worker
+    processes of a local[*] session because they share the host."""
+
+    def __init__(self, endpoint: str | None):
+        self.local = bool(endpoint) and "127.0.0.1" in (endpoint or "")
+        self._fh = None
+
+    def __enter__(self):
+        if self.local:
+            import fcntl
+
+            self._fh = open("/tmp/kas_moto_put.lock", "w")
+            fcntl.flock(self._fh, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        if self._fh is not None:
+            import fcntl
+
+            fcntl.flock(self._fh, fcntl.LOCK_UN)
+            self._fh.close()
+        return False
+
+
 def put_records_with_retry(
     kin,
     stream: str,
@@ -121,11 +150,13 @@ def put_records_with_retry(
     records can fail (throttling) while the call succeeds — those are
     re-enqueued with exponential backoff. Returns records delivered."""
     delivered = 0
+    lock = moto_put_lock(getattr(getattr(kin, "meta", None), "endpoint_url", None))
     for i in range(0, len(records), 500):
         chunk = records[i : i + 500]
         attempt = 0
         while chunk:
-            resp = kin.put_records(StreamName=stream, Records=chunk)
+            with lock:
+                resp = kin.put_records(StreamName=stream, Records=chunk)
             failed = resp.get("FailedRecordCount", 0)
             if not failed:
                 delivered += len(chunk)

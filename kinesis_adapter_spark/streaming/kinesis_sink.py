@@ -53,10 +53,28 @@ class KinesisForeachBatchSink:
         )
 
         def write_partition(rows):
+            import contextlib
             import json as _json
             import time as _time
 
             import boto3 as _boto3
+
+            @contextlib.contextmanager
+            def put_guard():
+                # moto's in-memory Kinesis loses records under
+                # concurrent puts; serialize against the LOCAL emulator
+                # only (real Kinesis runs lock-free — see aws.moto_put_lock).
+                if endpoint and "127.0.0.1" in endpoint:
+                    import fcntl
+
+                    with open("/tmp/kas_moto_put.lock", "w") as fh:
+                        fcntl.flock(fh, fcntl.LOCK_EX)
+                        try:
+                            yield
+                        finally:
+                            fcntl.flock(fh, fcntl.LOCK_UN)
+                else:
+                    yield
 
             kin = _boto3.client("kinesis", endpoint_url=endpoint, **aws_kw)
             recs = []
@@ -68,7 +86,8 @@ class KinesisForeachBatchSink:
                 chunk = recs[i : i + 500]
                 attempt = 0
                 while chunk:
-                    resp = kin.put_records(StreamName=stream, Records=chunk)
+                    with put_guard():
+                        resp = kin.put_records(StreamName=stream, Records=chunk)
                     if not resp.get("FailedRecordCount"):
                         break
                     chunk = [

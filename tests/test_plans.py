@@ -74,6 +74,30 @@ def test_hot_paths_stay_in_codegen(spark):
         assert re.search(r"\*\(\d+\)", plan), key
 
 
+def test_bucketed_join_has_no_shuffle_exchange(spark):
+    """Bucketed co-located join: the query-time plan must contain no
+    shuffle exchange — the shuffle was paid once at table-write time.
+    Checked both with broadcast available (BHJ, zero exchanges) and
+    with broadcast disabled (bucket-to-bucket sort-merge join)."""
+    plan = plan_of(spark, "join_bucket_colocated", executed=True)
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "join_bucket_colocated", executed=True)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_agg_fans_out_then_merges(spark):
+    """The salted aggregation must show two aggregate pairs (partial
+    over (key, salt), final over key) — the skew-beating shape."""
+    plan = plan_of(spark, "agg_salted_skew")
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
+
+
 def test_partial_aggregation_before_shuffle(spark):
     """groupBy plans must contain a partial HashAggregate before the
     exchange — at 100 TB the shuffle carries per-group partials, not

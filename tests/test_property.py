@@ -1,0 +1,96 @@
+"""Property-based cross-engine checks (SURVEY.md §5.5): hypothesis
+generates random predicate/aggregation shapes; the SAME SQL text runs
+through Spark (`F.expr` over the DataFrame) and DuckDB, and results
+must agree exactly. This fuzzes the expression-semantics surface the
+hand-written keys can't enumerate (operator precedence, null
+propagation, numeric comparison edges).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from tests.oracle import SF_FAST, duck_connect
+
+_leaf = st.one_of(
+    st.tuples(
+        st.just("o_totalprice"),
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.floats(min_value=1000, max_value=500000, allow_nan=False).map(
+            lambda x: f"{x:.2f}"
+        ),
+    ).map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    st.tuples(st.integers(2, 7), st.integers(0, 6)).map(
+        lambda t: f"(o_custkey % {t[0]} = {t[1] % t[0]})"
+    ),
+    st.sampled_from(["O", "F", "P"]).map(lambda s: f"(o_orderstatus = '{s}')"),
+    st.integers(1, 11).map(lambda m: f"(month(o_orderdate) = {m})"),
+)
+
+
+@st.composite
+def predicates(draw):
+    n = draw(st.integers(1, 3))
+    parts = [draw(_leaf) for _ in range(n)]
+    expr = parts[0]
+    for p in parts[1:]:
+        op = draw(st.sampled_from(["AND", "OR"]))
+        neg = draw(st.booleans())
+        expr = f"({expr} {op} {'NOT ' if neg else ''}{p})"
+    return expr
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connect(SF_FAST)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_FAST}/orders.parquet")
+
+
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(pred=predicates())
+def test_random_filters_agree(spark, duck, orders, pred):
+    n_spark = orders.filter(F.expr(pred)).count()
+    n_duck = duck.execute(f"SELECT COUNT(*) FROM orders WHERE {pred}").fetchone()[0]
+    assert n_spark == n_duck, pred
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    pred=predicates(),
+    key=st.sampled_from(["o_orderstatus", "o_custkey % 10", "year(o_orderdate)"]),
+)
+def test_random_grouped_aggregates_agree(spark, duck, orders, pred, key):
+    sql = (
+        f"SELECT {key} AS k, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s "
+        f"FROM orders WHERE {pred} GROUP BY {key}"
+    )
+    got = {
+        tuple(r)
+        for r in orders.filter(F.expr(pred))
+        .groupBy(F.expr(key).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        )
+        .collect()
+    }
+    want = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == want, sql
