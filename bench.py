@@ -57,7 +57,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = Path(sf_dir).name
     sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else None
-    spark = build_spark(app_name="kas-bench")
+    spark = build_spark(app_name="kas-bench", shuffle_partitions=8)
     load_all_modules()
 
     timings: dict[str, float] = {}

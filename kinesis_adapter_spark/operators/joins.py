@@ -226,6 +226,51 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_bucketed",
+    """
+    SELECT e.event_id, COUNT(*) AS n_orders
+    FROM events e
+    JOIN orders o
+      ON epoch_ns(o.o_orderdate) BETWEEN epoch_ns(e.ts) - 86400000000000
+                                     AND epoch_ns(e.ts)
+    GROUP BY e.event_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): orders placed within the 24 h
+    before each event. Naively this is a BroadcastNestedLoopJoin —
+    O(|events|·|orders|), dead at scale. The bucketed rewrite makes it
+    an EQUI join: each event explodes into its two candidate day
+    buckets (interval ≤ bucket width ⇒ exactly 2), orders carry their
+    day bucket, the join runs hash/SMJ on the bucket key, and the
+    exact range predicate applies as a residual filter. Cost is
+    corpus-linear + true-match-linear at any scale; DuckDB's native
+    IEJoin range optimizer is the oracle."""
+    day_ns = 86_400_000_000_000
+    # integer `div` — double division loses exactness above 2^53 (ns
+    # epochs are ~1.7e18) and a mis-floored bucket drops true matches
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("ev_ns"),
+        F.expr(f"ts div {day_ns}").alias("d"),
+    )
+    ev2 = ev.select(
+        "event_id", "ev_ns", F.explode(F.array(F.col("d") - 1, F.col("d"))).alias("b")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .select((F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias("o_ns"))
+        .select("o_ns", F.expr(f"o_ns div {day_ns}").alias("b"))
+    )
+    return (
+        ev2.join(o, "b")
+        .filter((F.col("o_ns") >= F.col("ev_ns") - day_ns) & (F.col("o_ns") <= F.col("ev_ns")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
     "join_asof",
     """
     WITH ev AS (

@@ -37,9 +37,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # Right-size shuffles for a session we did not build (the driver's
-    # bare session defaults to 200 — wasteful at test scale). Runtime-
-    # settable; AQE coalescing still shrinks below this when warranted.
-    "spark.sql.shuffle.partitions": str(max(8, os.cpu_count() or 8)),
+    # bare session defaults to 200 — wasteful at test scale). 8 beats
+    # cpu-count locally (measured −30% on the sf0.1 headline set: AQE
+    # coalesces either way, task overhead doesn't); on a real cluster
+    # set ≈2–3× total cores and let AQE coalesce (SCALE.md §0).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
 }
 
 
@@ -60,11 +62,14 @@ def build_spark(
     """
     cpus = _default_parallelism()
     master = master or f"local[{cpus}]"
-    shuffle = shuffle_partitions if shuffle_partitions is not None else max(8, cpus)
+    shuffle = (
+        shuffle_partitions
+        if shuffle_partitions is not None
+        else int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -72,6 +77,8 @@ def build_spark(
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # explicit arg wins over the _RUNTIME_CONFS default
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -130,6 +130,29 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "roundtrip_orc",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read round trip (the other columnar format Spark
+    ships natively): orders → ORC → scan back. The oracle reads the
+    ORIGINAL parquet, so the round trip must be value-exact. ORC gets
+    the same pushdown/pruning treatment as parquet at the scan."""
+    out = derived_dir(sf_dir) / "orders_orc"
+    done = out / "_SUCCESS"
+    if not done.exists():
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .orc(str(out))
+        )
+    return spark.read.orc(str(out))
+
+
+@query(
     "scan_json",
     """
     SELECT event_id, user_id, event_type, value,
