@@ -123,7 +123,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT media_id, media_type, gt_n_bytes AS n_bytes,
            gt_byte_mean AS byte_mean, gt_sha256_16 AS sha256_16
-    FROM read_parquet('/tmp/kas_derived/sf0.01/media.parquet')
+    FROM read_parquet('/tmp/kas_derived/v1/sf0.01/media.parquet')
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +167,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(gt_n_bytes) AS BIGINT) AS total_bytes,
            CAST(MAX(width) AS INT) AS max_width,
            CAST(MAX(n_frames) AS INT) AS max_frames
-    FROM read_parquet('/tmp/kas_derived/sf0.01/media.parquet')
+    FROM read_parquet('/tmp/kas_derived/v1/sf0.01/media.parquet')
     GROUP BY media_type
     """,
 )
@@ -193,7 +193,7 @@ def mm_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     """
     SELECT media_id, CAST(f.frame_id AS BIGINT) AS frame_id
-    FROM read_parquet('/tmp/kas_derived/sf0.01/media.parquet'),
+    FROM read_parquet('/tmp/kas_derived/v1/sf0.01/media.parquet'),
          LATERAL (SELECT unnest(range(0, CAST(n_frames AS BIGINT), CAST(fps AS BIGINT)))
                   AS frame_id) f
     WHERE media_type = 'video'

@@ -23,7 +23,11 @@ from kinesis_adapter_spark.catalog import load
 from kinesis_adapter_spark.plans.registry import query
 from kinesis_adapter_spark.sources import aws
 
-DERIVED_ROOT = Path("/tmp/kas_derived")
+# Bump the version when any derived-fixture FORMAT changes: staged
+# fixtures are cached by existence checks, so a format change without a
+# new directory would silently serve stale data to later runs.
+DERIVED_VERSION = "v1"
+DERIVED_ROOT = Path("/tmp/kas_derived") / DERIVED_VERSION
 
 
 def derived_dir(sf_dir: str) -> Path:

@@ -21,6 +21,13 @@ Windowed keys run in "complete"/"update" output mode into a memory
 sink — fine here because window-state cardinality is bounded; at
 100 TB use append mode + watermark expiry and a real sink, with
 RocksDB state store and watermark TTL bounding state (SURVEY.md §7.4).
+
+Arbitrary state uses applyInPandasWithState; the newer Spark 4.x
+transformWithStateInPandas API is NOT exposed here because its state
+server requires google.protobuf, which this container lacks (verified:
+the TWS driver worker crashes on `from google.protobuf import
+descriptor`). Swap stream_stateful_count to a StatefulProcessor when
+running where protobuf is available.
 """
 
 from __future__ import annotations
