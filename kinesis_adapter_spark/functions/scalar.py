@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.operators.aggregates import AGG_SUM_GROUP_ORACLE
 from kinesis_adapter_spark.plans.registry import query
 
 
@@ -380,3 +381,47 @@ def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pw.word").alias("word"),
         F.length(F.col("pw.word")).alias("word_len"),
     ).filter(F.col("pos") < 5)
+
+
+@query(
+    "fn_bitwise",
+    """
+    SELECT event_id,
+           event_id & 255                    AS low_byte,
+           event_id | 4096                   AS with_flag,
+           xor(event_id, 65535)              AS toggled,
+           event_id << 2                     AS shl2,
+           event_id >> 3                     AS shr3,
+           CAST(~event_id AS BIGINT)         AS inverted
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (and/or/xor/shifts/not) — the workhorse ops for
+    flag columns, bucket assignment, and bloom/bitset maintenance; all
+    JVM-codegen'd long arithmetic."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.lit(65535)).alias("toggled"),
+        F.shiftleft(eid, 2).alias("shl2"),
+        F.shiftright(eid, 3).alias("shr3"),
+        F.bitwise_not(eid).alias("inverted"),
+    )
+
+
+@query(
+    "sql_surface_q1",
+    AGG_SUM_GROUP_ORACLE,
+)
+def sql_surface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same flagship pricing summary expressed through the ENGINE'S
+    SQL entry point (temp views + spark.sql) instead of the DataFrame
+    API: identical ANSI SQL text runs on Spark and DuckDB, proving the
+    two surfaces are interchangeable (they meet at the same Catalyst
+    plan from the analyzer down)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(AGG_SUM_GROUP_ORACLE)
