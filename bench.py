@@ -40,6 +40,7 @@ EXTRAS = {
     "tfidf": "tfidf_topterms",
     "sessionize": "sessionize_gap",
     "join_asof": "join_asof",
+    "stream_file_pipeline": "stream_throughput_file",
 }
 
 

@@ -368,6 +368,38 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_throughput_file",
+    """
+    SELECT COUNT(*) AS n_rows, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def stream_throughput_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-engine throughput path: NDJSON backlog → schema'd
+    decode → transform → parquet sink in ONE availableNow batch (no
+    pacing, no emulator in the loop) — this times Spark's streaming
+    machinery itself and is the bench's streaming metric. The oracle
+    checks the pipeline is lossless."""
+    src = _events_stream(spark, sf_dir)  # no maxFilesPerTrigger: one batch
+    work = tempfile.mkdtemp(prefix="kas_tp_")
+    out = f"{work}/out"
+    q = (
+        src.filter(F.col("event_type") != "error")
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 @query("stream_rate_source")  # T3: wall-clock-timed source, counts only
 def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic load source (rate-micro-batch): fixed
