@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.catalog import load
@@ -201,8 +201,6 @@ def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep job; at 100 TB the fingerprint dedup shuffles 16-byte md5
     keys (never text bodies) and the final agg is map-side combined."""
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
-    from pyspark.sql import Window
-
     scored = d.select(
         "doc_id",
         "lang",

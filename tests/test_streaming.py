@@ -182,6 +182,47 @@ def test_sink_retry_on_partial_failure(monkeypatch):
     assert calls[0] == 500 and calls[1] == 250 and calls[2] == 100  # chunking + retry
 
 
+def test_windowed_state_survives_restart(spark, tmp_path):
+    """Stateful windowed aggregation recovers its StateStore across
+    restarts: three availableNow runs over a growing backlog (same
+    checkpoint) must produce the same per-window counts as one batch
+    pass over all the data."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withWatermark("ts_iso", "5 minutes")
+            .groupBy(F.window("ts_iso", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # hour-0 spread over two files in DIFFERENT runs: the second run
+    # must merge into hour-0's restored state, not restart the count.
+    _write_ndjson(src / "a.json", [_event(1, "2024-01-01T00:10:00", value=2.0)])
+    run_once()
+    _write_ndjson(src / "b.json", [_event(2, "2024-01-01T00:20:00", value=3.0)])
+    run_once()
+    _write_ndjson(src / "c.json", [_event(3, "2024-01-01T09:00:00", value=1.0)])
+    run_once()  # watermark passes hour 0 → it closes with the MERGED state
+    got = {
+        r["w"]["start"].strftime("%H"): (r["n"], r["sv"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["00"] == (2, 5.0), got
+
+
 def test_session_window_equals_batch_sessionization(spark):
     """The native session_window streaming op and the batch window
     formulation must produce identical session aggregates."""
