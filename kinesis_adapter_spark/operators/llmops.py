@@ -247,6 +247,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = minh.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
+    # NOTE: the self-join recomputes the shingle→minhash lineage for
+    # both sides. Measured trade-off at sf0.1: materializing the
+    # signature table first (write+read parquet) costs MORE than the
+    # recompute at this scale; at 100 TB the balance flips and every
+    # real LSH pipeline writes the signature table once (SCALE.md §5).
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "sig"])
