@@ -380,3 +380,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
     )
+
+
+@query("agg_approx_percentile")  # T3: sketch-based; pytest bounds error vs exact
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch approximate p50/p90/p99 of order totals per
+    status — the mergeable single-pass companion to the exact
+    percentile key (exact percentiles need a full sort per group; the
+    sketch is what survives 100 TB). Relative error bounded in pytest
+    against agg_percentile_exact."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50"),
+            F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90"),
+            F.approx_percentile("o_totalprice", 0.99, 10000).alias("p99"),
+        )
+    )

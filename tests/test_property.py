@@ -33,6 +33,14 @@ _leaf = st.one_of(
     ),
     st.sampled_from(["O", "F", "P"]).map(lambda s: f"(o_orderstatus = '{s}')"),
     st.integers(1, 11).map(lambda m: f"(month(o_orderdate) = {m})"),
+    # three-valued logic: nullif injects NULLs that must propagate
+    # identically through comparisons and boolean operators
+    st.sampled_from(["O", "F"]).map(
+        lambda s: f"(nullif(o_orderstatus, '{s}') = 'P')"
+    ),
+    st.sampled_from(["IS NULL", "IS NOT NULL"]).map(
+        lambda op: f"(nullif(o_orderstatus, 'O') {op})"
+    ),
 )
 
 

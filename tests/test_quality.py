@@ -29,6 +29,31 @@ def test_approx_distinct_within_tolerance(spark):
         assert abs(approx[k] - exact[k]) / exact[k] <= 0.05, (k, approx[k], exact[k])
 
 
+def test_approx_percentile_within_tolerance(spark):
+    """Sketch p50/p90/p99 must sit within 2% relative error of exact
+    quantiles (events-based exact key covers a different column, so
+    compute the exact orders quantiles inline)."""
+    import duckdb
+
+    approx = {
+        r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["agg_approx_percentile"](spark, SF_TEST).collect()
+    }
+    con = duckdb.connect()
+    exact = {
+        s: (p50, p90, p99)
+        for s, p50, p90, p99 in con.execute(
+            "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5),"
+            " quantile_cont(o_totalprice, 0.9), quantile_cont(o_totalprice, 0.99)"
+            f" FROM read_parquet('{SF_TEST}/orders.parquet') GROUP BY o_orderstatus"
+        ).fetchall()
+    }
+    assert approx.keys() == exact.keys()
+    for s in exact:
+        for a, e in zip(approx[s], exact[s]):
+            assert abs(a - e) / e <= 0.02, (s, a, e)
+
+
 def test_minhash_recall_vs_exact(spark):
     """MinHash+LSH (8×4 bands) must recover ≥90% of the true ≥0.6-
     Jaccard pairs and report the identical exact-verified scores."""
@@ -65,10 +90,13 @@ def test_simhash_finds_mutated_neardups(spark):
 
 
 def test_ann_ivf_recall_vs_brute_force(spark):
+    """nprobe=4 of 10 Voronoi cells currently recovers 7/10 exact
+    neighbors on this corpus (random 64-d vectors are a worst case for
+    coarse quantization — real embedding corpora cluster far better)."""
     exact = [r["vec_id"] for r in QUERIES["sim_topk"](spark, SF_TEST).collect()]
     approx = [r["vec_id"] for r in QUERIES["ann_ivf_topk"](spark, SF_TEST).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
-    assert recall >= 0.5, f"IVF recall@10 = {recall}"
+    assert recall >= 0.7, f"IVF recall@10 = {recall}"
 
 
 def test_embedding_cosine_blocking_agrees_at_high_threshold(spark):
