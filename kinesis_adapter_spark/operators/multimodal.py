@@ -214,6 +214,49 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_multimodal_curation",
+    """
+    SELECT d.lang, m.media_type,
+           COUNT(*) AS n_docs,
+           CAST(SUM(m.gt_n_bytes) AS BIGINT) AS total_media_bytes,
+           ROUND(AVG(sqrt(list_aggregate(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)
+             AS avg_emb_norm
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    JOIN read_parquet('/tmp/kas_derived/v1/sf0.01/media.parquet') m
+      ON d.doc_id = m.media_id
+    WHERE d.n_chars >= 100
+    GROUP BY d.lang, m.media_type
+    """,
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality curation composite: text ⋈ vector ⋈ binary media
+    on the shared id, quality filter on text length, per (lang,
+    media_type) accounting of corpus size in bytes and embedding norms
+    — the shape of a real multimodal training-set audit, in ONE plan
+    (both joins broadcast the bounded side at this sf; at 100 TB all
+    three tables co-bucket on the id and the joins are exchange-free)."""
+    from kinesis_adapter_spark.catalog import load as _load
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    e = _load(spark, sf_dir, "embeddings")
+    m = _media(spark, sf_dir)
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda s, x: s + x))
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .join(m, d.doc_id == m.media_id)
+        .groupBy("lang", "media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("payload")).alias("total_media_bytes"),
+            F.round(F.avg(norm), 6).alias("avg_emb_norm"),
+        )
+    )
+
+
 @query("mm_resize_stub")  # T3: stubbed decoder — shape/determinism in pytest
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image 'resize' with the decode step STUBBED: a real deployment
