@@ -115,6 +115,101 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style local supplier volume: five joins deep
+    (region→nation gates customers; suppliers must share the
+    customer's nation). Plan shape at any scale: the dimension chain
+    region→nation (≤25 rows) broadcasts, supplier broadcasts, and the
+    only shuffles are the two fact joins on their keys — Catalyst
+    orders the broadcasts below the fact joins so each fact row is
+    filtered as early as possible."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(total_qty, 2) AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume orders: aggregate-then-join — the
+    HAVING subquery shrinks lineitem to the rare big orders BEFORE the
+    joins, so the joins touch a tiny filtered set (the anti-pattern is
+    join-then-aggregate, which drags every lineitem row through both
+    joins). Top-20 is TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("tq", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
     "agg_multi_stats",
     """
     SELECT
