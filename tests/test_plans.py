@@ -91,6 +91,23 @@ def test_bucketed_join_has_no_shuffle_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_partition_pruning_on_partitioned_layout(spark):
+    """A filter on the partition column of a partitionBy-written layout
+    must become a PartitionFilter (directories skipped at planning
+    time), not a post-scan row filter — at 100 TB this is the
+    difference between listing one directory and scanning the lake."""
+    from kinesis_adapter_spark.plans.registry import QUERIES as Q
+
+    Q["sink_parquet_partitioned"](spark, SF_TEST).collect()  # stage layout
+    from kinesis_adapter_spark.sources.scans import derived_dir
+
+    path = str(derived_dir(SF_TEST) / "docs_by_lang.parquet")
+    df = spark.read.parquet(path).filter("lang = 'en'").select("doc_id", "n_chars")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]
+
+
 def test_salted_agg_fans_out_then_merges(spark):
     """The salted aggregation must show two aggregate pairs (partial
     over (key, salt), final over key) — the skew-beating shape."""
