@@ -1,0 +1,207 @@
+"""Training-data curation operators: chunking, sequence packing, and
+benchmark-contamination screening (SURVEY.md §2.1-J north-star set).
+
+These are the steps between "raw deduped corpus" and "batches a
+trainer can consume". Design rules match llmops.py: DataFrame-native,
+shuffle keys are small (doc_id/lang/shingle hashes), and the only
+Python is the genuinely sequential greedy packer — an Arrow-batched
+``applyInPandas`` whose groups (languages) parallelize across
+executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+CHUNK = 200  # chars per chunk
+STRIDE = 150  # chunk start interval → 50-char overlap
+BUDGET = 512  # tokens per packed sequence
+
+
+@query(
+    "doc_chunk_overlap",
+    f"""
+    SELECT doc_id,
+           CAST((i - 1) / {STRIDE} AS BIGINT) AS chunk_idx,
+           substring(text, i, {CHUNK}) AS chunk_text,
+           length(substring(text, i, {CHUNK})) AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, GREATEST(length(text), 1), {STRIDE})) AS i
+      FROM documents
+    )
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (RAG/embedding prep): 200-char
+    windows every 150 chars, so consecutive chunks share 50 chars.
+
+    One generate-positions → explode → substring pass, fully inside
+    codegen; no UDF, no per-doc Python. The explode multiplies rows by
+    ~n_chars/stride, but each output row carries only (doc_id, short
+    string) — at 100 TB the chunker is map-only (zero shuffle), so it
+    scales linearly and pipelines straight into the embedding stage."""
+    d = load(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(STRIDE)
+            )
+        ).alias("i"),
+        "text",
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            ((F.col("i") - 1) / STRIDE).cast("long").alias("chunk_idx"),
+            F.substring(F.col("text"), F.col("i"), F.lit(CHUNK)).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "pack_sequences_window",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, lang, len(str_split(text, ' ')) AS tokens FROM documents
+    )
+    SELECT doc_id, lang, CAST(tokens AS BIGINT) AS tokens,
+           CAST(FLOOR(
+             (SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - tokens) / {BUDGET}.0) AS BIGINT) AS pack_id
+    FROM toked
+    ORDER BY lang, doc_id
+    """,
+)
+def pack_sequences_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: within each language, docs in
+    doc_id order are laid head-to-tail and cut every BUDGET tokens;
+    pack_id = floor(preceding-token-count / BUDGET). This is the
+    packing mode used when the trainer allows documents to straddle
+    sequence boundaries — and unlike bin-packing it is a pure window
+    cumsum, so it stays declarative: one shuffle on lang, codegen'd
+    running sum, no Python. The window partitions by lang, so at
+    100 TB skewed languages need a composite partition key
+    (lang, doc_id-range) — same salting pattern as agg_salted_skew."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", toks.alias("tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor((F.sum("tokens").over(w) - F.col("tokens")) / float(BUDGET)),
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query("pack_sequences_greedy")  # T3: greedy reset is sequential — invariants in pytest
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split bin packing: docs never straddle packs; a new
+    pack opens when the next doc would overflow BUDGET (oversized docs
+    get a pack of their own). The greedy reset makes each group's scan
+    inherently sequential, so this is the one curation op in Python:
+    ``applyInPandas`` over lang groups — Arrow-batched, one pass per
+    group, parallel ACROSS groups. At 100 TB the unit of sequential
+    work must be bounded: pre-split each language on doc_id ranges and
+    pack within ranges (pack ids offset by range), trading ≤1 ragged
+    pack per boundary for full parallelism."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    toked = d.select("doc_id", "lang", toks.alias("tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids, pack_id, cum = [], 0, 0
+        for t in pdf["tokens"]:
+            if cum > 0 and cum + t > BUDGET:
+                pack_id += 1
+                cum = 0
+            cum += t
+            ids.append(pack_id)
+        pdf["pack_id"] = ids
+        return pdf
+
+    return toked.groupBy("lang").applyInPandas(
+        pack, "doc_id long, lang string, tokens long, pack_id long"
+    )
+
+
+# 3-grams: real contamination screens use 8–13-gram overlap; the
+# fixture vocabulary is tiny (500 docs, ~60-token texts), so 3-grams
+# are what yields a non-trivial hit set (171 docs at sf0.01). The
+# operator shape is n-independent.
+_CONTAM_N = 3
+BENCH_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" split
+
+
+@query(
+    "contamination_ngram",
+    f"""
+    WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
+        FROM tk
+      )
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0)
+    SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shared
+    FROM sh
+    WHERE doc_id % {BENCH_MOD} != 0 AND s IN (SELECT s FROM bench)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: training docs sharing any
+    {n}-gram with the held-out split (doc_id % 97 == 0 here), with the
+    count of distinct shared grams as the contamination score.
+
+    The benchmark gram set is DISTINCT'd then broadcast — benchmarks
+    are small by construction, so even at 100 TB of training text this
+    is a broadcast semi-join per gram (map-side, no fact shuffle); the
+    only shuffle is the per-doc count-distinct on the surviving
+    (rare) hits. Same inverted-index idea as dedup_near_ngram
+    (llmops.py) with one side pinned tiny."""
+    d = load(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            )
+        ).alias("s"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .orderBy("doc_id")
+    )

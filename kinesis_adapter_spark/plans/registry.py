@@ -52,6 +52,8 @@ def load_all_modules() -> None:
     # can be caught/isolated by callers that only need the core.
     from kinesis_adapter_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
+        curation,
         embeddings_ops,
         joins,
         llmops,

@@ -138,3 +138,39 @@ def test_pandas_cosine_matches_hof_cosine(spark):
         .collect()[0][0]
     )
     assert joined <= 1e-9
+
+
+def test_greedy_packing_invariants(spark):
+    """The greedy packer has no SQL oracle (sequential reset), so pin
+    its contract directly: every doc packed exactly once; no pack
+    exceeds the budget unless it holds a single oversized doc; pack
+    ids per language are contiguous from 0; and packing is greedy —
+    the first doc of pack k+1 would NOT have fit into pack k."""
+    from kinesis_adapter_spark.operators.curation import BUDGET
+
+    rows = QUERIES["pack_sequences_greedy"](spark, SF_TEST).collect()
+    docs = QUERIES["pack_sequences_window"](spark, SF_TEST).collect()
+    assert len(rows) == len(docs)  # every doc exactly once
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        packs: dict[int, int] = {}
+        for r in rs:
+            packs[r["pack_id"]] = packs.get(r["pack_id"], 0) + r["tokens"]
+        assert sorted(packs) == list(range(len(packs))), lang  # contiguous
+        counts: dict[int, int] = {}
+        for r in rs:
+            counts[r["pack_id"]] = counts.get(r["pack_id"], 0) + 1
+        for pid, total in packs.items():
+            assert total <= BUDGET or counts[pid] == 1, (lang, pid, total)
+        # greedy: first doc of each later pack overflows the previous
+        prev_totals = packs
+        for i, r in enumerate(rs[1:], 1):
+            if r["pack_id"] != rs[i - 1]["pack_id"]:
+                assert prev_totals[rs[i - 1]["pack_id"]] + r["tokens"] > BUDGET, (
+                    lang, r["doc_id"],
+                )
