@@ -321,3 +321,47 @@ def multimodal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "lang", "label", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    WITH scaled AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(scale, 6) AS scale,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) / scale * 127)
+                                    AS INTEGER)) AS q
+    FROM scaled
+    WHERE scale > 0
+    ORDER BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (absmax scaling): the
+    standard 4× shrink before shipping embeddings to an ANN index or
+    a GPU. Pure HOF transform — scale = max|x|, q = round(x/scale·127)
+    — no UDF, map-only, zero shuffle at any scale. All arithmetic is
+    explicitly cast float32→double BEFORE dividing so Spark and the
+    oracle round the same IEEE values (float-precision division
+    diverges in the last ulp). Zero vectors (scale=0) are excluded
+    rather than divided by."""
+    e = load(spark, sf_dir, "embeddings")
+    scaled = e.withColumn(
+        "scale",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+    ).filter(F.col("scale") > 0)
+    return scaled.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("scale") * 127).cast("int"),
+        ).alias("q"),
+    ).orderBy("vec_id")

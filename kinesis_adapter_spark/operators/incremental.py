@@ -1,0 +1,148 @@
+"""Incremental-maintenance operators: MERGE/upsert and SCD2 history.
+
+A 100 TB lake is never rebuilt from scratch — it is maintained by
+upserts (late rows, corrections, new arrivals) and by history tables
+that track attribute changes over time. Spark has no MERGE INTO
+against raw parquet (that's a table-format feature), so the engine
+expresses merge as its relational decomposition — anti-join + union —
+which is exactly what Delta/Iceberg execute underneath; the streaming
+twin (stream_foreachbatch_upsert) applies the same plan per
+micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+# Deterministic change-set derived from orders itself (TESTDATA.md has
+# no CDC feed): every 10th order is UPDATEd (+100.00, status 'U' —
+# addition, not *1.1: scaling 2-decimal prices creates half-cent
+# values whose ROUND differs between Spark's BigDecimal HALF_UP and
+# DuckDB's float rounding), every 13th is re-INSERTed under key+10M
+# (status 'N').
+_UPDATES_SQL = """
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return upd.unionByName(ins)
+
+
+@query(
+    "merge_upsert",
+    f"""
+    WITH upd AS ({_UPDATES_SQL})
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO decomposed: target rows whose key appears in the
+    change-set are replaced, the rest survive, inserts append —
+    i.e. ``changes ∪ (target ⟕anti changes)``.
+
+    The anti join carries only the change-set's KEY column, so the
+    shuffle weight is |changes| keys vs the full target: with a
+    day's changes ≪ the lake, the key set broadcasts and MERGE is a
+    single map-side pass over the target — the same physical plan
+    Delta's low-shuffle merge produces. Rewrite amplification (which
+    FILES get rewritten) is the table format's concern, not the
+    query plan's."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = _updates(spark, sf_dir)
+    kept = o.join(F.broadcast(upd.select("o_orderkey")), "o_orderkey", "left_anti")
+    return upd.unionByName(kept).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+      WHERE user_id < 50
+    ),
+    changes AS (
+      SELECT * FROM ordered WHERE prev_type IS NULL OR prev_type != event_type
+    )
+    SELECT user_id, event_type,
+           ts_ns AS valid_from,
+           lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+             AS valid_to,
+           lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL
+             AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse an event log into validity
+    intervals per user — a row per ATTRIBUTE CHANGE carrying
+    [valid_from, valid_to) and an is_current flag on the open interval.
+
+    Two stacked windows over the same (user_id → ts) partitioning:
+    lag() marks changes, lead() over the surviving rows closes the
+    intervals — Catalyst plans both in ONE shuffle + sort since the
+    partitioning and ordering agree (plan-checked in tests). The
+    user_id < 50 gate keeps the fixture small; at 100 TB the same two
+    windows run per user shard unchanged.
+
+    ts is int64 ns on the Spark side (windows.py): truncated to µs to
+    match DuckDB's µs-precision read of parquet NANOS, emitted as
+    epoch-ns longs on both engines."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .withColumn("ts_ns", F.col("ts") - F.col("ts") % 1000)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    return (
+        changes.withColumn("valid_to", F.lead("ts_ns").over(w))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_ns").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

@@ -54,6 +54,7 @@ def load_all_modules() -> None:
         aggregates,
         analytics,
         curation,
+        incremental,
         embeddings_ops,
         joins,
         llmops,

@@ -487,3 +487,74 @@ def stream_to_kinesis_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         payloads, "event_id bigint, event_type string, user_id bigint"
     ).distinct()
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    """
+    SELECT CAST(1 AS BIGINT) AS k, 'a3' AS v, CAST(3 AS BIGINT) AS seq
+    UNION ALL SELECT 2, 'b2', 2
+    UNION ALL SELECT 3, 'c',  1
+    UNION ALL SELECT 4, 'd3', 3
+    UNION ALL SELECT 5, 'e',  3
+    ORDER BY k
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: a CDC feed applied to a keyed parquet state via
+    ``foreachBatch`` — the standard incremental-pipeline sink when the
+    target is a table, not an append log. Each micro-batch runs the
+    same anti-join+union merge as the batch ``merge_upsert`` key,
+    keeping the max-seq row per key, and writes a NEW state version
+    (never overwrite-in-place of a path being read — that loses the
+    state on failure mid-write; table formats do this swap
+    transactionally). Max-seq conflict resolution makes the final
+    state independent of batch arrival order, so the oracle can pin it
+    exactly. At 100 TB the per-batch merge cost is |batch| broadcast
+    keys against the state partitions the keys land in."""
+    from pyspark.sql import Window
+
+    work = Path(tempfile.mkdtemp(prefix="kas_upsert_"))
+    src = work / "src"
+    src.mkdir()
+    batches = [
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+        [(2, "b2", 2), (4, "d", 2)],
+        [(1, "a3", 3), (4, "d3", 3), (5, "e", 3)],
+    ]
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps({"k": k, "v": v, "seq": s}) for k, v, s in rows)
+        )
+    versions: list[str] = []
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        merged = (
+            batch_df.unionByName(sess.read.parquet(versions[-1]))
+            if versions
+            else batch_df
+        )
+        w = Window.partitionBy("k").orderBy(F.col("seq").desc(), F.col("v"))
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        nxt = str(work / f"state_v{len(versions)}")
+        latest.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    stream = (
+        spark.readStream.schema("k bigint, v string, seq bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(versions[-1]).orderBy("k")
