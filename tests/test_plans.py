@@ -170,3 +170,16 @@ def test_q19_disjunction_still_pushes_residuals(spark):
     scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("l_quantity" in s for s in scans), scans
     assert any("p_size" in s or "p_brand" in s for s in scans), scans
+
+
+def test_scd2_stacked_windows_share_one_shuffle(spark):
+    """scd2_intervals runs lag() then lead() over the same
+    (user_id → ts) partitioning; Catalyst must satisfy both window
+    operators with a single exchange+sort — a second shuffle here
+    would double the cost of every history rebuild."""
+    plan = plan_of(spark, "scd2_intervals", executed=True)
+    # executed AQE plans append an "== Initial Plan ==" echo — count
+    # operators in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final[:3000]
+    assert final.count("Window") >= 2, final[:3000]
