@@ -41,6 +41,10 @@ EXTRAS = {
     "sessionize": "sessionize_gap",
     "join_asof": "join_asof",
     "stream_file_pipeline": "stream_throughput_file",
+    # scan-efficiency + incremental-path trackers (not in BASELINE.md)
+    "q6_pushdown": "q6_forecast_revenue",
+    "merge_upsert": "merge_upsert",
+    "doc_chunking": "doc_chunk_overlap",
 }
 
 

@@ -205,3 +205,123 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("s").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- dedup cluster resolution
+
+_CC_PAIRS_SQL = """
+  SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1 AS doc_a, doc_id + 3000000 AS doc_b
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@query(
+    "dedup_cluster_cc",
+    f"""
+    WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, MIN(v) AS cluster_id
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: pairwise near-dup matches are only
+    half the dedup story — transitive pairs (A~B, B~C) must collapse
+    into ONE cluster so "keep one doc per cluster" is well-defined.
+    Connected components by iterative min-label propagation: each node
+    takes the min label among itself and its neighbors until a fixed
+    point — the distributed-join formulation of union-find (the
+    large-star/small-star trick from the MapReduce CC literature cuts
+    the iteration count to O(log log n) at 100 TB; plain propagation
+    iterates O(diameter), which is what bounded fixtures need).
+
+    Each iteration is one self-contained join+groupBy round trip;
+    ``localCheckpoint`` truncates the lineage so iteration N's plan
+    doesn't replay iterations 1..N-1. The driver loop only counts
+    changed labels — all data movement is executor-side. The oracle is
+    DuckDB's WITH RECURSIVE reachability (min reachable node id ==
+    connected component id). Pair set: the mutated-copy edges of
+    llmops.py's near-dup fixture (every 7th doc ↔ its +2M mutation)
+    PLUS a chain d+3M — d+1 — d per seed, so the component min must
+    propagate TWO hops (single-round propagation would leave d+3M
+    labeled d+1: transitivity is genuinely tested)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    seeds = d.filter(F.col("doc_id") % 7 == 0)
+    pairs = (
+        seeds.select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 2_000_000).alias("doc_b"),
+        )
+        .unionByName(
+            seeds.select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 1).alias("doc_b"),
+            )
+        )
+        .unionByName(
+            seeds.select(
+                (F.col("doc_id") + 1).alias("doc_a"),
+                (F.col("doc_id") + 3_000_000).alias("doc_b"),
+            )
+        )
+    )
+    # Every frame in the loop carries globally unique column names —
+    # edges/labels/nbr all descend from one scan, and Spark's
+    # ambiguous-self-join check rejects joins on shared-lineage names.
+    edges = pairs.select(
+        F.col("doc_a").alias("eu"), F.col("doc_b").alias("ev")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("eu"), F.col("doc_a").alias("ev"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("eu").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    ).localCheckpoint(eager=True)
+    for _ in range(20):  # diameter bound; fixture needs 1-2 rounds
+        nbr = (
+            edges.join(labels, edges.ev == labels.node, "inner")
+            .select(F.col("eu").alias("nnode"), "label")
+            .groupBy("nnode")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.nnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        old = labels.select(
+            F.col("node").alias("onode"), F.col("label").alias("old_label")
+        )
+        changed = (
+            new_labels.join(old, new_labels.node == old.onode)
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -1,0 +1,180 @@
+"""Behavioral-analytics and data-profiling operators over the events
+log: funnel conversion, cohort retention, column profiling.
+
+These are the reference-class dashboard queries (SURVEY.md §2.0 —
+reconstructed surface) that stress ordered per-entity logic. Shared
+convention with windows.py: ``ts`` is int64 nanoseconds on the Spark
+side; every cross-engine comparison truncates to µs first because
+DuckDB reads parquet NANOS at µs precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts truncated to µs (ns DIV 1000, exact on int64 —
+    float division would lose low bits at 1.7e18 ns magnitudes)."""
+    return load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user advances a stage
+    only with an event strictly after their previous stage's first
+    event. Three stage aggregates, each a groupBy on user_id joined to
+    the previous stage — every join is on the same key, so Catalyst
+    reuses one partitioning across all stages (no re-shuffle between
+    stages; the whole funnel is one shuffle of the filtered event log).
+    Strict '>' compares µs-truncated values on both engines."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH evw AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS cwk FROM evw GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, wk FROM evw)
+    SELECT cohort.cwk AS cohort_week,
+           CAST((epoch(act.wk) - epoch(cohort.cwk)) / 604800 AS BIGINT)
+             AS weeks_since,
+           CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN cohort ON act.user_id = cohort.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen week
+    (cohort), counted in each later week they were active. Activity is
+    DISTINCT'd to (user, week) BEFORE the join — the join and the
+    count-distinct then touch |users|·|weeks| rows, not the raw event
+    log; at 100 TB that pre-shrink is the whole game. cohort and act
+    both hash-partition on user_id, so the join reuses one shuffle."""
+    ev = _events_us(spark, sf_dir)
+    # to_date: DuckDB's date_trunc('week') yields DATE, Spark's a
+    # timestamp — align the output type (weeks_since math stays exact)
+    wk = F.date_trunc("week", F.timestamp_micros(F.col("ts_us")))
+    evw = ev.select("user_id", wk.alias("wk"))
+    cohort = evw.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    act = evw.distinct()
+    weeks_since = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cwk")) / 604800
+    ).cast("long")
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.to_date("cwk").alias("cohort_week"), weeks_since.alias("weeks_since")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_stats", _PROFILE_ORACLE + "\nORDER BY column_name")
+def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of every orders column: null count and
+    exact distinct count, one output row per column.
+
+    Spark side is ONE aggregate pass producing all 12 metrics, then a
+    ``stack()`` unpivot to long form — versus the oracle's readable
+    6-scan UNION. At 100 TB one pass vs six over the fact table is the
+    point; swap count_distinct for approx_count_distinct when exact
+    cardinalities stop being worth their expand-shuffle."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args})"
+                " AS (column_name, n_nulls, n_distinct)"
+            )
+        )
+        .orderBy("column_name")
+    )

@@ -1,0 +1,200 @@
+"""ML-preparation operators: deterministic sampling/splits, gap-filled
+resampling, and quantile feature binning.
+
+Sampling and splitting use MD5-HEX THRESHOLDING, not rand(): bucket a
+row by a hex prefix of md5(key) and compare lexicographically. The
+assignment is then a pure function of the key — reproducible across
+runs, engines (md5 is md5 everywhere — the DuckDB oracles hash-match
+exactly), partitionings, and retries; rand(seed) is none of those
+under Spark's task-retry semantics. This is how production pipelines
+pin their train/val/test membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.plans.registry import query
+
+# Per-language keep thresholds on the first md5 hex byte: 'en' is
+# downsampled to ~20% ('33' = 51/256), the rest kept at ~50% ('80').
+# Rebalancing a skewed-language corpus is the canonical use.
+_STRAT_RATES = {"en": "33", "de": "80", "es": "80", "fr": "80", "zh": "80"}
+
+_STRAT_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _STRAT_RATES.items()
+) + " ELSE '80' END"
+
+
+@query(
+    "sample_stratified_hash",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < ({_STRAT_CASE})
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates, assignment by
+    md5-prefix threshold. The filter is a deterministic row-local
+    predicate — no shuffle, no state, survives retries and engine
+    swaps bit-for-bit (unlike sampleBy/rand). At 100 TB the predicate
+    composes with scan pushdown on lang: pruning happens before the
+    hash is even computed for excluded partitions."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.expr(_STRAT_CASE)
+    return (
+        d.filter(bucket < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dataset_split_hash",
+    """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+)
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by md5-prefix range
+    ('cc' = 204/256 ≈ 79.7%, 'e6' = 230/256 ≈ 89.8%). A document's
+    split membership is a pure function of doc_id — new data lands in
+    splits without reshuffling old members, and no split manifest
+    needs storing. Emitted as split×lang counts to double as a
+    balance audit."""
+    d = load(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "resample_1h_gapfill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             ROUND(AVG(value), 6) AS v
+      FROM events WHERE user_id < 5
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+      SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM spans
+    )
+    SELECT g.user_id, g.hr,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+    ORDER BY g.user_id, g.hr
+    """,
+)
+def resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's events onto a
+    dense hourly grid (min..max observed hour) and forward-fill gaps
+    with the last observed hourly average.
+
+    The dense grid comes from exploding a per-user timestamp sequence
+    (no driver loop, no UDF); the fill is ``last(v, ignorenulls)`` over
+    an unbounded-preceding row frame. Grid join and fill window both
+    key on user_id → one shuffle total. At 100 TB the grid explode is
+    the memory knob: a user spanning years × 1 h cells is fine; going
+    to 1 s cells means bounding the span per partition first. Hourly
+    averages are rounded BEFORE the fill so both engines propagate
+    identical values."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts_t").alias("hr"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+        .select("user_id", "hr", "v_filled")
+        .orderBy("user_id", "hr")
+    )
+
+
+@query(
+    "feature_binning_quantile",
+    """
+    WITH binned AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM binned
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def feature_binning_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) feature binning per event type with bin
+    edges — the discretization step before categorical encoders or
+    histogram-based models. ntile ties are broken by event_id so both
+    engines assign identical bins. ntile needs a per-group total
+    order (one sort per event_type partition); at 100 TB swap exact
+    ntile for approx_percentile edges computed once and a range join
+    against them — the approximate twin is agg_approx_percentile."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -215,3 +215,55 @@ def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+_SALT_J = 8
+
+
+@query(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           ROUND(SUM(e.value), 2) AS total_value,
+           MAX(dim.n_events) AS n_events
+    FROM events e JOIN dim ON e.user_id = dim.user_id
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join by salting: the fact side gets a
+    deterministic salt (event_id % J), the dim side is EXPLODED J ways
+    (one copy per salt), and the join key becomes (user_id, salt) — a
+    single hot user fans out across J reducers instead of melting one.
+    The oracle is the UNSALTED join: salting must be a pure physical
+    rewrite with identical results.
+
+    This is the complement to agg_salted_skew (skewed aggregation) and
+    to AQE's skewedJoin (which splits oversized PARTITIONS at runtime —
+    it cannot split one oversized KEY; salting can). Cost: dim
+    replicated J×, so J stays small and the technique applies when the
+    dim is too big to broadcast but far smaller than the fact."""
+    ev = load(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    fact = ev.withColumn("salt", (F.col("event_id") % _SALT_J).cast("int"))
+    dim_x = dim.withColumn(
+        "salt", F.explode(F.array([F.lit(i) for i in range(_SALT_J)]))
+    )
+    return (
+        fact.join(dim_x, ["user_id", "salt"])
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

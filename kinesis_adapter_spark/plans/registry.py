@@ -55,6 +55,8 @@ def load_all_modules() -> None:
         analytics,
         curation,
         incremental,
+        insights,
+        mlprep,
         embeddings_ops,
         joins,
         llmops,
