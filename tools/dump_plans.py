@@ -1,0 +1,97 @@
+"""Regenerate PLANS.md: formatted physical plans of flagship queries.
+
+Usage: python tools/dump_plans.py   (writes PLANS.md at the repo root)
+
+Each entry is the ``explain('formatted')`` output at sf0.01 with a
+one-line note on what the plan must show. Evidence companion to
+SCALE.md: that file claims the shapes, this one shows them.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules  # noqa: E402
+from kinesis_adapter_spark.session import build_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+# key -> what to look for in the plan
+SHOWCASE = {
+    "q6_forecast_revenue": (
+        "all predicates in PushedFilters; 4-column ReadSchema; "
+        "partial+final HashAggregate around a single-row exchange"
+    ),
+    "q3_shipping_priority": (
+        "customer broadcast under the fact join; TakeOrderedAndProject "
+        "instead of a global sort"
+    ),
+    "q18_large_orders": (
+        "aggregate-before-join: lineitem HashAggregate feeds the joins, "
+        "never the reverse"
+    ),
+    "q19_disjunctive_predicates": (
+        "CNF residuals pushed to both scans while the OR-of-ANDs stays "
+        "as the join filter"
+    ),
+    "join_bucket_colocated": (
+        "no Exchange hashpartitioning — the shuffle was paid at "
+        "bucket-write time"
+    ),
+    "agg_salted_skew": (
+        "two HashAggregate pairs: partial over (key, salt), final over key"
+    ),
+    "scd2_intervals": (
+        "both Window operators above ONE Exchange hashpartitioning"
+    ),
+    "merge_upsert": (
+        "left-anti BroadcastHashJoin carrying only change-set keys, "
+        "then a union"
+    ),
+    "contamination_ngram": (
+        "benchmark gram set behind BroadcastExchange; fact side never "
+        "shuffles before the join"
+    ),
+    "sim_topk": (
+        "BroadcastNestedLoopJoin on the 1-row query vector; "
+        "TakeOrderedAndProject top-k"
+    ),
+}
+
+
+def main() -> None:
+    load_all_modules()
+    spark = build_spark()
+    out = [
+        "# PLANS — physical plans of the flagship queries (generated)",
+        "",
+        f"Regenerate with `python tools/dump_plans.py` (sf0.01, "
+        f"local mode). Companion evidence for SCALE.md: each plan is "
+        f"annotated with the property it must exhibit.",
+        "",
+    ]
+    for key, note in SHOWCASE.items():
+        df = QUERIES[key](spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {key}")
+        out.append("")
+        out.append(f"**Must show:** {note}")
+        out.append("")
+        out.append("```")
+        out.append(buf.getvalue().rstrip())
+        out.append("```")
+        out.append("")
+    (ROOT / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote {ROOT / 'PLANS.md'} ({len(SHOWCASE)} plans)")
+
+
+if __name__ == "__main__":
+    main()
