@@ -178,3 +178,100 @@ def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "rollup_two_tier",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(date_trunc('day', hr) AS DATE) AS day,
+           CAST(SUM(n) AS BIGINT) AS n,
+           ROUND(SUM(sv), 2) AS total_value
+    FROM hourly
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+)
+def rollup_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: the daily tier
+    aggregates the HOURLY tier, not the raw events — counts and sums
+    are re-aggregable, so each coarser tier reads the finer one's
+    (tiny) output. At 100 TB the hourly tier is a maintained table fed
+    incrementally (stream_tumbling is that feeder); daily/monthly then
+    cost |hours|, not |events| — this key pins the re-aggregation
+    shape: two HashAggregate tiers with the second reading the
+    first's frame."""
+    ev = _events_us(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts_t").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "hr")).alias("day")
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sv"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "anonymize_k_suppress",
+    """
+    WITH buckets AS (
+      SELECT c_mktsegment, CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    grouped AS (
+      SELECT c_mktsegment, bal_bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM buckets GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, CAST(bal_bucket AS VARCHAR) AS bal_bucket, n
+    FROM grouped WHERE n >= 5
+    UNION ALL
+    SELECT '*' AS c_mktsegment, '*' AS bal_bucket,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n
+    FROM grouped WHERE n < 5
+    ORDER BY c_mktsegment, bal_bucket
+    """,
+)
+def anonymize_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release (k=5): quasi-identifiers (market segment,
+    $2000 balance bucket) are published only for groups of ≥ k
+    customers; smaller groups collapse into one suppressed '*' row so
+    no released row isolates fewer than k people. Generalize-then-
+    count is one aggregate; the suppression split is a filter on the
+    aggregate's output — nothing touches base rows twice. At 100 TB
+    widen buckets (coarser generalization) before raising suppression:
+    suppressed mass is lost signal, bucket width is just resolution."""
+    c = load(spark, sf_dir, "customer")
+    grouped = (
+        c.select(
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+        )
+        .groupBy("c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    released = grouped.filter(F.col("n") >= 5).select(
+        "c_mktsegment", F.col("bal_bucket").cast("string").alias("bal_bucket"), "n"
+    )
+    suppressed = (
+        grouped.filter(F.col("n") < 5)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+        .select(
+            F.lit("*").alias("c_mktsegment"),
+            F.lit("*").alias("bal_bucket"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    return released.unionByName(suppressed).orderBy("c_mktsegment", "bal_bucket")

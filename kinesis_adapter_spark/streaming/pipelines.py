@@ -558,3 +558,52 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.parquet(versions[-1]).orderBy("k")
+
+
+@query(
+    "stream_windowed_topk",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n FROM daily
+    QUALIFY row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) <= 2
+    ORDER BY day, n DESC, event_type
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items pattern: tumbling 1-day windowed counts maintained
+    INCREMENTALLY by the stream, top-2 event types per window ranked on
+    the streaming state afterward. Rank-over-window isn't expressible
+    inside a streaming agg (no ordered state across groups) — the
+    split point between "what streams" (the additive counts) and
+    "what runs on the result" (the rank) is exactly where a 100 TB
+    deployment puts it: counts in the hot path, rank on the
+    window-closed output (here: the complete-mode table; in production
+    the foreachBatch sink)."""
+    src = _events_stream(spark, sf_dir, max_files=8)
+    agg = (
+        src.withWatermark("ts_iso", "1 day")
+        .groupBy(F.window("ts_iso", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+        .orderBy("day", F.col("n").desc(), "event_type")
+    )
