@@ -493,3 +493,37 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_percentile("o_totalprice", 0.99, 10000).alias("p99"),
         )
     )
+
+
+@query(
+    "agg_decimal_exact",
+    """
+    SELECT o_orderstatus,
+           SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in DECIMAL: cast once at the scan edge, then
+    every sum is EXACT — no accumulation-order drift, no ROUND()
+    reconciliation (this key carries no rounding at all and still
+    hash-matches, which no double-summing key in this repo can do; the
+    widened sums compare equal as exact numerics). AVG stays out: its
+    quotient is engine-defined (DuckDB returns DOUBLE) — derive it
+    downstream as total/n. The cost: decimal aggregation runs outside
+    some codegen fast paths, ~2-4× slower than doubles — the standard
+    lakehouse trade is decimal for financial columns, double for
+    metrics."""
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sum(dec).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -349,3 +349,99 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("last_totalprice", ignorenulls=True).over(w).alias("last_totalprice"),
     )
     return merged.filter(F.col("is_event") == 1).drop("is_event")
+
+
+_ASOF_TOL_NS = 30 * 86400 * 1_000_000_000  # 30 days
+
+
+@query(
+    "join_asof_tolerance",
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events
+    ), ord AS (
+      SELECT o_custkey, epoch_ns(o_orderdate) AS ots, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey, epoch_ns(o_orderdate) ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN e.ts - o.ots <= {_ASOF_TOL_NS}
+                THEN o.o_orderkey END AS last_orderkey,
+           CASE WHEN e.ts - o.ots <= {_ASOF_TOL_NS}
+                THEN o.o_totalprice END AS last_totalprice
+    FROM ev e
+    ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.ots
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: the latest order at/before
+    each event, but only if it is ≤ 30 days old — older matches
+    become NULL (a stale quote/price/state is as bad as none; every
+    pandas merge_asof user knows this as ``tolerance``).
+
+    Same union+window technique as join_asof with one refinement: the
+    match's (time, key, price) ride together in ONE struct carried by
+    ``last(ignorenulls)``, so the tolerance test against the matched
+    ots needs no extra window pass. DuckDB's ASOF JOIN has no
+    tolerance argument — the oracle post-filters on the matched ots,
+    which is semantically identical."""
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    w_dedup = Window.partitionBy("key", "ots").orderBy(F.col("o_orderkey").desc())
+    ords = (
+        o.select(
+            F.col("o_custkey").alias("key"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias(
+                "ots"
+            ),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    match_t = F.struct(
+        F.col("ots").alias("mts"),
+        F.col("o_orderkey").alias("mkey"),
+        F.col("o_totalprice").alias("mprice"),
+    )
+    ord_side = ords.select(
+        "key",
+        F.col("ots").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("ts"),
+        match_t.alias("m"),
+    )
+    ev_side = ev.withColumn("ts", F.col("ts") - F.col("ts") % 1000).select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<mts:long,mkey:long,mprice:double>")
+        .alias("m"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ord_side.unionByName(ev_side).withColumn(
+        "lm", F.last("m", ignorenulls=True).over(w)
+    )
+    fresh = F.col("ts") - F.col("lm.mts") <= F.lit(_ASOF_TOL_NS)
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            "ts",
+            F.when(fresh, F.col("lm.mkey")).alias("last_orderkey"),
+            F.when(fresh, F.col("lm.mprice")).alias("last_totalprice"),
+        )
+    )

@@ -312,3 +312,133 @@ def sink_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         payloads, "event_id BIGINT, event_type STRING"
     ).distinct()
     return out
+
+
+N_BAD_LINES = 7
+
+
+def ensure_events_ndjson_dirty(sf_dir: str) -> Path:
+    """events NDJSON + one extra file of N_BAD_LINES malformed records
+    (truncated JSON, bare words, wrong-type field) — the realistic
+    state of any at-scale ingest directory."""
+    clean = ensure_events_ndjson(sf_dir)
+    out = derived_dir(sf_dir) / "events_ndjson_dirty"
+    done = out / "_SUCCESS"
+    if not done.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        for f in clean.glob("events-*.json"):
+            target = out / f.name
+            if not target.exists():
+                target.write_bytes(f.read_bytes())
+        bad = [
+            '{"event_id": 1, "user_id": ',  # truncated mid-token
+            "not json at all",
+            '{"event_id": "NaN-ish", "user_id": {}}',  # wrong nesting
+            '[1, 2, 3',  # unterminated array
+            '{"event_id":, "user_id": 2}',  # missing value
+            '{broken: true}',  # unquoted key
+            '"just a string with no object"trailing',  # trailing garbage
+        ]
+        assert len(bad) == N_BAD_LINES
+        tmp = out / "events-badlines.json.tmp"
+        tmp.write_text("\n".join(bad) + "\n")
+        tmp.rename(out / "events-badlines.json")
+        done.touch()
+    return out
+
+
+@query(
+    "scan_json_badrecords",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST({N_BAD_LINES} AS BIGINT) AS n_corrupt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def scan_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest of a dirty NDJSON directory: malformed
+    lines land in ``_corrupt_record`` instead of failing the job, and
+    the query quarantines them (count here; dead-letter path in
+    production) while the clean rows flow on. At 100 TB failing a
+    multi-hour job on one bad byte (FAILFAST) is not an option, and
+    silently dropping (DROPMALFORMED) destroys the audit trail — the
+    PERMISSIVE + quarantine split is the only scalable posture. The
+    corrupt column must be requested in the schema to materialize;
+    caching before the split avoids a double read.
+
+    Oracle: clean rows equal the events table; the corrupt count is the
+    fixture constant."""
+    path = ensure_events_ndjson_dirty(sf_dir)
+    schema = EVENTS_JSON_SCHEMA + ", _corrupt_record STRING"
+    df = spark.read.schema(schema).json(str(path)).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    return (
+        good.agg(
+            F.count(F.lit(1)).alias("n_good"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .crossJoin(bad.agg(F.count(F.lit(1)).alias("n_corrupt")))
+        .select("n_good", "n_corrupt", "n_users")
+    )
+
+
+def ensure_parquet_evolving(sf_dir: str) -> Path:
+    """Two parquet generations of the same logical table: gen1 is
+    (doc_id, lang), gen2 adds n_chars — the normal state of a lake
+    table after a schema migration."""
+    out = derived_dir(sf_dir) / "docs_evolving"
+    done = out / "_SUCCESS"
+    if not done.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        pdf = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+        pdf = pdf.sort_values("doc_id")
+        gen1 = pdf[pdf.doc_id % 2 == 0][["doc_id", "lang"]]
+        gen2 = pdf[pdf.doc_id % 2 == 1][["doc_id", "lang", "n_chars"]]
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(gen1, preserve_index=False),
+                       out / "gen1.parquet")
+        pq.write_table(pa.Table.from_pandas(gen2, preserve_index=False),
+                       out / "gen2.parquet")
+        done.touch()
+    return out
+
+
+@query(
+    "scan_parquet_evolving",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS n_with_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS sum_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def scan_parquet_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a directory holding files written before
+    and after a column was added, unified with ``mergeSchema`` — rows
+    from the old generation surface NULL for the new column instead of
+    failing the scan. The aggregate counts both populations to prove
+    the union really happened. At 100 TB mergeSchema's footer-merge
+    cost scales with FILE COUNT, not data size — production lakes pin
+    the merged schema in a metastore/table format and read with an
+    explicit schema instead; the per-file null-fill behavior pinned
+    here is identical."""
+    path = ensure_parquet_evolving(sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(str(path))
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, F.col("n_chars"))).alias(
+                "sum_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
