@@ -275,3 +275,40 @@ def anonymize_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return released.unionByName(suppressed).orderBy("c_mktsegment", "bal_bucket")
+
+
+@query(
+    "agg_linear_trend",
+    """
+    SELECT event_type,
+           ROUND(regr_slope(value, epoch_ns(ts) / 8.64e13), 6) AS slope_per_day,
+           ROUND(regr_intercept(value, epoch_ns(ts) / 8.64e13), 4) AS intercept
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (is this metric drifting?) as a
+    PURE AGGREGATE — slope = covar_pop/var_pop, intercept from the
+    means — no per-group collect, no pandas, one shuffle carrying six
+    co-moments per group. This is the formula DuckDB's regr_slope/
+    regr_intercept evaluate, so the oracle is the built-in. x is
+    epoch-DAYS (slope ≈ 0.09/day here): slope is shift-invariant but
+    NOT scale-invariant, and day-scale keeps the rounded values far
+    from the 6-dp noise floor (per-ns slopes ~1e-15 would drown).
+    Spark ns is µs-truncated first to match the oracle's x exactly."""
+    ev = _events_us(spark, sf_dir)
+    x = (F.col("ts_us") * 1000) / 8.64e13  # µs-truncated ns → days
+    y = F.col("value")
+    ev2 = ev.select("event_type", x.alias("x"), y.alias("y"))
+    slope = F.covar_pop("y", "x") / F.var_pop("x")
+    intercept = F.avg("y") - (F.covar_pop("y", "x") / F.var_pop("x")) * F.avg("x")
+    return (
+        ev2.groupBy("event_type")
+        .agg(
+            F.round(slope, 6).alias("slope_per_day"),
+            F.round(intercept, 4).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )

@@ -563,3 +563,64 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf")
     )
+
+
+# -------------------------------------------------------------- PII redaction
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{7,}"
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH staged AS (
+      SELECT doc_id,
+             concat(substring(text, 1, 40), ' contact user', doc_id,
+                    '@example.com ref ', doc_id * 1234567, ' end')
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g') AS redacted,
+           CAST(length(raw) - length(regexp_replace(raw, '{_EMAIL_RE}', '', 'g'))
+                > 0 AS BOOLEAN) AS had_email
+    FROM staged
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before training: emails and long digit runs are
+    replaced with typed placeholders (the corpus has no real PII, so a
+    deterministic synthetic contact line is appended per doc and then
+    must come back out). Two chained regexp_replace calls — JVM-side
+    codegen, map-only, zero shuffle; the regexes stay in the
+    RE2/Java-regex common subset so Spark and DuckDB agree byte-for-
+    byte. At 100 TB this composes with the quality filter into the
+    single map stage of pipeline_llm_prep; real deployments add NER
+    models per locale — that step is a mapInPandas slot, same plan."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 1234567).cast("string"),
+        F.lit(" end"),
+    )
+    staged = d.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    had_email = (
+        F.length("raw") - F.length(F.regexp_replace(F.col("raw"), _EMAIL_RE, ""))
+        > 0
+    )
+    return staged.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        had_email.alias("had_email"),
+    ).orderBy("doc_id")

@@ -183,3 +183,25 @@ def test_scd2_stacked_windows_share_one_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final[:3000]
     assert final.count("Window") >= 2, final[:3000]
+
+
+def test_merge_upsert_anti_join_broadcasts_keys(spark):
+    """The MERGE decomposition must plan the NOT-IN-changes side as a
+    broadcast LeftAnti join — shuffling the full target on its key to
+    drop a day-sized change set would be the scale failure mode."""
+    plan = plan_of(spark, "merge_upsert")
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "BroadcastExchange" in plan, plan[:3000]
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must sit behind a BroadcastExchange; the
+    training-side gram stream must reach the join without a shuffle
+    (its only Exchange comes after, for the per-doc count-distinct)."""
+    plan = plan_of(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    join_pos = plan.index("BroadcastHashJoin")
+    # no hash exchange below the join on the probe side: the generate/
+    # explode pipeline feeds it directly
+    probe_section = plan[join_pos:]
+    assert "Generate explode" in probe_section or "Generate" in probe_section
