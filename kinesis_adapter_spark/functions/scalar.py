@@ -425,3 +425,37 @@ def sql_surface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan from the analyzer down)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(AGG_SUM_GROUP_ORACLE)
+
+
+@query(
+    "fn_interval_math",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                AS BIGINT) AS days_to_y2k,
+           CAST(date_diff('month', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                AS BIGINT) AS months_to_y2k
+    FROM orders WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def fn_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic family: day offsets, month-end snapping, and
+    day/month distances. The month distance is the BOUNDARY-CROSSING
+    count ((Δyear)*12 + Δmonth) — deliberately NOT Spark's fractional
+    months_between, whose day-of-month fractions are engine-specific
+    lore; boundary counting is what both engines (and most humans)
+    agree on. All map-only codegen expressions."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    d = F.to_date("o_orderdate")
+    y2k = F.lit("2000-01-01").cast("date")
+    months = (F.lit(2000) - F.year(d)) * 12 + (F.lit(1) - F.month(d))
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(y2k, d).cast("long").alias("days_to_y2k"),
+        months.cast("long").alias("months_to_y2k"),
+    ).orderBy("o_orderkey")
