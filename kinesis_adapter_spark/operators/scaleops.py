@@ -144,7 +144,17 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-to-fact joins that recur on the same key; the plan assertion
     lives in tests/test_plans.py, the oracle proves identical results
     to the plain shuffle join."""
+    # sf_tag carries the PID: the table files live under a shared tmp
+    # path but Spark's catalog is per-session, so a SECOND process
+    # would re-run the overwrite into files the first is still reading
+    # (observed as a transient row-loss race when pytest and a
+    # driver-sim ran this key concurrently). Per-process staging makes
+    # each writer own its directory; the ~1 s rewrite per process is
+    # the price of isolation.
+    import os
+
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    sf_tag = f"{sf_tag}_{os.getpid()}"
     db_dir = tempfile.gettempdir() + f"/kas_buckets_{sf_tag}"
     spark.conf.set("spark.sql.legacy.createHiveTableByDefault", "false")
     names = {"orders": f"kas_b_orders_{sf_tag}", "lineitem": f"kas_b_lineitem_{sf_tag}"}
