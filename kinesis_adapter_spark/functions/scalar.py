@@ -459,3 +459,53 @@ def fn_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(y2k, d).cast("long").alias("days_to_y2k"),
         months.cast("long").alias("months_to_y2k"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_url_parse",
+    """
+    WITH urls AS (
+      SELECT event_id,
+             concat('https://cdn', CAST(event_id % 5 AS VARCHAR),
+                    '.example.com/media/', event_type, '/',
+                    CAST(event_id AS VARCHAR), '.bin?user=',
+                    CAST(user_id AS VARCHAR), '&v=2') AS url
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]user=([^&]*)', 1) AS user_param
+    FROM urls
+    ORDER BY event_id
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (host / path / query param) with Spark's
+    dedicated ``parse_url`` — the log-processing staple. DuckDB has no
+    URL parser, so the oracle re-derives the same parts with anchored
+    regexes; on well-formed URLs (this fixture synthesizes them from
+    event fields) the two definitions coincide exactly, which the
+    hash-match proves. Map-only codegen; at 100 TB this is a free
+    rider on whatever scan feeds it."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    url = F.concat(
+        F.lit("https://cdn"),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(".example.com/media/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+        F.lit(".bin?user="),
+        F.col("user_id").cast("string"),
+        F.lit("&v=2"),
+    )
+    u = ev.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("user")).alias(
+            "user_param"
+        ),
+    ).orderBy("event_id")
