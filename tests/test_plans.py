@@ -205,3 +205,20 @@ def test_contamination_benchmark_side_broadcasts(spark):
     # explode pipeline feeds it directly
     probe_section = plan[join_pos:]
     assert "Generate explode" in probe_section or "Generate" in probe_section
+
+
+def test_salted_join_shuffles_on_composite_key_when_not_broadcastable(spark):
+    """join_salted_skew: with broadcast available the tiny exploded dim
+    broadcasts (salting is then a no-op — correct adaptive behavior);
+    the salt earns its keep when the dim CANNOT broadcast, so pin that
+    regime: both sides must exchange on the COMPOSITE (user_id, salt)
+    key — a hot user_id then spreads over J reducers."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "join_salted_skew")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
+        m = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert any("user_id" in g and "salt" in g for g in m), m
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
