@@ -10,7 +10,7 @@ skew handling taking over partition sizing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.catalog import load
@@ -526,4 +526,43 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+    WITH counts AS (
+      SELECT user_id % 10 AS user_bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_bucket, event_type AS top_type, n
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY user_bucket
+                               ORDER BY n DESC, event_type) = 1
+    ORDER BY user_bucket
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group with a DETERMINISTIC tie-break
+    (count desc, then value asc) — built-in mode() is engine-defined
+    on ties in both Spark and DuckDB, so the portable form is
+    count + row_number, which also returns the frequency. Two
+    aggregates sharing one partitioning (count's shuffle feeds the
+    window's) — the same shape at any scale."""
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_bucket").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_bucket", F.col("event_type").alias("top_type"), "n")
+        .orderBy("user_bucket")
     )
