@@ -132,21 +132,26 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_linenumber,
       ROUND(l_extendedprice, 1)                   AS price_r1,
       abs(l_discount - 0.05)                      AS disc_dev,
-      ceil(l_quantity / 7)                        AS q_ceil,
-      floor(l_extendedprice / 1000)               AS price_kfloor,
+      CAST(ceil(l_quantity / 7) AS BIGINT)        AS q_ceil,
+      CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kfloor,
       ROUND(power(l_quantity, 2), 6)              AS q_sq,
       ROUND(sqrt(l_extendedprice), 6)             AS price_sqrt,
       ROUND(ln(l_extendedprice + 1), 6)           AS price_ln,
       ROUND(exp(l_discount), 6)                   AS disc_exp,
       CAST(l_orderkey % 7 AS BIGINT)              AS key_mod7,
-      sign(l_discount - 0.05)                     AS disc_sign
+      CAST(sign(l_discount - 0.05) AS DOUBLE)     AS disc_sign
     FROM lineitem
     WHERE l_orderkey <= 5000
     """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/abs/ceil/floor/power/sqrt/ln/exp/mod/sign (transcendental
-    outputs ROUNDed: JVM Math vs libm differ in the last ULP)."""
+    outputs ROUNDed: JVM Math vs libm differ in the last ULP).
+
+    Output-type pins: Spark ceil/floor return BIGINT while DuckDB's
+    return DOUBLE, and Spark signum returns DOUBLE while DuckDB sign
+    returns INT — the oracle casts each to Spark's natural type so both
+    engines emit identical Arrow schemas (round-2 type-alignment)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 5000)
     return li.select(
         "l_orderkey",

@@ -499,7 +499,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact",
     """
     SELECT o_orderstatus,
-           SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(38, 2)) AS total,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -516,13 +516,19 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream as total/n. The cost: decimal aggregation runs outside
     some codegen fast paths, ~2-4× slower than doubles — the standard
     lakehouse trade is decimal for financial columns, double for
-    metrics."""
+    metrics.
+
+    Output-type pin: Spark widens SUM(DECIMAL(18,2)) to DECIMAL(28,2)
+    while DuckDB widens to DECIMAL(38,2); both sides cast the total to
+    an explicit DECIMAL(38,2) so the two engines emit the SAME logical
+    type (driver r01 hash-canonicalized the two widths differently —
+    VERDICT r01 'What's wrong' #1)."""
     o = load(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.sum(dec).alias("total"),
+            F.sum(dec).cast("decimal(38,2)").alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderstatus")

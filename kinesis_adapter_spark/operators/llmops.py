@@ -350,7 +350,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            ROUND(AVG(len(str_split(text, ' '))), 6) AS avg_tokens
     FROM documents
     GROUP BY lang

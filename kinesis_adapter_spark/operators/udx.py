@@ -45,6 +45,8 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(StringType())
     def clean_text(s: str) -> str:
+        if s is None:  # SQL trim(NULL) is NULL; match it (ADVICE r01)
+            return None
         return re.sub(r"\s+", " ", s.strip()).lower()
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)

@@ -225,7 +225,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, epoch_ns(ts) AS ts, value,
+  SELECT user_id, epoch_ns(ts) AS ts, event_id, value,
          CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id)
                    > 1800000000000 OR
@@ -235,8 +235,9 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -267,14 +268,17 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         F.col("ts_us").alias("ts"),
+        "event_id",
         "value",
         F.when(prev_ts.isNull() | ((F.col("ts_us") - prev_ts) > gap_ns), 1)
         .otherwise(0)
         .alias("is_new"),
     )
+    # event_id tiebreak: duplicate (user_id, ts) pairs straddling a gap
+    # boundary must land in the same session on both engines (ADVICE r01).
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = flagged.select(

@@ -47,8 +47,20 @@ def ensure_moto_server() -> str:
         from moto.server import ThreadedMotoServer
 
         logging.getLogger("werkzeug").setLevel(logging.ERROR)  # silence request spam
-        _server = ThreadedMotoServer(ip_address="127.0.0.1", port=_PORT, verbose=False)
-        _server.start()
+        server = ThreadedMotoServer(ip_address="127.0.0.1", port=_PORT, verbose=False)
+        try:
+            server.start()
+        except OSError:
+            # Check-then-start race (ADVICE r01): another process bound
+            # the port between our probe and start(). Re-probe and use
+            # the winner's instance.
+            for _ in range(50):
+                with socket.socket() as s:
+                    if s.connect_ex(("127.0.0.1", _PORT)) == 0:
+                        return endpoint_url()
+                time.sleep(0.1)
+            raise
+        _server = server
         atexit.register(_server.stop)
         time.sleep(0.2)
     return endpoint_url()
@@ -113,17 +125,25 @@ class moto_put_lock:
     concurrent puts (measured: 7998/8000 with 8 writer threads). Real
     Kinesis is concurrent-safe — production runs (no local endpoint)
     skip the lock entirely. flock works across the Python worker
-    processes of a local[*] session because they share the host."""
+    processes of a local[*] session because they share the host.
 
-    def __init__(self, endpoint: str | None):
+    The lock file is keyed by STREAM name (ADVICE r01): moto's drop
+    happens on concurrent puts to one in-memory stream, so unrelated
+    pipelines writing different streams need not serialize against
+    each other."""
+
+    def __init__(self, endpoint: str | None, stream: str = "default"):
         self.local = bool(endpoint) and "127.0.0.1" in (endpoint or "")
+        self.stream = stream
         self._fh = None
 
     def __enter__(self):
         if self.local:
             import fcntl
+            import re as _re
 
-            self._fh = open("/tmp/kas_moto_put.lock", "w")
+            safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", self.stream)
+            self._fh = open(f"/tmp/kas_moto_put.{safe}.lock", "w")
             fcntl.flock(self._fh, fcntl.LOCK_EX)
         return self
 
@@ -150,7 +170,9 @@ def put_records_with_retry(
     records can fail (throttling) while the call succeeds — those are
     re-enqueued with exponential backoff. Returns records delivered."""
     delivered = 0
-    lock = moto_put_lock(getattr(getattr(kin, "meta", None), "endpoint_url", None))
+    lock = moto_put_lock(
+        getattr(getattr(kin, "meta", None), "endpoint_url", None), stream=stream
+    )
     for i in range(0, len(records), 500):
         chunk = records[i : i + 500]
         attempt = 0

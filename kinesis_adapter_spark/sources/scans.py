@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from pathlib import Path
 
 import pyarrow.parquet as pq
@@ -185,7 +186,8 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_parquet_partitioned",
     """
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY lang
     """,
@@ -262,7 +264,7 @@ def sink_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Writes run in ``foreachPartition`` on executors (each worker owns
     its partition's batches — the production shape); the read-back
     drain is driver-side by nature of the check."""
-    stream = f"kas-sink-{Path(sf_dir).name.replace('.', '-')}"
+    stream = f"kas-sink-{uuid.uuid4().hex[:10]}"
     aws.create_stream(stream, shards=4)
     endpoint = aws.endpoint_url()
     kw = dict(aws.AWS_KW)
@@ -307,11 +309,15 @@ def sink_kinesis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     records = aws.read_all_records(stream)
     payloads = [json.loads(r["Data"]) for r in records]
-    # Re-runs append to the stream; latest write wins via distinct.
-    out = spark.createDataFrame(
-        payloads, "event_id BIGINT, event_type STRING"
-    ).distinct()
-    return out
+    # Fresh uuid stream per run (ADVICE r01): no distinct() masking —
+    # a duplicate delivery must fail the losslessness check loudly.
+    n_unique = len({tuple(sorted(p.items())) for p in payloads})
+    if n_unique != len(payloads):
+        raise RuntimeError(
+            f"duplicate Kinesis delivery: {len(payloads)} records, "
+            f"{n_unique} unique"
+        )
+    return spark.createDataFrame(payloads, "event_id BIGINT, event_type STRING")
 
 
 N_BAD_LINES = 7

@@ -63,11 +63,18 @@ class KinesisForeachBatchSink:
             def put_guard():
                 # moto's in-memory Kinesis loses records under
                 # concurrent puts; serialize against the LOCAL emulator
-                # only (real Kinesis runs lock-free — see aws.moto_put_lock).
+                # only (real Kinesis runs lock-free). Keyed by stream
+                # name with the SAME file naming as aws.moto_put_lock so
+                # the two lock sites contend on one file per stream but
+                # unrelated streams proceed in parallel (ADVICE r01).
+                # Inline (no package import): executors must not need
+                # kinesis_adapter_spark importable.
                 if endpoint and "127.0.0.1" in endpoint:
                     import fcntl
+                    import re as _re
 
-                    with open("/tmp/kas_moto_put.lock", "w") as fh:
+                    safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", stream)
+                    with open(f"/tmp/kas_moto_put.{safe}.lock", "w") as fh:
                         fcntl.flock(fh, fcntl.LOCK_EX)
                         try:
                             yield

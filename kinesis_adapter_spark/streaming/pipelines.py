@@ -137,7 +137,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     """
     WITH flagged AS (
-      SELECT user_id, epoch_ns(ts) AS t, value,
+      SELECT user_id, epoch_ns(ts) AS t, event_id, value,
              CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -146,7 +146,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, t, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged
     )
@@ -484,9 +484,18 @@ def stream_to_kinesis_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     payloads = [json.loads(r["Data"]) for r in aws.read_all_records(stream)]
+    # No distinct() here (ADVICE r01): the stream is fresh per run, so a
+    # duplicate delivery is a REAL exactly-once violation and must fail
+    # loudly rather than be silently collapsed before the oracle check.
+    n_unique = len({tuple(sorted(p.items())) for p in payloads})
+    if n_unique != len(payloads):
+        raise RuntimeError(
+            f"duplicate Kinesis delivery: {len(payloads)} records, "
+            f"{n_unique} unique — exactly-once contract broken"
+        )
     return spark.createDataFrame(
         payloads, "event_id bigint, event_type string, user_id bigint"
-    ).distinct()
+    )
 
 
 @query(

@@ -118,6 +118,94 @@ def _rows_close(a: tuple, b: tuple, tol: float) -> bool:
     return True
 
 
+# --- Engine-level (Arrow) output-type comparison -----------------------
+#
+# VERDICT r01 item #2: value equality alone let a decimal-width skew
+# (Spark decimal(28,2) vs DuckDB DECIMAL(38,2)) slip past the local gate
+# and fail the driver's hash.  The fix: compare the STATIC Arrow schema
+# of both engines' results (LIMIT 0 — no data movement) under a
+# normalization that treats hash-identical representations as equal but
+# pins everything the driver's canonicalization might distinguish:
+#   - decimals must match in precision AND scale (the proven blind spot)
+#   - decimal vs int vs float never unify
+#   - int widths unify (Python int is width-less once materialized)
+#   - timestamp unit/tz unify (both canonicalize to naive datetime)
+#   - string/large_string, date32/64, list/large_list unify
+#   - nested types compare recursively
+
+def _norm_arrow_type(t) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return f"float{t.bit_width}"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_time(t):
+        return "time"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return f"list<{_norm_arrow_type(t.value_type)}>"
+    if pt.is_struct(t):
+        inner = ",".join(f"{f.name}:{_norm_arrow_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pt.is_map(t):
+        return f"map<{_norm_arrow_type(t.key_type)},{_norm_arrow_type(t.item_type)}>"
+    if pt.is_null(t):
+        return "null"
+    return str(t)
+
+
+def spark_arrow_schema(df):
+    """Static Arrow schema of a Spark result (LIMIT 0 — plan only)."""
+    return df.limit(0).toArrow().schema
+
+
+def duck_arrow_schema(con, sql: str):
+    return con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+
+
+def compare_arrow_schemas(s_schema, d_schema) -> list[str]:
+    """Mismatch list between two Arrow schemas (column-name keyed)."""
+    problems: list[str] = []
+    s_types = {f.name: _norm_arrow_type(f.type) for f in s_schema}
+    d_types = {f.name: _norm_arrow_type(f.type) for f in d_schema}
+    if sorted(s_types) != sorted(d_types):
+        return [f"columns: spark={sorted(s_types)} duck={sorted(d_types)}"]
+    for name in sorted(s_types):
+        if s_types[name] != d_types[name]:
+            problems.append(
+                f"type[{name}]: spark={s_types[name]} duck={d_types[name]}"
+            )
+    return problems
+
+
+def arrow_type_problems(spark, key: str, sf_dir: str = SF_TEST, con=None) -> list[str]:
+    """Engine-level type comparison for one oracled key."""
+    from kinesis_adapter_spark.plans.registry import ORACLES, QUERIES
+
+    df = QUERIES[key](spark, sf_dir)
+    own_con = con is None
+    if own_con:
+        con = duck_connect(sf_dir)
+    try:
+        d_schema = duck_arrow_schema(con, ORACLES[key])
+    finally:
+        if own_con:
+            con.close()
+    return compare_arrow_schemas(spark_arrow_schema(df), d_schema)
+
+
 def check_query(spark, key: str, sf_dir: str = SF_TEST, float_tol: float = 0.0) -> list[str]:
     """Run one registered query against its oracle; return mismatches."""
     from kinesis_adapter_spark.plans.registry import ORACLES, QUERIES

@@ -10,7 +10,15 @@ from __future__ import annotations
 import pytest
 
 from kinesis_adapter_spark.plans.registry import ORACLES, QUERIES, load_all_modules
-from tests.oracle import SF_TEST, check_query
+from tests.oracle import (
+    SF_TEST,
+    arrow_type_problems,
+    check_query,
+    compare_arrow_schemas,
+    duck_arrow_schema,
+    duck_connect,
+    spark_arrow_schema,
+)
 
 load_all_modules()
 
@@ -22,6 +30,53 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 def test_oracle_parity(spark, key):
     problems = check_query(spark, key, SF_TEST)
     assert not problems, f"{key}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("key", ORACLED)
+def test_arrow_type_parity(spark, key):
+    """Engine-level output types must match (VERDICT r01 item #2).
+
+    Value equality alone let agg_decimal_exact's decimal(28,2) vs
+    DECIMAL(38,2) skew pass locally and fail the driver hash; this gate
+    compares the static Arrow schema of both engines under a
+    normalization that pins decimal precision/scale exactly.
+    """
+    problems = arrow_type_problems(spark, key, SF_TEST)
+    assert not problems, f"{key}: " + "; ".join(problems)
+
+
+def test_type_gate_catches_decimal_skew(spark):
+    """The gate must FAIL on a deliberately mis-typed probe — the exact
+    skew class that produced r01's only red driver row."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit("1.00").cast("decimal(28,2)").alias("total")
+    )
+    con = duck_connect(SF_TEST)
+    try:
+        d = duck_arrow_schema(con, "SELECT CAST(1.00 AS DECIMAL(38,2)) AS total")
+        ok = duck_arrow_schema(con, "SELECT CAST(1.00 AS DECIMAL(28,2)) AS total")
+    finally:
+        con.close()
+    assert compare_arrow_schemas(spark_arrow_schema(df), d), (
+        "type gate failed to flag decimal(28,2) vs DECIMAL(38,2)"
+    )
+    assert not compare_arrow_schemas(spark_arrow_schema(df), ok)
+
+
+def test_type_gate_tolerates_int_width(spark):
+    """Negative control: int widths unify (Python ints are width-less
+    after materialization, so the driver hash can't distinguish them)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.lit(1).cast("long").alias("n"))
+    con = duck_connect(SF_TEST)
+    try:
+        d = duck_arrow_schema(con, "SELECT CAST(1 AS INTEGER) AS n")
+    finally:
+        con.close()
+    assert not compare_arrow_schemas(spark_arrow_schema(df), d)
 
 
 @pytest.mark.parametrize("key", ROWS_ONLY)
