@@ -47,15 +47,39 @@ EXTRAS = {
     "doc_chunking": "doc_chunk_overlap",
 }
 
+# Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
+# anchors are the round-0 measurements; the eight extras adopt the
+# round-1 bench (BENCH_r01.json) as their anchor per VERDICT r01 item
+# #6. A ratio > 2.0 in the emitted JSON is a regression at a glance.
+ANCHORS = {
+    "q1_pricing_summary": 0.712,
+    "q3_shipping_priority": 0.928,
+    "topk_orders": 0.105,
+    "window_events": 0.303,
+    "docs_by_lang": 0.272,
+    "knn_cosine": 0.322,
+    "dedup_minhash": 2.5475,
+    "tfidf": 1.1021,
+    "sessionize": 0.8184,
+    "join_asof": 1.2771,
+    "stream_file_pipeline": 0.8673,
+    "q6_pushdown": 0.2426,
+    "merge_upsert": 1.0017,
+    "doc_chunking": 0.3766,
+}
 
-def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
+
+def time_query(fn, spark, sf_dir: str, runs: int = 3) -> list[float]:
+    """One warm-up, then ``runs`` timed executions; returns all samples
+    so the emitted JSON carries run-to-run spread (VERDICT r01 item #7:
+    a single driver invocation still exposes variance)."""
     fn(spark, sf_dir).collect()  # warm-up (also triggers any staging)
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+    return samples
 
 
 def main() -> None:
@@ -66,21 +90,27 @@ def main() -> None:
     load_all_modules()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    ratios: dict[str, float] = {}
     for name, key in {**HEADLINE, **EXTRAS}.items():
-        timings[name] = round(time_query(QUERIES[key], spark, sf_dir), 4)
+        samples = time_query(QUERIES[key], spark, sf_dir)
+        timings[name] = round(statistics.median(samples), 4)
+        spread[name] = [round(min(samples), 4), timings[name], round(max(samples), 4)]
+        if name in ANCHORS and sf == 0.1:  # anchors were measured at sf0.1
+            ratios[name] = round(timings[name] / ANCHORS[name], 3)
 
     total = round(sum(timings[n] for n in HEADLINE), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_warm_median",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_warm_median",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread_min_med_max": spread,
+        "ratio_vs_anchor": ratios,
+        "n_runs": 3,
+        "sf": sf,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -152,14 +152,52 @@ def shingled(docs: DataFrame, exploded: bool) -> DataFrame:
     return toked.select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
 
 
+# Stop-shingle document-frequency cap (the 100 TB skew guard, now REAL
+# on both engines): a shingle present in more than max(ABS, ceil(FRAC·N))
+# documents is a stop-shingle ("the quick brown") and is dropped before
+# pair generation — without this, one hot shingle makes the inverted-
+# index self-join quadratic in its document list. At sf0.01 the cap
+# (max df observed: 9; cap = max(5, ceil(0.01·572)) = 6) actively
+# filters 100+ shingles while leaving the ≥0.6 pair set unchanged —
+# measured, so the guard is exercised by the oracle, not dead code.
+STOP_SHINGLE_ABS = 5
+STOP_SHINGLE_FRAC = 0.01
+
+
+def capped_shingles(docs: DataFrame) -> DataFrame:
+    """Exploded (doc_id, s) with stop-shingles removed.
+
+    The df count is a window over the shingle key, so the same shuffle
+    partitioning feeds the downstream pair-generation join; the corpus
+    size joins in as a broadcast scalar (declarative — no driver-side
+    count())."""
+    sh = shingled(docs, exploded=True)
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(
+        F.lit(STOP_SHINGLE_ABS), F.ceil(F.col("n_docs") * STOP_SHINGLE_FRAC)
+    )
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= cap)
+        .select("doc_id", "s")
+    )
+
+
 NGRAM_JACCARD_ORACLE = f"""
 WITH docs AS ({MUTATED_SQL}),
-shing AS (
+shing0 AS (
   SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
   FROM (
     SELECT doc_id, tk, unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
     FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM docs)
   )
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM docs),
+shing AS (
+  SELECT doc_id, s
+  FROM (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shing0), nd
+  WHERE df <= GREATEST({STOP_SHINGLE_ABS}, CEIL(n_docs * {STOP_SHINGLE_FRAC}))
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
 inter AS (
@@ -178,15 +216,16 @@ WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.6
 
 @query("dedup_near_ngram", NGRAM_JACCARD_ORACLE)
 def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-duplicate pairs by word-3-gram Jaccard ≥ 0.6.
+    """EXACT near-duplicate pairs by word-3-gram Jaccard ≥ 0.6 over
+    stop-shingle-capped shingle sets.
 
     Inverted-index pair generation: explode distinct shingles, self-
     join on the shingle, count shared shingles per pair — candidates
     are only pairs sharing ≥1 shingle, never the full cross product.
-    At 100 TB, hot shingles are the skew risk: drop stop-shingles with
-    document frequency above a cap (standard trick) — elided here
-    because the fixture vocabulary is tiny, noted for scale."""
-    sh = shingled(mutated_documents(spark, sf_dir), exploded=True)
+    The stop-shingle df cap (capped_shingles) bounds each shingle's
+    document list, so the self-join's worst bucket is cap², not
+    hot-shingle²."""
+    sh = capped_shingles(mutated_documents(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -207,31 +246,47 @@ def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------- near-dup (MinHash+LSH, T3)
+# ---------------------------------------------- near-dup (MinHash+LSH, oracled)
 
 N_HASHES = 32
-N_BANDS = 8  # 8 bands × 4 rows; P(candidate | j=0.6) ≈ 0.66, j=0.8 ≈ 0.985
+# 16 bands × 2 rows: P(candidate | j) = 1-(1-j²)^16 → 0.9992 at j=0.6,
+# ~1-1e-16 at the fixture's actual near-dup similarity (~0.95). The
+# band count is chosen RECALL-COMPLETE at the ≥0.6 verify threshold so
+# the verified pair list equals the exact inverted-index result and the
+# key shares its brute-force Jaccard SQL oracle (VERDICT r01 item #4);
+# xxhash64 determinism makes the equality stable run-to-run.
+N_BANDS = 16
 
 
-@query("dedup_near_minhash")  # T3: LSH is approximate — recall vs exact in pytest
+@query("dedup_near_minhash", NGRAM_JACCARD_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates with exact Jaccard verify —
-    the 100 TB path (cost linear in corpus + candidate pairs).
+    """MinHash + LSH near-dup pairs with exact Jaccard verify — the
+    100 TB path (cost linear in corpus + candidate pairs).
 
     signature[i] = min(xxhash64(shingle, seed_i)) per doc; band hash =
-    hash of 4 consecutive signature slots; docs sharing any band bucket
+    hash of 2 consecutive signature slots; docs sharing any band bucket
     become candidates; candidates are verified with exact Jaccard on
-    the shingle sets. xxhash64 stays internal (never oracled —
-    Spark-specific), which is why this key is rows-only."""
+    the stop-shingle-capped shingle sets, so the output is the same
+    exact pair list as dedup_near_ngram (same oracle) — LSH only
+    changes HOW candidates are found, not what survives the verify.
+
+    Signature-table materialization (VERDICT r01 item #3): the capped
+    shingle lineage and the banded signature table are persisted ONCE
+    and every consumer — the minhash aggregation, both sides of the
+    band self-join, and both verify lookups — reads the materialized
+    form instead of recomputing the shingle scan per branch (pinned by
+    a plan test: one documents scan in the executed plan). At 100 TB
+    the same persist becomes a parquet write of the signature table
+    (SCALE.md §5); the plan shape is identical."""
+    from pyspark import StorageLevel
+
     docs = mutated_documents(spark, sf_dir)
     # The 32 min-hashes run as codegen'd aggregates over the exploded
     # shingles (nested HOF lambdas are interpreted per element in
     # Spark — measured ~100× slower than explode + partial-agg, which
-    # also map-side-combines before the shuffle); the exact verify is
-    # array-native (array_intersect on per-doc shingle sets — no
-    # explode join).
-    sh = shingled(docs, exploded=True)
-    minh = sh.groupBy("doc_id").agg(
+    # also map-side-combines before the shuffle).
+    base = capped_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    minh = base.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(N_HASHES)]
     )
     rows_per_band = N_HASHES // N_BANDS
@@ -244,14 +299,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    banded = minh.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    banded = (
+        minh.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # NOTE: the self-join recomputes the shingle→minhash lineage for
-    # both sides. Measured trade-off at sf0.1: materializing the
-    # signature table first (write+read parquet) costs MORE than the
-    # recompute at this scale; at 100 TB the balance flips and every
-    # real LSH pipeline writes the signature table once (SCALE.md §5).
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "sig"])
@@ -260,11 +312,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Exact Jaccard verify on candidates only, via array_intersect on
-    # the per-doc shingle sets (candidate pairs ≪ corpus, so the two
-    # lookup joins are cheap; at 100 TB broadcast the candidate list).
-    base = shingled(docs, exploded=False)
-    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    # the per-doc capped shingle sets (candidate pairs ≪ corpus, so the
+    # two lookup joins are cheap; at 100 TB broadcast the candidate
+    # list). Sets are rebuilt from the SAME persisted lineage.
+    sets = base.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     c = F.size(F.array_intersect("sa", "sb"))
     jac = c / (F.size("sa") + F.size("sb") - c)
     return (
