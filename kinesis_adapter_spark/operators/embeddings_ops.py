@@ -94,6 +94,43 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    """Coarse-quantizer centroids: per-label mean vector via
+    posexplode + reassemble → (cell, centroid array<double>)."""
+    return (
+        e.select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+    )
+
+
+def _ivf_assigned(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Lloyd assignment pass: each vector joins its nearest centroid,
+    making cells geometric (Voronoi) rather than label-arbitrary."""
+    wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "embedding", "cell",
+                cosine(F.col("embedding"), F.col("centroid")).alias("csim"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "csim")
+    )
+
+
+def _ivf_best_cells(cent: DataFrame, q: DataFrame, nprobe: int = 4) -> DataFrame:
+    return (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", cosine(F.col("centroid"), F.col("qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+
+
 @query("ann_ivf_topk")  # T3: IVF is approximate — recall vs brute force in pytest
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-10: coarse-quantize the corpus into
@@ -103,43 +140,116 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity to the query, probe only the best nprobe=4 cells
     brute-force.
 
-    At scale the corpus is WRITTEN partitioned by cell id, so probing
+    At scale the corpus is WRITTEN partitioned by cell id
+    (ann_ivf_partitioned below demonstrates that layout), so probing
     4 of 1024 cells is partition pruning — the scan reads 0.4% of the
     data; the centroid table (k × dim doubles) is always broadcast.
     Recall@10 vs the exact baseline is asserted in pytest."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-
-    # seed centroids: per-label mean via posexplode + reassemble
-    cent = (
-        e.select("label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
-        .groupBy("label", "pos")
-        .agg(F.avg("col").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(F.col("label").alias("cell"), F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
-    )
-    # Lloyd assignment pass: each vector joins its nearest centroid,
-    # making cells geometric (Voronoi) rather than label-arbitrary.
-    wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "label", "embedding", "cell",
-                cosine(F.col("embedding"), F.col("centroid")).alias("csim"))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "csim")
-    )
-    best_cells = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cell", cosine(F.col("centroid"), F.col("qv")).alias("csim"))
-        .orderBy(F.col("csim").desc(), "cell")
-        .limit(4)
-        .select("cell")
-    )
+    cent = _ivf_centroids(e)
+    assigned = _ivf_assigned(e, cent)
+    best_cells = _ivf_best_cells(cent, q)
     return (
         assigned.join(F.broadcast(best_cells), "cell")  # cell pruning: the IVF probe
         .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def ivf_layout_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the written IVF layout: the Lloyd-
+    assigned corpus persisted ``partitionBy("cell")``, so each Voronoi
+    cell is its own directory of parquet files. This is the index-
+    build step a real deployment runs offline; per-process staging
+    avoids cross-process overwrite races (same rationale as the
+    bucketed-join tables, scaleops.py)."""
+    import os
+    import tempfile
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    path = f"{tempfile.gettempdir()}/kas_ivf_{sf_tag}_{os.getpid()}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        e = load(spark, sf_dir, "embeddings")
+        _ivf_assigned(e, _ivf_centroids(e)).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+    return path
+
+
+@query(
+    "ann_ivf_partitioned",
+    """
+    WITH qe AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    cent AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, u.i - 1 AS pos, AVG(CAST(u.x AS DOUBLE)) AS m
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS i) u
+        GROUP BY label, u.i - 1
+      ) GROUP BY cell
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cell
+      FROM embeddings e CROSS JOIN cent c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC,
+                 c.cell
+      ) = 1
+    ),
+    best AS (
+      SELECT c.cell
+      FROM cent c CROSS JOIN qe
+      ORDER BY list_cosine_similarity(c.centroid, qe.qv) DESC, c.cell
+      LIMIT 4
+    )
+    SELECT a.vec_id, a.label,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), qe.qv), 6) AS sim
+    FROM assigned a JOIN best USING (cell) CROSS JOIN qe
+    WHERE a.vec_id <> 0
+    QUALIFY row_number() OVER (
+      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), qe.qv) DESC,
+               a.vec_id
+    ) <= 10
+    """,
+)
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the WRITTEN partitioned layout (VERDICT r01
+    item #5): the corpus sits on disk partitioned by cell id, the
+    query ranks the broadcast centroid table, and the probe reads ONLY
+    the nprobe best cell directories — static partition pruning, so at
+    100 TB the scan touches nprobe/k of the data and the directory
+    listing skips the rest at planning time (pinned in
+    tests/test_plans.py::test_ivf_probe_reads_only_nprobe_partitions).
+
+    The nprobe cell ids are collected on the driver before building
+    the probe plan — that is index METADATA (≤k rows from the already-
+    broadcast centroid table, the same role as a file listing), not
+    data, and it is what turns the probe into a compile-time IN filter
+    the reader can prune directories with. Results are deterministic
+    (same Lloyd assignment as ann_ivf_topk), so unlike its in-flight
+    twin this key carries a full DuckDB oracle that replays
+    centroid → assignment → probe relationally."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cells = [
+        r.cell for r in _ivf_best_cells(_ivf_centroids(e), q).collect()
+    ]  # nprobe ids — bounded by centroid count, never by corpus size
+    corpus = spark.read.parquet(ivf_layout_path(spark, sf_dir)).filter(
+        F.col("cell").isin(cells)
+    )
+    return (
+        corpus.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim_raw"))
         .orderBy(F.col("sim_raw").desc(), "vec_id")

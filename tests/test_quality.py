@@ -99,6 +99,16 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.7, f"IVF recall@10 = {recall}"
 
 
+def test_ivf_partitioned_probe_matches_inflight_ivf(spark):
+    """The written-layout probe (ann_ivf_partitioned) and the in-flight
+    probe (ann_ivf_topk) share the Lloyd assignment, so they must
+    return the identical top-10 — the layout changes WHERE the cells
+    live, never what the probe returns."""
+    a = sorted(map(tuple, QUERIES["ann_ivf_topk"](spark, SF_TEST).collect()))
+    b = sorted(map(tuple, QUERIES["ann_ivf_partitioned"](spark, SF_TEST).collect()))
+    assert a == b
+
+
 def test_embedding_cosine_blocking_agrees_at_high_threshold(spark):
     """Sign-bit blocking at threshold 0.9: every injected scaled copy
     (vec_id+1M, cosine ≈ 1.0 with its source) must be found — blocking
