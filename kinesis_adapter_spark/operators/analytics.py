@@ -18,6 +18,22 @@ must survive a 100 TB scale-up:
         decorrelated into agg + join — Spark has no correlated exec)
 - q19 : disjunctive (OR-of-ANDs) predicate that must still push down
 - q22 : scalar-subquery threshold + anti join (customers with no orders)
+- q2  : per-group MIN over a multi-dim candidate set (decorrelated into
+        window-min; supplier→nation→region dim chain all broadcast)
+- q4  : EXISTS with a cross-table residual → left-semi join whose
+        condition mixes the equi key with a date-range comparison
+- q8  : market-share ratio — conditional sum / total sum per year over a
+        six-way join with two independent nation legs
+- q9  : profit decomposition with a LIKE filter on the part dim and a
+        nation×year rollup
+- q11 : group-HAVING against a scalar-subquery total (1-row broadcast)
+- q13 : outer join with an ON-side filter, then an aggregate OF an
+        aggregate (orders/customer → histogram of counts)
+- q20 : semi-join chain: parts by prefix → per-(supp,part) shipped qty
+        threshold → suppliers that clear it
+- q21 : the hardest correlation shape: semi (order had other suppliers)
+        + anti (no OTHER supplier was late) against the same derived
+        late-lines relation
 """
 
 from __future__ import annotations
@@ -456,4 +472,435 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(AVG(l_extendedprice / l_quantity), 4) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM cost
+    JOIN part ON p_partkey = l_partkey AND p_size <= 15 AND p_type = 'STANDARD'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    QUALIFY supply_cost = MIN(supply_cost) OVER (PARTITION BY p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style minimum-cost supplier (partsupp absent → lineitem
+    is the part↔supplier bridge; supply cost = average realized unit
+    price, rounded to 4 BEFORE the min so both engines compare the
+    same values under float accumulation-order skew). The correlated
+    "= (SELECT MIN ...)" of the original is decorrelated into a
+    per-part window-min over the candidate set — one shuffle on
+    l_partkey; every dim leg (part slice, supplier→nation→region
+    chain) broadcasts. Top-20 by account balance is
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "supply_cost"
+        )
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style priority check (commitdate/receiptdate absent →
+    lateness re-cut as shipped >60 days after order): count one
+    quarter's orders that had at least one late line. The EXISTS is a
+    LEFT-SEMI join whose condition mixes the l_orderkey equi key with
+    the cross-table date comparison — Spark hashes on the key and
+    evaluates the range as the join residual, so the fact side never
+    duplicates orders (semi ≠ inner+distinct: no fan-out, no dedup
+    shuffle). The quarter filter prunes the orders scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH base AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'EUROPE'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style national market share: NATION_7's slice of the
+    European ECONOMY-part market per year. Six-way join where ONLY
+    lineitem⋈orders is fact⋈fact (one shuffle); the part slice, the
+    customer→nation→region leg and the supplier→nation leg all
+    broadcast. The share is numerator/denominator as two conditional
+    sums in ONE aggregate — the self-join-free ratio shape (same
+    pattern as q14)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product-type profit (ps_supplycost absent → cost
+    modeled as 60% of retail price × quantity): profit on 'red' parts
+    by supplier nation and year. The LIKE '%red%' contains-filter
+    cannot prune at the parquet reader (no leading anchor) but it DOES
+    cut the broadcast part slice before the join; lineitem⋈orders is
+    the one real shuffle; nation×year is a tiny final aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load(spark, sf_dir, "nation")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_key, ROUND(value, 2) AS part_value
+    FROM val
+    WHERE value > 0.0012 * (SELECT SUM(value) FROM val)
+    ORDER BY part_value DESC, p_key
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style important stock (partsupp absent → traded value
+    sum(extendedprice×quantity) by NATION_3's suppliers per part):
+    keep parts whose value exceeds a fraction of the national total.
+    The scalar total is a 1-row broadcast joined cross-wise — the
+    per-part aggregate is computed ONCE and reused for both the rows
+    and the threshold (no second scan of lineitem). The HAVING
+    comparison happens on the raw double; output rounds after."""
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    val = val.persist()  # one compute feeds both the threshold and the rows
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.0012 * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_key"), F.round("value", 2).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "p_key")
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution: LEFT join so
+    order-less customers survive with count 0, the priority exclusion
+    lives in the JOIN CONDITION (an ON-side filter — pushing it to a
+    WHERE would silently drop the NULL-extended rows), then an
+    aggregate OF an aggregate: per-customer counts → histogram. The
+    second aggregate's key space (distinct counts) is tiny, so the
+    second shuffle is trivial; the first groups on the join key the
+    rows already hash by."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    cond = (F.col("o_custkey") == F.col("c_custkey")) & (
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q20_part_promotion",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE EXISTS (SELECT 1 FROM shipped
+                  WHERE l_suppkey = s_suppkey AND qty > 46)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style promotion candidates (availqty absent → shipped
+    volume): suppliers who moved >46 units of any 'small…' part in
+    1996. A semi-join CHAIN: the prefix part slice broadcasts into the
+    lineitem scan as a semi join (prefix LIKE 'small%' also pushes a
+    StartsWith filter to the part scan), the per-(supplier, part)
+    aggregate applies the threshold, and its distinct supplier keys
+    semi-join the supplier dim. Each link only ever shrinks the data —
+    nothing fans out."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 46)
+        .select("l_suppkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late JOIN supplier ON s_suppkey = late.l_suppkey
+    WHERE late.l_orderkey IN (SELECT l_orderkey FROM multi)
+      AND NOT EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = late.l_orderkey
+                        AND l2.l_suppkey <> late.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style suppliers who kept orders waiting: on finished
+    multi-supplier orders, count per supplier the orders where THEY
+    were late (shipped >90 days after order) and no other supplier
+    was. The correlation pair — EXISTS(another supplier) + NOT
+    EXISTS(another LATE supplier) — becomes a semi join against the
+    multi-supplier order set and an ANTI self-join of the late set on
+    (same order, different supplier); both hash on l_orderkey with the
+    supplier inequality as residual, and the late set is computed ONCE
+    (persisted) for both sides of the anti join. Supplier names
+    broadcast; top-20 is TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .persist()  # both sides of the anti self-join read this once
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    anti_cond = (F.col("l_orderkey") == F.col("o_key")) & (
+        F.col("l_suppkey") != F.col("o_supp")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(other_late, anti_cond, "left_anti")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )

@@ -224,6 +224,31 @@ def test_salted_join_shuffles_on_composite_key_when_not_broadcastable(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_q4_exists_plans_as_semi_join_with_residual(spark):
+    """q4's EXISTS must become ONE left-semi hash join on l_orderkey
+    with the cross-table date comparison as its residual — not an
+    inner join + distinct (which would fan out every multi-line order
+    and pay a dedup shuffle at 100 TB)."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "HashAggregate" in plan
+    # no distinct-style aggregate on the join output: exactly the
+    # final groupBy pair (partial+final), nothing more
+    assert plan.count("HashAggregate") == 2, plan[:3000]
+
+
+def test_q21_correlation_pair_plans_as_semi_plus_anti(spark):
+    """q21's EXISTS/NOT-EXISTS pair must plan as a semi join (multi-
+    supplier orders) plus an anti self-join of the persisted late set —
+    both hashed on l_orderkey with the supplier inequality as residual;
+    the late relation is computed once (InMemoryRelation)."""
+    plan = plan_of(spark, "q21_waiting_supplier", executed=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" in final, final[:3000]
+    assert "LeftAnti" in final, final[:3000]
+    assert "InMemoryTableScan" in final, final[:3000]
+
+
 def test_ivf_probe_reads_only_nprobe_partitions(spark):
     """ann_ivf_partitioned must probe the written cell-partitioned
     layout via partition pruning: the scan's PartitionFilters carries
