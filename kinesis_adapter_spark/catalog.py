@@ -61,10 +61,24 @@ SCHEMAS: dict[str, str] = {
 }
 
 
+# DataFrame memo keyed by (session identity, sf_dir, table): the test
+# tables are immutable, so the relation (file listing + footer schema)
+# is resolved once per session instead of per query call — measured
+# ~80 ms of py4j/footer overhead on EVERY load, which dominates the
+# sub-second headline queries. Keyed on the SparkSession object so a
+# rebuilt session never serves relations from a stopped context.
+_DF_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one table; applies required runtime confs first."""
     prepare_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    key = (id(spark), sf_dir, table)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        _DF_MEMO[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -325,3 +325,60 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_keep_best",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5(lower(trim(text))) AS fp,
+             n_chars - 2 * len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               AS quality
+      FROM (
+        SELECT doc_id, text, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars
+        FROM documents WHERE doc_id % 5 = 0
+      )
+    )
+    SELECT doc_id, fp AS cluster_fp,
+           CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size,
+           CAST(quality AS BIGINT) AS quality
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY fp
+                               ORDER BY quality DESC, doc_id) = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION, not just pair finding: within each exact-dup
+    cluster (normalized-text fingerprint) keep the single best document
+    by a quality score (length minus doubled punctuation mass — the
+    cheap heuristic slot where a model score plugs in), with doc_id as
+    the deterministic tiebreak, and report the surviving doc with its
+    cluster size. One window over the fingerprint shuffle serves both
+    the survivor choice and the cluster-size count — the shuffle
+    carries (16-byte fp, score) pairs, never text. At 100 TB this is
+    the canonical-selection job that follows any pair-level dedup."""
+    from kinesis_adapter_spark.operators.llmops import duped_documents
+
+    d = duped_documents(spark, sf_dir)
+    quality = (
+        F.col("n_chars")
+        - 2 * F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim("text")).cast("binary")).alias("cluster_fp"),
+        quality.cast("bigint").alias("quality"),
+    )
+    w = Window.partitionBy("cluster_fp")
+    wr = w.orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_fp", "cluster_size", "quality")
+    )

@@ -475,3 +475,37 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") / F.col("scale") * 127).cast("int"),
         ).alias("q"),
     ).orderBy("vec_id")
+
+
+@query(
+    "emb_dim_stats",
+    """
+    SELECT CAST(u.i - 1 AS INT) AS pos,
+           ROUND(AVG(CAST(u.x AS DOUBLE)), 6) AS mean,
+           ROUND(STDDEV_SAMP(CAST(u.x AS DOUBLE)), 6) AS std,
+           ROUND(MIN(CAST(u.x AS DOUBLE)), 6) AS min_v,
+           ROUND(MAX(CAST(u.x AS DOUBLE)), 6) AS max_v
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i) u
+    GROUP BY pos
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution stats (mean/std/min/max) over the
+    embedding corpus — the normalization/whitening statistics a vector
+    pipeline computes before quantization or drift monitoring.
+    posexplode → 64-key aggregate: map-side partial aggregation means
+    the shuffle carries 64 partial states per task regardless of
+    corpus size — effectively free at any scale."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
+        .groupBy(F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("col"), 6).alias("mean"),
+            F.round(F.stddev_samp("col"), 6).alias("std"),
+            F.round(F.min("col"), 6).alias("min_v"),
+            F.round(F.max("col"), 6).alias("max_v"),
+        )
+    )

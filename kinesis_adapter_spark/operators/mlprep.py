@@ -198,3 +198,46 @@ def feature_binning_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+@query(
+    "mixture_epoch_plan",
+    """
+    WITH st AS (
+      SELECT source, SUM(len(str_split(text, ' '))) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(toks) AS total FROM st)
+    SELECT source,
+           CAST(toks AS BIGINT) AS src_tokens,
+           ROUND(toks / total, 6) AS natural_frac,
+           ROUND(LEAST(2.0, 0.25 * total / toks), 4) AS epochs_at_budget
+    FROM st, tot
+    ORDER BY source
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: per-source token inventory, natural
+    sampling fraction, and the repetition factor (epochs) needed to
+    fill a uniform per-source budget of 25% of the corpus — capped at
+    2 epochs per the data-constrained scaling recipe (repeating data
+    beyond a few epochs stops helping). One aggregation over the
+    corpus; the totals row broadcasts. This is the planning query a
+    mixture-weighting job runs before sampling."""
+    d = load(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks")
+    )
+    tot = st.agg(F.sum("toks").alias("total"))
+    return (
+        st.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("toks").alias("src_tokens"),
+            F.round(F.col("toks") / F.col("total"), 6).alias("natural_frac"),
+            F.round(
+                F.least(F.lit(2.0), 0.25 * F.col("total") / F.col("toks")), 4
+            ).alias("epochs_at_budget"),
+        )
+        .orderBy("source")
+    )

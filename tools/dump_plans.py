@@ -62,6 +62,24 @@ SHOWCASE = {
         "BroadcastNestedLoopJoin on the 1-row query vector; "
         "TakeOrderedAndProject top-k"
     ),
+    "dedup_near_minhash": (
+        "probe reads ONLY the staged signature parquet (no documents "
+        "scan, no shingle recompute); column pruning splits the reads — "
+        "band join scans (doc_id, h*), verify scans (doc_id, sh)"
+    ),
+    "ann_ivf_partitioned": (
+        "PartitionFilters: cell IN (nprobe ids) on the written IVF "
+        "layout — the scan lists only the probed cell directories"
+    ),
+    "q4_order_priority": (
+        "EXISTS as ONE left-semi hash join on l_orderkey with the "
+        "cross-table date comparison as residual — no fan-out+distinct"
+    ),
+    "q21_waiting_supplier": (
+        "semi join (multi-supplier orders) + anti self-join of the "
+        "late set, both hashed on l_orderkey with the supplier "
+        "inequality as residual"
+    ),
 }
 
 
