@@ -45,6 +45,11 @@ EXTRAS = {
     "q6_pushdown": "q6_forecast_revenue",
     "merge_upsert": "merge_upsert",
     "doc_chunking": "doc_chunk_overlap",
+    # round-2 additions: heaviest new shapes (no anchor yet — their r02
+    # numbers become the anchor, same adoption rule as the r01 extras)
+    "q21_semi_anti": "q21_waiting_supplier",
+    "ann_ivf_pruned": "ann_ivf_partitioned",
+    "unigram_logprob": "text_unigram_logprob",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
