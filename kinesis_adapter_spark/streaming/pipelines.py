@@ -616,3 +616,153 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("day", F.col("n").desc(), "event_type")
     )
+
+
+def _minhash_maintain_oracle() -> str:
+    from kinesis_adapter_spark.operators.llmops import NGRAM_JACCARD_ORACLE
+
+    return NGRAM_JACCARD_ORACLE
+
+
+@query("stream_minhash_maintain", _minhash_maintain_oracle())
+def stream_minhash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL signature-table maintenance — the streaming half of
+    the minhash dedup story (the batch half materializes the table
+    once; this key shows new documents ARRIVING and the artifact
+    growing without ever reprocessing old text):
+
+    - the corpus lands in 3 micro-batches (file source, 1 file per
+      trigger); foreachBatch computes each NEW doc's shingle set and
+      32 min-hashes — a pure per-document function of its own text, so
+      the maintenance job never touches previously-indexed documents —
+      and APPENDS the rows to the signature parquet;
+    - the dedup query then runs against the maintained artifact alone:
+      the stop-shingle list is derived from the STORED sets (df over
+      the artifact, cap = max(5, 1% of indexed docs) — same formula as
+      the batch path), band keys derive from the stored min-hashes,
+      and candidates get the exact capped-Jaccard verify.
+
+    Signatures are stored uncapped (per-doc, append-safe); capping is
+    applied at query time from the artifact, which is what makes the
+    maintenance incremental — a shingle crossing the stop threshold
+    changes no stored row, only the derived stop-list. Banding on
+    uncapped signatures costs some false candidates (boilerplate
+    buckets); the exact verify removes them, so the final pair list
+    still equals the batch truth and shares the brute-force Jaccard
+    SQL oracle. At 100 TB the stop-list derivation is a count over the
+    signature table (shingle-df table maintained as its own rollup),
+    never a text re-scan."""
+    from kinesis_adapter_spark.operators.llmops import (
+        N_BANDS,
+        N_HASHES,
+        STOP_SHINGLE_ABS,
+        STOP_SHINGLE_FRAC,
+        shingled,
+    )
+
+    import pyarrow.parquet as pq
+
+    work = Path(tempfile.mkdtemp(prefix="kas_mhstream_"))
+    src = work / "src"
+    src.mkdir()
+    sig_path = str(work / "signatures")
+
+    # Stage the near-dup fixture (docs + every-7th mutated re-tag) as 3
+    # NDJSON arrival batches split by doc_id % 3 — same corpus as the
+    # batch keys, so the oracle is shared verbatim.
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    fixture = [(d, t) for d, t in rows]
+    fixture += [
+        (d + 2_000_000, " ".join(t.split(" ")[:-2])) for d, t in rows if d % 7 == 0
+    ]
+    for b in range(3):
+        (src / f"arrivals_{b}.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t})
+                for d, t in fixture
+                if d % 3 == b
+            )
+        )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # per-doc signature rows: (doc_id, sh, h0..h31) — no cross-doc
+        # dependency, so the append is replay-safe per batch_id
+        (
+            shingled(batch_df, exploded=True)
+            .groupBy("doc_id")
+            .agg(
+                F.collect_set("s").alias("sh"),
+                *[
+                    F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+                    for i in range(N_HASHES)
+                ],
+            )
+            .write.mode("append")
+            .parquet(sig_path)
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # ---- dedup query over the maintained artifact only ----
+    sig = spark.read.parquet(sig_path)
+    n = sig.select(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(
+        F.lit(STOP_SHINGLE_ABS), F.ceil(F.col("n_docs") * STOP_SHINGLE_FRAC)
+    )
+    stop = (
+        sig.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    capped = (
+        sig.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(stop), "s", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = capped.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    c = F.size(F.array_intersect("sa", "sb"))
+    jac = c / (F.size("sa") + F.size("sb") - c)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
