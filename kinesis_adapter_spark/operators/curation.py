@@ -382,3 +382,68 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster_fp", "cluster_size", "quality")
     )
+
+
+@query(
+    "fuzzy_match_names",
+    """
+    WITH names AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    variants AS (
+      SELECT id, name, v
+      FROM names,
+           LATERAL (
+             SELECT unnest(list_prepend(name,
+               list_transform(generate_series(1, len(name)),
+                 i -> substr(name, 1, i - 1) || substr(name, i + 1)))) AS v
+           )
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.name AS name_a, b.name AS name_b
+      FROM variants a JOIN variants b ON a.v = b.v AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join by DELETION-NEIGHBORHOOD blocking
+    (the SymSpell/FastSS technique): every name emits itself plus its
+    single-character deletions; two names within edit distance 1 are
+    GUARANTEED to share a variant, so the equi-self-join on the variant
+    finds all candidates without any O(n²) comparison, and an exact
+    levenshtein verify filters the survivors. At 100 TB the variant
+    table is ~|name|× the roster (linear), the join shuffles on the
+    variant hash, and the quadratic blowup a naive theta-join would
+    hit never exists — the same blocked-join discipline as every
+    near-dup operator in this engine. Distance-k generalizes with
+    k-deletion neighborhoods."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("name")),
+        lambda i: F.concat(
+            F.col("name").substr(F.lit(1), i - 1),
+            F.col("name").substr(i + 1, F.length("name")),
+        ),
+    )
+    variants = c.select(
+        "id", "name", F.explode(F.array_prepend(dels, F.col("name"))).alias("v")
+    )
+    a = variants.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "v"
+    )
+    b = variants.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "v"
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -10,7 +10,7 @@ DuckDB reads parquet NANOS at µs precision.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.catalog import load
@@ -311,4 +311,138 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(intercept, 4).alias("intercept"),
         )
         .orderBy("event_type")
+    )
+
+
+_PR_ITERS = 5
+_PR_SQL = (
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (SELECT src AS node, 1.0 AS r FROM deg)
+    """
+    + "".join(
+        f""",
+    pr{k} AS (
+      SELECT e.dst AS node, 0.15 + 0.85 * SUM(p.r / d.outdeg) AS r
+      FROM edges e
+      JOIN pr{k - 1} p ON p.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+        for k in range(1, _PR_ITERS + 1)
+    )
+    + f"""
+    SELECT node, ROUND(r, 6) AS pagerank
+    FROM pr{_PR_ITERS}
+    ORDER BY node
+    """
+)
+
+
+@query("graph_pagerank", _PR_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (5 rounds, damping 0.85) over the
+    bipartite customer↔supplier trade graph — the iterative-algorithm
+    pattern on Spark: the driver-side Python loop UNROLLS a bounded
+    iteration count into one declarative plan (join ranks→edges,
+    re-aggregate per destination), exactly mirrored by the unrolled
+    CTE chain the oracle runs — both sides are generated from the same
+    loop, so the dataflow is identical by construction.
+
+    Scale notes: each iteration is one shuffle of (node, contribution)
+    pairs — the edge relation is computed once and re-read (persist it
+    at scale); for unbounded iteration counts truncate the growing
+    lineage every ~10 rounds with localCheckpoint, and handle degree
+    skew with the salted-join pattern (join_salted_skew). Undirected
+    bipartite edges mean no dangling-mass correction is needed — every
+    node has outdegree ≥ 1."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg((F.lit(0.15) + 0.85 * F.sum(F.col("r") / F.col("outdeg"))).alias("r"))
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select("node", F.round("r", 6).alias("pagerank")).orderBy("node")
+
+
+@query(
+    "pattern_detect_sequence",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             lag(event_type, 2) OVER w AS p2,
+             lag(event_type, 1) OVER w AS p1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(MIN(event_id) AS BIGINT) AS first_purchase_event
+    FROM seq
+    WHERE p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def pattern_detect_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE shape
+    without MATCH_RECOGNIZE): find users with a CONSECUTIVE
+    view→click→purchase triple in their per-user event order. Two
+    lags over one (user_id → ts, event_id) window — Spark satisfies
+    both from a single exchange+sort, so pattern length k costs k-1
+    lag columns, never extra shuffles. The event_id tiebreak pins
+    duplicate-timestamp ordering across engines (module determinism
+    rule). This contiguous-subsequence shape complements
+    funnel_conversion's any-order-stage shape."""
+    from kinesis_adapter_spark.catalog import events_with_time
+
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+    )
+    return (
+        seq.filter(
+            (F.col("p2") == "view")
+            & (F.col("p1") == "click")
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.min("event_id").alias("first_purchase_event"),
+        )
+        .orderBy("user_id")
     )

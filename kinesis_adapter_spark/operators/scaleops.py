@@ -277,3 +277,102 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "compact_small_files",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files compaction job — the #1 operational chore of an
+    S3 data lake (streaming sinks drip thousands of KB-sized files;
+    every downstream scan then pays per-file open/list overhead).
+    Stages a deliberately fragmented copy of lineitem (64 shards),
+    compacts it to 4 right-sized files with a single repartition
+    write, and returns an aggregate computed FROM THE COMPACTED COPY —
+    oracled against the original table, proving compaction is
+    byte-lossless. File-count before/after is pinned in pytest. At
+    100 TB this runs per-partition-directory with maxRecordsPerFile
+    targeting ~1 GB objects; coalesce() would skip the shuffle but
+    inherits upstream skew — repartition pays one shuffle for even
+    output sizes."""
+    import os
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    root = f"{tempfile.gettempdir()}/kas_compact_{sf_tag}_{os.getpid()}"
+    frag, compacted = f"{root}/fragmented", f"{root}/compacted"
+    if not os.path.exists(f"{compacted}/_SUCCESS"):
+        li = load(spark, sf_dir, "lineitem")
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+            compacted
+        )
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# 8-bit × 8-bit Morton (Z-order) interleave, generated ONCE and shared
+# verbatim by the Spark expression and the DuckDB oracle so both
+# engines compute the identical key.
+_Z_BITS = 8
+_ZKEY_SQL = " + ".join(
+    f"(((o_custkey % 256) >> {i} & 1) << {2 * i}) + "
+    f"(((o_orderkey % 256) >> {i} & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@query(
+    "cluster_zorder",
+    f"""
+    SELECT o_orderkey, o_custkey, CAST({_ZKEY_SQL} AS BIGINT) AS zkey
+    FROM orders
+    ORDER BY zkey, o_orderkey
+    LIMIT 50
+    """,
+)
+def cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering: interleave the bits of two filter
+    columns into one sort key, range-partition + sort the table by it,
+    and write — every output file then covers a small rectangle in
+    (custkey, orderkey) space, so parquet row-group min/max stats let
+    scans with a predicate on EITHER column skip most files (a linear
+    sort localizes only its leading column). The layout win is pinned
+    in pytest by reading the written files' per-file column ranges;
+    the oracled result is the z-key computation itself (top-50 by key,
+    bit-identical across engines — the expression string is shared).
+    At 100 TB this is the OPTIMIZE/ZORDER job table formats run after
+    ingest; 8 bits per dimension is the standard truncation."""
+    import os
+
+    o = load(spark, sf_dir, "orders")
+    zkey = F.expr(_ZKEY_SQL).cast("bigint")
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    path = f"{tempfile.gettempdir()}/kas_zorder_{sf_tag}_{os.getpid()}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            o.withColumn("zkey", zkey)
+            .repartitionByRange(8, "zkey")
+            .sortWithinPartitions("zkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .select("o_orderkey", "o_custkey", "zkey")
+        .orderBy("zkey", "o_orderkey")
+        .limit(50)
+    )

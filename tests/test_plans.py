@@ -224,6 +224,53 @@ def test_salted_join_shuffles_on_composite_key_when_not_broadcastable(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_compaction_reduces_file_count_losslessly(spark):
+    """compact_small_files: 64 fragments in, ≤4 right-sized files out,
+    zero rows lost (row-count equality is the cheap invariant here; the
+    oracle already proves value equality)."""
+    import os
+    from pathlib import Path
+
+    QUERIES["compact_small_files"](spark, SF_TEST).collect()  # stage
+    import tempfile
+
+    sf_tag = SF_TEST.rstrip("/").split("/")[-1].replace(".", "_")
+    root = Path(tempfile.gettempdir()) / f"kas_compact_{sf_tag}_{os.getpid()}"
+    frag = len(list((root / "fragmented").glob("part-*.parquet")))
+    comp = len(list((root / "compacted").glob("part-*.parquet")))
+    assert frag == 64 and comp <= 4, (frag, comp)
+    n_orig = spark.read.parquet(f"{SF_TEST}/lineitem.parquet").count()
+    n_comp = spark.read.parquet(str(root / "compacted")).count()
+    assert n_orig == n_comp
+
+
+def test_zorder_localizes_both_dimensions(spark):
+    """cluster_zorder: every written file must cover a narrow range of
+    BOTH interleaved columns' low bytes (a linear sort would localize
+    only its leading column — the trailing column's per-file range
+    would stay ~full-width). Verified from the files' actual contents,
+    the same min/max the parquet row-group stats expose to skipping."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+    from pathlib import Path
+
+    QUERIES["cluster_zorder"](spark, SF_TEST).collect()  # stage layout
+    sf_tag = SF_TEST.rstrip("/").split("/")[-1].replace(".", "_")
+    root = Path(tempfile.gettempdir()) / f"kas_zorder_{sf_tag}_{os.getpid()}"
+    spans = {"o_custkey": [], "o_orderkey": []}
+    for f in root.glob("part-*.parquet"):
+        t = pq_.read_table(f, columns=["o_custkey", "o_orderkey"])
+        for col in spans:
+            vals = [v % 256 for v in t.column(col).to_pylist()]
+            spans[col].append(max(vals) - min(vals))
+    assert len(spans["o_custkey"]) >= 4
+    for col, widths in spans.items():
+        avg = sum(widths) / len(widths)
+        assert avg < 0.75 * 255, (col, widths)  # localized, not full-width
+
+
 def test_q4_exists_plans_as_semi_join_with_residual(spark):
     """q4's EXISTS must become ONE left-semi hash join on l_orderkey
     with the cross-table date comparison as its residual — not an
