@@ -126,3 +126,39 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).alias("late"),
     ).distinct()
+
+
+@query(
+    "observed_quality_gate",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars >= 50 AND lang IS NOT NULL
+    """,
+)
+def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate with ZERO-COST observability: the filter drops
+    short/lang-less docs, and ``df.observe`` attaches accumulator-style
+    metrics (rows seen, rows kept, null-lang count, char sum) that are
+    collected DURING the one pass — no second scan, no count() jobs.
+    This is how a production pipeline emits its data-quality counters;
+    the observation's values are asserted in pytest
+    (tests/test_quality.py::test_observe_metrics_match_data). At
+    100 TB observe is the only affordable way to audit a pipeline —
+    every .count() audit doubles the scan bill."""
+    from pyspark.sql import Observation
+
+    d = load(spark, sf_dir, "documents")
+    obs = Observation("quality_gate")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("null_lang"),
+        F.sum("n_chars").alias("chars_seen"),
+    )
+    out = observed.filter((F.col("n_chars") >= 50) & F.col("lang").isNotNull()).select(
+        "doc_id", "lang", "n_chars"
+    )
+    # stash the Observation for the test to read after the action runs
+    observed_quality_gate.last_observation = obs
+    return out

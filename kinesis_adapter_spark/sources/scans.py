@@ -448,3 +448,37 @@ def scan_parquet_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "source_python_datasource",
+    """
+    SELECT CAST(g // 250 AS INT) AS pid,
+           CAST(g AS INT) AS gid,
+           (g * 7 % 1000) / 4.0 AS val
+    FROM generate_series(0, 999) t(g)
+    ORDER BY gid
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a CUSTOM Python DataSource (Spark 4
+    pyspark.sql.datasource API, sources/python_source.py): 4
+    InputPartitions × 250 rows of a deterministic synthetic feed,
+    executed partition-parallel as Arrow-batched Python tasks. The
+    oracle recomputes the identical rows from generate_series, so the
+    hash match proves the custom source's partitioning covers the row
+    space exactly once with no gaps or overlaps — the correctness
+    contract any source plugin must meet."""
+    from kinesis_adapter_spark.sources.python_source import RangeFeedDataSource
+
+    try:
+        spark.dataSource.register(RangeFeedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("kas_feed")
+        .option("partitions", "4")
+        .option("rows", "250")
+        .load()
+        .orderBy("gid")
+    )

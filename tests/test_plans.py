@@ -224,6 +224,23 @@ def test_salted_join_shuffles_on_composite_key_when_not_broadcastable(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_aqe_coalesces_small_shuffles(spark):
+    """With an oversized static shuffle-partition count, AQE must
+    coalesce the post-shuffle partitions at runtime (AQEShuffleRead
+    coalesced) — the mechanism that lets a 100 TB job set partitions
+    high for the big stages and still not drown small stages in empty
+    tasks. This pins that our sessions actually run with AQE active."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        plan = plan_of(spark, "agg_having", executed=True)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "AQEShuffleRead" in final, final[:3000]
+        assert "coalesced" in final, final[:3000]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_compaction_reduces_file_count_losslessly(spark):
     """compact_small_files: 64 fragments in, ≤4 right-sized files out,
     zero rows lost (row-count equality is the cheap invariant here; the

@@ -99,6 +99,28 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.7, f"IVF recall@10 = {recall}"
 
 
+def test_observe_metrics_match_data(spark):
+    """observed_quality_gate: the observe() metrics collected during
+    the single pass must equal independently-computed ground truth —
+    rows_seen = full table count, chars_seen = full char sum."""
+    from kinesis_adapter_spark.operators.projections import observed_quality_gate
+
+    QUERIES["observed_quality_gate"](spark, SF_TEST).collect()
+    obs = observed_quality_gate.last_observation.get
+    truth = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("nulls"),
+        )
+        .collect()[0]
+    )
+    assert obs["rows_seen"] == truth["n"]
+    assert obs["chars_seen"] == truth["chars"]
+    assert obs["null_lang"] == truth["nulls"]
+
+
 def test_ivf_partitioned_probe_matches_inflight_ivf(spark):
     """The written-layout probe (ann_ivf_partitioned) and the in-flight
     probe (ann_ivf_topk) share the Lloyd assignment, so they must
