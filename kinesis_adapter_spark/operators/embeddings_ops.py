@@ -438,12 +438,11 @@ def multimodal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scaled AS (
       SELECT vec_id, label, embedding,
-             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-               AS scale
+             ROUND(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 6) AS scale
       FROM embeddings
     )
-    SELECT vec_id, label,
-           ROUND(scale, 6) AS scale,
+    SELECT vec_id, label, scale,
            list_transform(embedding,
                           x -> CAST(round(CAST(x AS DOUBLE) / scale * 127)
                                     AS INTEGER)) AS q
@@ -459,17 +458,26 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no UDF, map-only, zero shuffle at any scale. All arithmetic is
     explicitly cast float32→double BEFORE dividing so Spark and the
     oracle round the same IEEE values (float-precision division
-    diverges in the last ulp). Zero vectors (scale=0) are excluded
-    rather than divided by."""
+    diverges in the last ulp), and the divisor is the PUBLISHED
+    (6-digit-rounded) scale on both engines — a dequantizer only ever
+    sees the published scale, so quantizing against anything else
+    would be wrong AND is a cross-engine trap: with an unrounded
+    divisor here, Spark's lateral-column-alias resolution silently
+    bound the lambda's `scale` to the rounded select-list alias while
+    the oracle divided by the raw max, and one sf0.001 vector landed
+    inside the ~1e-6 disagreement window (q = -56 vs -57). Zero
+    vectors (scale=0) are excluded rather than divided by."""
     e = load(spark, sf_dir, "embeddings")
     scaled = e.withColumn(
         "scale",
-        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))), 6
+        ),
     ).filter(F.col("scale") > 0)
     return scaled.select(
         "vec_id",
         "label",
-        F.round("scale", 6).alias("scale"),
+        "scale",
         F.transform(
             "embedding",
             lambda x: F.round(x.cast("double") / F.col("scale") * 127).cast("int"),

@@ -446,3 +446,66 @@ def pattern_detect_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "crosstab_association",
+    """
+    WITH obs AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY seg, pri
+    ),
+    tot AS (
+      SELECT SUM(n) AS total FROM obs
+    ),
+    margins AS (
+      SELECT o.seg, o.pri, o.n,
+             SUM(o.n) OVER (PARTITION BY o.seg) AS row_n,
+             SUM(o.n) OVER (PARTITION BY o.pri) AS col_n
+      FROM obs o
+    )
+    SELECT seg, pri, n,
+           ROUND(row_n * col_n / total, 6) AS expected,
+           ROUND(POW(n - row_n * col_n / total, 2)
+                 / (row_n * col_n / total), 6) AS chi2_term
+    FROM margins, tot
+    ORDER BY seg, pri
+    """,
+)
+def crosstab_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table association audit (the χ² decomposition):
+    observed vs expected counts for segment × priority, with each
+    cell's χ² contribution — the standard "is this categorical pair
+    independent" screen a feature-selection pass runs. One count
+    aggregate produces the table; the margins are windows over the
+    TINY aggregated grid (|seg|×|pri| rows), never over the fact; the
+    grand total broadcasts. At 100 TB the only data-sized work is the
+    first groupBy."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    wr = Window.partitionBy("seg")
+    wc = Window.partitionBy("pri")
+    expected = F.col("row_n") * F.col("col_n") / F.col("total")
+    return (
+        obs.withColumn("row_n", F.sum("n").over(wr))
+        .withColumn("col_n", F.sum("n").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "pri",
+            "n",
+            F.round(expected, 6).alias("expected"),
+            F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias("chi2_term"),
+        )
+        .orderBy("seg", "pri")
+    )

@@ -445,3 +445,48 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("lm.mprice")).alias("last_totalprice"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderstatus END AS k
+      FROM orders WHERE o_orderkey < 500
+    ),
+    b AS (
+      SELECT CASE WHEN s_suppkey % 4 = 0 THEN NULL ELSE 'O' END AS k,
+             s_suppkey
+      FROM supplier
+    )
+    SELECT a.o_orderkey, b.s_suppkey, COALESCE(a.k, '<null>') AS k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantic
+    corner that separates "join on dirty keys" from "lose every row a
+    cleaning step nulled". Spark plans eqNullSafe as a hash join on
+    the null-safe key (knownfloatingpointnormalized coalesce trick),
+    so it scales like any equi join; the ordinary `=` join would
+    discard both sides' NULL rows and no row count would warn you."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("ka"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    b = s.select(
+        F.when(F.col("s_suppkey") % 4 == 0, None).otherwise(F.lit("O")).alias("kb"),
+        "s_suppkey",
+    )
+    return (
+        a.join(b, a.ka.eqNullSafe(b.kb))
+        .select(
+            "o_orderkey", "s_suppkey", F.coalesce(F.col("ka"), F.lit("<null>")).alias("k")
+        )
+    )

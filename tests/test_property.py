@@ -102,3 +102,36 @@ def test_random_grouped_aggregates_agree(spark, duck, orders, pred, key):
     }
     want = {tuple(r) for r in duck.execute(sql).fetchall()}
     assert got == want, sql
+
+
+@settings(
+    max_examples=20, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(x=st.integers(0, 10**9), y=st.integers(0, 10**9))
+def test_zorder_key_formula_agrees(spark, duck, x, y):
+    """The Morton-interleave expression (cluster_zorder) must compute
+    bit-identically across engines for arbitrary key values — the
+    z-key is a layout contract, so a single differing bit silently
+    reorders the written files."""
+    from kinesis_adapter_spark.operators.scaleops import _ZKEY_SQL
+
+    expr = _ZKEY_SQL.replace("o_custkey", str(x)).replace("o_orderkey", str(y))
+    z_spark = spark.sql(f"SELECT CAST({expr} AS BIGINT) AS z").collect()[0]["z"]
+    z_duck = duck.execute(f"SELECT CAST({expr} AS BIGINT)").fetchone()[0]
+    assert z_spark == z_duck, (x, y, expr)
+
+
+@settings(
+    max_examples=20, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    a=st.text(alphabet="abcde", min_size=0, max_size=8),
+    b=st.text(alphabet="abcde", min_size=0, max_size=8),
+)
+def test_levenshtein_agrees(spark, duck, a, b):
+    """fuzzy_match_names verifies candidates with levenshtein on both
+    engines — the distance function itself must agree on arbitrary
+    strings (insertions, deletions, substitutions, empty edges)."""
+    d_spark = spark.sql(f"SELECT levenshtein('{a}', '{b}') AS d").collect()[0]["d"]
+    d_duck = duck.execute(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+    assert d_spark == d_duck, (a, b)
