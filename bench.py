@@ -71,6 +71,10 @@ ANCHORS = {
     "q6_pushdown": 0.2426,
     "merge_upsert": 1.0017,
     "doc_chunking": 0.3766,
+    # round-2 additions, anchored at their r02 measurements (BASELINE.md)
+    "q21_semi_anti": 1.09,
+    "ann_ivf_pruned": 0.5454,
+    "unigram_logprob": 0.3953,
 }
 
 

@@ -572,3 +572,36 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_bucket", F.col("event_type").alias("top_type"), "n")
         .orderBy("user_bucket")
     )
+
+
+@query("agg_hll_mergeable")  # T3: sketch bytes are engine-specific — ±5% gate in pytest
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Datasketches HLL): per-
+    event-type sketches built in one pass, then UNIONED to the global
+    estimate without touching raw data again — the property that makes
+    multi-tier rollups (hour → day → month) and cross-partition
+    distinct counts affordable at 100 TB. count_distinct cannot
+    re-aggregate (distinct-of-sums ≠ sum-of-distincts); sketch bytes
+    can: store the per-tier sketch column, union upward, estimate at
+    read. Output: per-type estimates + the unioned global estimate,
+    each next to its exact truth (the pytest gate bounds the error;
+    the sketch binary itself is engine-specific, hence no SQL
+    oracle)."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    per_est = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("estimate"),
+        "exact",
+    )
+    glob = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "estimate",
+        F.lit(None).cast("bigint").alias("exact"),
+    )
+    return per_est.unionByName(glob).orderBy("event_type")

@@ -99,6 +99,30 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.7, f"IVF recall@10 = {recall}"
 
 
+def test_hll_mergeable_estimates_within_tolerance(spark):
+    """agg_hll_mergeable: every per-type estimate within ±5% of its
+    exact count, and the UNIONED global estimate within ±5% of the
+    true global distinct — the union must not double-count users
+    active in several event types."""
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_hll_mergeable"](spark, SF_TEST).collect()
+    }
+    for et, r in rows.items():
+        if et == "__all__":
+            continue
+        assert abs(r["estimate"] - r["exact"]) <= 0.05 * r["exact"], r
+    truth = (
+        spark.read.parquet(f"{SF_TEST}/events.parquet")
+        .select(F.count_distinct("user_id").alias("n"))
+        .collect()[0]["n"]
+    )
+    glob = rows["__all__"]["estimate"]
+    assert abs(glob - truth) <= 0.05 * truth, (glob, truth)
+    # union ≪ sum of per-type counts (users overlap across types)
+    assert glob < sum(r["exact"] for et, r in rows.items() if et != "__all__")
+
+
 def test_observe_metrics_match_data(spark):
     """observed_quality_gate: the observe() metrics collected during
     the single pass must equal independently-computed ground truth —
