@@ -447,3 +447,67 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
         .filter(F.col("dist") <= 1)
     )
+
+
+@query(
+    "delete_propagate",
+    """
+    WITH tomb AS (
+      SELECT doc_id FROM documents WHERE source IN ('src0', 'src13')
+    )
+    SELECT 'documents' AS dataset,
+           (SELECT COUNT(*) FROM documents) AS n_before,
+           (SELECT COUNT(*) FROM documents
+             WHERE doc_id IN (SELECT doc_id FROM tomb)) AS n_purged,
+           (SELECT COUNT(*) FROM documents
+             WHERE doc_id NOT IN (SELECT doc_id FROM tomb)) AS n_after
+    UNION ALL
+    SELECT 'embeddings',
+           (SELECT COUNT(*) FROM embeddings),
+           (SELECT COUNT(*) FROM embeddings
+             WHERE vec_id IN (SELECT doc_id FROM tomb)),
+           (SELECT COUNT(*) FROM embeddings
+             WHERE vec_id NOT IN (SELECT doc_id FROM tomb))
+    ORDER BY dataset
+    """,
+)
+def delete_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten / takedown propagation: a tombstone list
+    of doc_ids (here: two sources that requested removal) is purged
+    from the base corpus AND every derived table keyed by it — the
+    audit report per dataset is (n_before, n_purged, n_after).
+
+    The tombstone set is always ≪ the lake, so it broadcasts and each
+    table is purged in ONE map-side anti-join pass — no shuffle of the
+    100 TB side, embarrassingly parallel across tables. The same
+    single-pass left join computes kept and purged counts together
+    (count(_t) counts only tombstone matches), so audit + purge share
+    one scan. On a real lake the kept rows are what gets rewritten
+    (or recorded as deletion vectors in the table format); the purge
+    plan is identical."""
+    # Distinct alias avoids the ambiguous-self-join trap: the tombstone
+    # list derives from the same (memoized) documents scan it purges.
+    tomb = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src13"))
+        .select(F.col("doc_id").alias("t_doc_id"), F.lit(1).alias("_t"))
+    )
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        joined = df.join(
+            F.broadcast(tomb), on=F.col(key) == F.col("t_doc_id"), how="left"
+        )
+        return joined.agg(
+            F.lit(name).alias("dataset"),
+            F.count(F.lit(1)).alias("n_before"),
+            F.count("_t").alias("n_purged"),
+            (F.count(F.lit(1)) - F.count("_t")).alias("n_after"),
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    return (
+        audit(docs, "doc_id", "documents")
+        .unionByName(audit(embs, "vec_id", "embeddings"))
+        .orderBy("dataset")
+    )

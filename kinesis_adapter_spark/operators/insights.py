@@ -509,3 +509,103 @@ def crosstab_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "pri")
     )
+
+
+@query(
+    "ts_decay_sum",
+    """
+    WITH ref AS (SELECT MAX(epoch_ns(ts)) AS t_ref FROM events)
+    SELECT event_type,
+           ROUND(SUM(exp(-(CAST(ref.t_ref - epoch_ns(ts) AS DOUBLE)
+                           / 604800000000000.0))), 5) AS decayed_n,
+           ROUND(SUM(value * exp(-(CAST(ref.t_ref - epoch_ns(ts) AS DOUBLE)
+                                   / 604800000000000.0))), 4) AS decayed_value,
+           CAST(COUNT(*) AS BIGINT) AS raw_n
+    FROM events CROSS JOIN ref
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed counters (half-life style, τ = 7
+    days): each event contributes exp(-Δt/τ) at the reference instant
+    (the newest event), so "recent activity" scores never need a hard
+    window cutoff. This is the decayed-count pattern behind trending /
+    freshness ranking; the key property at scale is that the decayed
+    sum is a plain distributive aggregate — partial-agg before the
+    exchange, one shuffle of (type, partial) pairs, and it re-ages
+    cheaply: multiplying a stored sum by exp(-Δ/τ) advances its
+    reference time without touching raw data.
+
+    ts is int64 ns Spark-side (nanosAsLong), µs-truncated to match
+    DuckDB's µs parquet read (same convention as scd2_intervals)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_ns", F.col("ts") - F.col("ts") % 1000
+    )
+    ref = ev.agg(F.max("ts_ns").alias("t_ref"))
+    tau = F.lit(604_800_000_000_000.0)  # 7 days in ns
+    decay = F.exp(-((F.col("t_ref") - F.col("ts_ns")).cast("double") / tau))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(decay), 5).alias("decayed_n"),
+            F.round(F.sum(F.col("value") * decay), 4).alias("decayed_value"),
+            F.count(F.lit(1)).alias("raw_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hour_idx
+    ),
+    stats AS (
+      SELECT *, AVG(n) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(n) OVER (PARTITION BY event_type) AS sigma
+      FROM hourly
+    )
+    SELECT event_type, hour_idx, n, ROUND((n - mu) / sigma, 4) AS z
+    FROM stats
+    WHERE abs((n - mu) / sigma) > 2
+    ORDER BY event_type, hour_idx
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: bucket events into hours, then flag
+    hours whose count sits more than 2σ from that type's mean — the
+    standard ops-monitoring shape (traffic spikes, outage troughs).
+
+    Two-level plan: the hourly rollup is a partial-aggregated shuffle
+    on (type, hour); the per-type stats are a window over the ROLLED-UP
+    grid (≈ types × hours rows, thousands of times smaller than the
+    event log), so the second shuffle is negligible. At 100 TB the
+    rollup tier is exactly the continuous-aggregate table
+    (rollup_two_tier) and anomaly scoring reads only that tier —
+    never raw events. Hour bucketing uses integer division of the ns
+    epoch (exact on both engines, no float boundary risk)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_idx", F.expr("ts div 3600000000000"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter(F.abs(z) > 2)
+        .select("event_type", "hour_idx", "n", F.round(z, 4).alias("z"))
+        .orderBy("event_type", "hour_idx")
+    )

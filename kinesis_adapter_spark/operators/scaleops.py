@@ -324,6 +324,74 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dpp_layout_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per process) orders written ``partitionBy(
+    "o_orderpriority")`` — the directory-per-value layout dynamic
+    partition pruning needs. Per-process staging avoids cross-process
+    overwrite races (same rationale as the bucketed-join tables)."""
+    import os
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    path = f"{tempfile.gettempdir()}/kas_dpp_{sf_tag}_{os.getpid()}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+    return path
+
+
+@query(
+    "join_dpp_prune",
+    """
+    WITH dim AS (
+      SELECT o_orderpriority, AVG(o_totalprice) AS avg_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+    WHERE d.avg_price > 250000.0
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — Spark's runtime filter. The fact
+    table is written partitioned by the join key (one directory per
+    o_orderpriority); the dim side keeps only priorities whose AVERAGE
+    price clears a threshold — a predicate on an aggregate the fact
+    rows don't carry, so it cannot be statically inferred through the
+    join key and pushed to the fact scan. Catalyst instead injects a
+    ``dynamicpruningexpression`` subquery into the fact scan's
+    PartitionFilters: the dim side is evaluated first and the fact
+    scan then lists/reads ONLY the surviving directories (plan pinned
+    in tests/test_plans.py; note DPP's insertion heuristic also
+    requires the build side to carry a literal comparison —
+    ``isLikelySelective`` — which the threshold provides). At 100 TB
+    with a date/tenant-partitioned fact this is the difference between
+    scanning 2 partitions and scanning 2000 — no manual filter
+    threading required. Result is exact, oracled against the
+    unpartitioned formulation."""
+    fact = spark.read.parquet(_dpp_layout_path(spark, sf_dir))
+    o = load(spark, sf_dir, "orders")
+    dim = (
+        o.groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("avg_price"))
+        .filter(F.col("avg_price") > 250000.0)
+        .select("o_orderpriority")
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # 8-bit × 8-bit Morton (Z-order) interleave, generated ONCE and shared
 # verbatim by the Spark expression and the DuckDB oracle so both
 # engines compute the identical key.

@@ -369,3 +369,16 @@ def test_minhash_signature_table_materialized(spark):
     sig_scans = [s for s in schemas if "h0" in s or "sh" in s]
     assert any("sh" not in s for s in sig_scans), schemas
     assert any("sh" in s and "h0" not in s for s in sig_scans), schemas
+
+
+def test_dpp_injects_dynamic_pruning_into_fact_scan(spark):
+    """join_dpp_prune: the dim filter (avg price > global avg) is not
+    inferable from the join key, so the only way the fact scan can
+    skip directories is Spark's dynamic partition pruning subquery.
+    Pin that it fired: the partitioned fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters."""
+    df = QUERIES["join_dpp_prune"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().optimizedPlan().toString() + plan_of(
+        spark, "join_dpp_prune"
+    )
+    assert "dynamicpruning" in plan, plan[:3000]
