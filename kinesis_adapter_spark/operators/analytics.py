@@ -904,3 +904,50 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# Fixed-bin bucket expression shared VERBATIM by Spark and the oracle
+# (DuckDB has no width_bucket): 25 equal bins over [0,500), Postgres
+# width_bucket semantics (0 below range, n+1 above). 500/25 = 20.0 is
+# exact in binary, so the division is bit-identical across engines.
+_HIST_BUCKET_SQL = (
+    "CAST(CASE WHEN value < 0.0 THEN 0 WHEN value >= 500.0 THEN 26 "
+    "ELSE CAST(floor(value / 20.0) AS INT) + 1 END AS INT)"
+)
+
+
+@query(
+    "agg_histogram_fixed",
+    f"""
+    SELECT event_type,
+           {_HIST_BUCKET_SQL} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group — the profiling/monitoring
+    staple. The bucket id (Postgres width_bucket semantics: 25 equal
+    bins over [0,500), bin 0 / 26 for out-of-range; expression shared
+    verbatim with the oracle) is a pure map-side expression, so the
+    whole histogram is ONE partial-aggregated shuffle of (type,
+    bucket) pairs — at
+    100 TB the shuffle carries ≤ |types|·27 rows per map task no
+    matter how many events feed it. Fixed bounds (not data-dependent
+    min/max) are what make the histogram mergeable across days/tiers:
+    the same bins always line up."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.expr(_HIST_BUCKET_SQL))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -241,3 +241,54 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Uniform-in-(0,1) from the first 6 md5 hex chars, built from pure
+# string/arithmetic primitives that behave identically in Spark SQL
+# and DuckDB (instr/substr/md5), generated ONCE and shared verbatim by
+# both engines (same technique as scaleops._ZKEY_SQL).
+_HEXU_SQL = (
+    "(("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    + ") + 0.5) / 16777216.0"
+)
+
+
+@query(
+    "sample_weighted_hash",
+    f"""
+    SELECT doc_id, lang, n_chars,
+           ROUND(ln({_HEXU_SQL}) / n_chars, 8) AS score
+    FROM documents
+    ORDER BY ln({_HEXU_SQL}) / n_chars DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES):
+    each row draws u ~ U(0,1) and is ranked by u^(1/w) — here in the
+    numerically-stable log form ln(u)/w — so the top-k is a weighted
+    sample without replacement with inclusion odds ∝ weight (n_chars:
+    longer documents are preferentially kept — the mixture-sampling
+    step of corpus curation). u comes from md5(doc_id), not rand():
+    membership is a pure function of the key, reproducible across
+    runs, engines, partitionings, and task retries (module-docstring
+    rationale), which is why both engines agree to the row.
+
+    Scale shape: the score is a map-side expression; top-k plans as
+    TakeOrderedAndProject (per-partition heaps + merge of k·P rows),
+    never a global sort. The same score column also supports
+    threshold-based Poisson sampling (keep score > c) when the output
+    must stream."""
+    d = load(spark, sf_dir, "documents")
+    score = F.expr(f"ln({_HEXU_SQL}) / n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", score.alias("score_raw"))
+        .orderBy(F.col("score_raw").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars", F.round("score_raw", 8).alias("score"))
+    )

@@ -382,3 +382,11 @@ def test_dpp_injects_dynamic_pruning_into_fact_scan(spark):
         spark, "join_dpp_prune"
     )
     assert "dynamicpruning" in plan, plan[:3000]
+
+
+def test_weighted_sample_topk_avoids_global_sort(spark):
+    """sample_weighted_hash: the weighted top-k must plan as
+    TakeOrderedAndProject (per-partition heaps), never a full sort of
+    the corpus."""
+    plan = plan_of(spark, "sample_weighted_hash")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

@@ -230,3 +230,4 @@ def test_greedy_packing_invariants(spark):
                 assert prev_totals[rs[i - 1]["pack_id"]] + r["tokens"] > BUDGET, (
                     lang, r["doc_id"],
                 )
+
