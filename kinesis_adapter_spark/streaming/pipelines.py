@@ -766,3 +766,60 @@ def stream_minhash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("stream_hll_rollup")  # T3: sketch estimates — ±5% gate in tests/test_quality.py
+def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL distinct-count maintenance — the streaming twin of
+    agg_hll_mergeable. Each arriving micro-batch (file source, 4 files
+    per trigger) is collapsed to one HLL sketch row per event_type and
+    APPENDED to a sketch-tier parquet; the read-side query unions the
+    stored sketches per type (and globally) and estimates. No raw
+    event is ever reprocessed, and a user appearing in many batches or
+    types is still counted once — the merge property count_distinct
+    lacks. At 100 TB this tier is a few KB per (type, batch): distinct
+    counts over any window of batches become a metadata-sized union
+    instead of a shuffle of user ids. Per-batch sketch rows carry
+    batch_id, so a replayed micro-batch (restart between write and
+    commit) can be deduplicated by (type, batch_id) at read — shown
+    here by a window that keeps one row per key before the union."""
+    from pyspark.sql import Window
+
+    sink = tempfile.mkdtemp(prefix="kas_hllroll_") + "/sketches"
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        _events_stream(spark, sf_dir, max_files=4)
+        .writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kas_hllroll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    tier = spark.read.parquet(sink)
+    one_per_replay = Window.partitionBy("event_type", "batch_id").orderBy(
+        F.monotonically_increasing_id()
+    )
+    tier = (
+        tier.withColumn("_rn", F.row_number().over(one_per_replay))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    per = tier.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    glob = tier.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    ).select(F.lit("__all__").alias("event_type"), "est_users", "n_sketches")
+    return per.unionByName(glob).orderBy("event_type")

@@ -231,3 +231,28 @@ def test_greedy_packing_invariants(spark):
                     lang, r["doc_id"],
                 )
 
+
+
+def test_stream_hll_rollup_matches_exact_distincts(spark):
+    """stream_hll_rollup: per-type and global estimates from the
+    incrementally-maintained sketch tier must sit within ±5% of the
+    exact distinct counts, with multiple sketches actually merged per
+    type (several micro-batches) and no double-counting of users
+    active in many batches/types."""
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["stream_hll_rollup"](spark, SF_TEST).collect()
+    }
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select(F.count_distinct("user_id")).collect()[0][0]
+    assert set(rows) == set(exact) | {"__all__"}
+    for et, truth in exact.items():
+        est = rows[et]["est_users"]
+        assert abs(est - truth) <= 0.05 * truth, (et, est, truth)
+    assert rows["__all__"]["n_sketches"] > len(exact) - 1  # >1 batch per type merged
