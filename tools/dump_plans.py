@@ -71,6 +71,24 @@ SHOWCASE = {
         "PartitionFilters: cell IN (nprobe ids) on the written IVF "
         "layout — the scan lists only the probed cell directories"
     ),
+    "join_dpp_prune": (
+        "dynamicpruningexpression in the partitioned fact scan's "
+        "PartitionFilters — the runtime filter DPP injected from the "
+        "aggregate-threshold dim side"
+    ),
+    "sample_weighted_hash": (
+        "weighted score as a map-side Project; TakeOrderedAndProject "
+        "top-k — no global sort of the corpus"
+    ),
+    "ts_anomaly_zscore": (
+        "partial+final HashAggregate collapse events to the (type, "
+        "hour) grid BEFORE the stats Window — the window shuffles the "
+        "rolled-up grid, never raw events"
+    ),
+    "delete_propagate": (
+        "each table audited in one pass: broadcast left join against "
+        "the tombstone set feeding a single HashAggregate"
+    ),
     "q4_order_priority": (
         "EXISTS as ONE left-semi hash join on l_orderkey with the "
         "cross-table date comparison as residual — no fan-out+distinct"
