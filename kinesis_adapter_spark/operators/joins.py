@@ -490,3 +490,75 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "s_suppkey", F.coalesce(F.col("ka"), F.lit("<null>")).alias("k")
         )
     )
+
+
+@query(
+    "join_bloom_runtime_filter",
+    """
+    SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 450000
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-filter join — DPP's sibling for non-partition
+    keys. When the dim side is too big to broadcast but carries a
+    selective predicate, Spark's InjectRuntimeFilter builds a bloom
+    filter over the dim join keys and pushes ``might_contain(...,
+    xxhash64(key))`` beneath the fact side's shuffle: fact rows that
+    cannot match are dropped BEFORE the shuffle write, cutting the
+    exchanged bytes by roughly the dim predicate's selectivity. False
+    positives only cost wasted shuffle; the join stays exact — which
+    is why the plain-join oracle hash-matches.
+
+    The injection thresholds are sized for real clusters (dim ≤
+    creationSideThreshold, fact scan ≥ applicationSideScanSizeThreshold
+    = 10 GB), so at fixture scale they are temporarily rescaled and the
+    optimized plan is pinned EAGERLY (QueryExecution phases are
+    memoized per Dataset) before the session confs are restored — the
+    returned DataFrame keeps the bloom-filtered plan; the session
+    keeps its defaults. At 100 TB the defaults fire on their own —
+    this key exists so the plan shape is demonstrated and pinned
+    (tests/test_plans.py) rather than taken on faith."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+            .orderBy("l_returnflag")
+        )
+        # Materialize the memoized optimization phases NOW, while the
+        # injection thresholds are in effect.
+        out._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -390,3 +390,17 @@ def test_weighted_sample_topk_avoids_global_sort(spark):
     the corpus."""
     plan = plan_of(spark, "sample_weighted_hash")
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_bloom_runtime_filter_injected_below_fact_shuffle(spark):
+    """join_bloom_runtime_filter: the optimized plan must carry the
+    injected might_contain(bloom, xxhash64(l_orderkey)) predicate on
+    the fact side, and the session confs it rescales must be restored
+    after the call."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = QUERIES["join_bloom_runtime_filter"](spark, SF_TEST)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt, opt[:3000]
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    # and the pinned plan survives execution (same QueryExecution)
+    assert df.count() > 0
