@@ -517,3 +517,85 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("col"), 6).alias("max_v"),
         )
     )
+
+
+def _signbits_sql(accessor: str, bits: int = 8) -> str:
+    """Sign-bit LSH bucket id from the first ``bits`` components —
+    generated once per accessor syntax so Spark (element_at, 1-based)
+    and DuckDB (list index, 1-based) compute the identical integer
+    (comparisons only: no float arithmetic, no cross-engine risk)."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {accessor.format(i=i + 1)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        + ")"
+    )
+
+
+_LSH_PROBE_MASKS = (0, 1, 2, 4, 8, 16, 32, 64, 128)  # exact bucket + 8 Hamming-1 flips
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+             {_signbits_sql("embedding[{i}]")} AS qb
+      FROM embeddings WHERE vec_id = 0
+    ),
+    probes AS (
+      SELECT xor(q.qb, t.m) AS b, q.qv
+      FROM q, (VALUES {", ".join(f"({m})" for m in _LSH_PROBE_MASKS)}) t(m)
+    ),
+    corpus AS (
+      SELECT vec_id, label, embedding,
+             {_signbits_sql("embedding[{i}]")} AS b
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT c.vec_id, c.label,
+           ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), p.qv), 6) AS sim
+    FROM corpus c JOIN probes p USING (b)
+    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), p.qv) DESC, c.vec_id
+    LIMIT 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the hash-based alternative to the IVF scale
+    path (ann_ivf_topk/_partitioned): each vector's bucket is the sign
+    pattern of its first 8 components (1-bit random-hyperplane LSH for
+    roughly centered data, same family as dedup_embedding_cosine's
+    blocking); the query probes its own bucket plus the 8 Hamming-1
+    flips (multi-probe), computes exact cosine inside the probed 9/256
+    of the corpus, and takes top-10.
+
+    Everything is deterministic — bucket ids are pure sign
+    comparisons, probes are XOR masks — so unlike most ANN this key
+    carries a full DuckDB oracle replaying the same bucketing. Scale
+    shape: the 9-row probe set broadcasts, the corpus joins on its
+    precomputable bucket id (stored column → hash join; written
+    bucket-partitioned layout → partition pruning, exactly like
+    ann_ivf_partitioned), and top-k is TakeOrderedAndProject. Recall
+    tunes by bits/probe count: more bits = smaller buckets, more
+    probes = recall back — the standard LSH dial."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket = F.expr(_signbits_sql("element_at(embedding, {i})"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), bucket.alias("qb")
+    )
+    probes = q.select(
+        F.explode(
+            F.array(*[F.expr(f"qb ^ {m}") for m in _LSH_PROBE_MASKS])
+        ).alias("b"),
+        "qv",
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("b", bucket)
+        .join(F.broadcast(probes), "b")
+        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("sim_raw", 6).alias("sim"))
+    )
