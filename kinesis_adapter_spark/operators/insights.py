@@ -609,3 +609,55 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour_idx", "n", F.round(z, 4).alias("z"))
         .orderBy("event_type", "hour_idx")
     )
+
+
+@query(
+    "rolling_active_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+      FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM days)
+    SELECT g.day,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau
+    FROM grid g
+    JOIN days d ON d.day BETWEEN g.day - 6 AND g.day
+    GROUP BY g.day
+    ORDER BY g.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the growth metric
+    every event pipeline ships. COUNT(DISTINCT) OVER a sliding RANGE
+    frame doesn't exist in either engine, so the shape is: pre-shrink
+    the log to distinct (day, user) pairs (the DAU tier — the only
+    pass over raw events), then FAN each pair map-side into the 7
+    day-windows it serves (explode of a sequence — no join, no nested
+    loop), count distinct per window, and keep only windows anchored
+    on real days via a broadcast semi-join with the day grid (bounded
+    by the calendar, tiny forever). Work is 7·|distinct pairs|
+    regardless of raw event volume: one distinct shuffle + one
+    count-distinct shuffle. At 100 TB keep the DAU tier as a
+    maintained rollup (rollup_two_tier pattern) and swap exact
+    distinct for the HLL sketch tier (stream_hll_rollup) when
+    per-window unions must be metadata-sized; integer day buckets
+    (ns epoch div) are exact on both engines."""
+    day_ns = 86_400_000_000_000
+    dau = (
+        load(spark, sf_dir, "events")
+        .select(F.expr(f"ts div {day_ns}").alias("day"), "user_id")
+        .distinct()
+    )
+    grid = dau.select("day").distinct()
+    fanned = dau.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("gday"),
+        "user_id",
+    )
+    return (
+        fanned.join(F.broadcast(grid), fanned.gday == grid.day, "left_semi")
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.col("gday").alias("day"), "wau")
+        .orderBy("day")
+    )

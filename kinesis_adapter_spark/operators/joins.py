@@ -562,3 +562,123 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH ordered AS (
+      SELECT user_id, epoch_ns(ts) AS ts, event_id,
+             lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events WHERE user_id < 30
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > 14400000000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, a.s_start AS start_a,
+           b.user_id AS user_b, b.s_start AS start_b,
+           least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start) AS overlap_ns
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    ORDER BY user_a, start_a, user_b, start_b
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE–RANGE join: which users' activity sessions overlap in
+    time (concurrency analysis — co-presence, contention, capacity).
+    The overlap predicate (a.start ≤ b.end AND b.start ≤ a.end) has NO
+    equi component, so a naive formulation is a nested-loop O(n²) —
+    dead at scale. The bucketed rewrite: each session explodes into
+    the hour buckets it covers (session spans are gap-bounded, so the
+    fan-out is small and data-independent of corpus size), candidate
+    pairs come from an EQUI join on the bucket, and the exact overlap
+    predicate verifies candidates; a pair sharing several buckets
+    collapses via distinct on the output key. Same
+    blocking-join-verify discipline as every near-dup operator —
+    range-range is just "near-dup in time". DuckDB's native IEJoin
+    plans the quadratic form directly and is the oracle. Sessions are
+    4 h-gap sessionization (sessionize_gap's pattern, event_id
+    tiebreak) over a bounded user cohort."""
+    hour_ns = 3_600_000_000_000
+    gap_ns = 4 * hour_ns
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts_us").over(w_order)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            F.sum(
+                F.when(
+                    prev_ts.isNull() | ((F.col("ts_us") - prev_ts) > gap_ns), 1
+                ).otherwise(0)
+            )
+            .over(w_cum)
+            .alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
+    )
+    a = iv.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s_start").alias("start_a"),
+        F.col("s_end").alias("end_a"),
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {hour_ns}"), F.expr(f"s_end div {hour_ns}")
+            )
+        ).alias("bucket"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s_start").alias("start_b"),
+        F.col("s_end").alias("end_b"),
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {hour_ns}"), F.expr(f"s_end div {hour_ns}")
+            )
+        ).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        .select(
+            "user_a",
+            "start_a",
+            "user_b",
+            "start_b",
+            (
+                F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+            ).alias("overlap_ns"),
+        )
+        .distinct()
+        .orderBy("user_a", "start_a", "user_b", "start_b")
+    )

@@ -404,3 +404,22 @@ def test_bloom_runtime_filter_injected_below_fact_shuffle(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
     # and the pinned plan survives execution (same QueryExecution)
     assert df.count() > 0
+
+
+def test_interval_overlap_joins_on_bucket_not_nested_loop(spark):
+    """join_interval_overlap: the range-range predicate must ride the
+    hour-bucket EQUI join; a BroadcastNestedLoopJoin / CartesianProduct
+    would be the O(n^2) failure mode at scale."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Join" in plan
+
+
+def test_rolling_active_users_fans_out_map_side(spark):
+    """rolling_active_users: the 7-window fan-out must be a map-side
+    Generate (explode), not a range join; the only joins allowed are
+    the broadcast semi-join with the day grid."""
+    plan = plan_of(spark, "rolling_active_users")
+    assert "Generate explode" in plan or "Generate" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
