@@ -50,6 +50,11 @@ EXTRAS = {
     "q21_semi_anti": "q21_waiting_supplier",
     "ann_ivf_pruned": "ann_ivf_partitioned",
     "unigram_logprob": "text_unigram_logprob",
+    # late-r2 additions: runtime pruning + range-range + sliding
+    # distinct shapes
+    "dpp_prune": "join_dpp_prune",
+    "interval_overlap": "join_interval_overlap",
+    "rolling_wau": "rolling_active_users",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -75,6 +80,9 @@ ANCHORS = {
     "q21_semi_anti": 1.09,
     "ann_ivf_pruned": 0.5454,
     "unigram_logprob": 0.3953,
+    "dpp_prune": 0.3201,
+    "interval_overlap": 0.3991,
+    "rolling_wau": 0.326,
 }
 
 

@@ -290,3 +290,48 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.round(F.sum("value"), 4).alias("session_value"),
     )
+
+
+@query(
+    "win_pct_change",
+    """
+    WITH monthly AS (
+      SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders
+      GROUP BY o_orderpriority, month
+    )
+    SELECT o_orderpriority, month, revenue,
+           ROUND(
+             (revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6
+           ) AS pct_change
+    FROM monthly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+    ORDER BY o_orderpriority, month
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change — the reporting staple (MoM revenue
+    movement per priority class). Two-tier shape: aggregate raw rows
+    to the (priority, month) grid first (partial-agg shuffle), then
+    lag/divide over the TINY grid — the window shuffle moves
+    |priorities × months| rows, never raw orders. The ratio divides
+    the ROUNDED monthly sums so both engines divide bit-identical
+    operands (sum order across partitions is engine-dependent at the
+    1e-9 level; rounding first makes the quotient deterministic)."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.withColumn(
+            "pct_change", F.round((F.col("revenue") - prev) / prev, 6)
+        )
+        .orderBy("o_orderpriority", "month")
+    )
