@@ -599,3 +599,62 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+@query(
+    "emb_standardize",
+    """
+    WITH stats AS (
+      SELECT u.i - 1 AS pos,
+             ROUND(AVG(CAST(u.x AS DOUBLE)), 6) AS mu,
+             ROUND(stddev_samp(CAST(u.x AS DOUBLE)), 6) AS sigma
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i) u
+      GROUP BY pos
+    ),
+    z AS (
+      SELECT e.vec_id, s.pos,
+             (CAST(e.embedding[s.pos + 1] AS DOUBLE) - s.mu) / s.sigma AS zval
+      FROM embeddings e JOIN stats s ON s.pos < len(e.embedding)
+    )
+    SELECT vec_id,
+           ROUND(MAX(CASE WHEN pos = 0 THEN zval END), 6) AS z0,
+           ROUND(sqrt(SUM(zval * zval)), 5) AS znorm
+    FROM z
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening-lite) — the feature-
+    store normalization step before training/indexing: publish a
+    per-dimension (μ, σ) stats artifact (emb_dim_stats' shape), then
+    apply z = (x-μ)/σ. Stats are ROUNDED before application so both
+    engines divide bit-identical operands (the cross-engine
+    determinism rule); the stats table is dims-sized → broadcast, and
+    application is a map-side join on position after posexplode — one
+    pass, no per-row Python. Emits z of dim 0 + the standardized-
+    vector norm per vector (flat scalars oracle cleanly)."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    )
+    stats = (
+        exploded.groupBy("pos")
+        .agg(
+            F.round(F.avg("col"), 6).alias("mu"),
+            F.round(F.stddev_samp("col"), 6).alias("sigma"),
+        )
+    )
+    z = exploded.join(F.broadcast(stats), "pos").select(
+        "vec_id", "pos", ((F.col("col") - F.col("mu")) / F.col("sigma")).alias("zval")
+    )
+    return (
+        z.groupBy("vec_id")
+        .agg(
+            F.round(F.max(F.when(F.col("pos") == 0, F.col("zval"))), 6).alias("z0"),
+            F.round(F.sqrt(F.sum(F.col("zval") * F.col("zval"))), 5).alias("znorm"),
+        )
+        .orderBy("vec_id")
+    )

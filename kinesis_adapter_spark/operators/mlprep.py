@@ -292,3 +292,52 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "lang", "n_chars", F.round("score_raw", 8).alias("score"))
     )
+
+
+@query(
+    "shuffle_deterministic_epoch",
+    """
+    SELECT epoch, pos, doc_id
+    FROM (
+      SELECT t.epoch, d.doc_id,
+             row_number() OVER (
+               PARTITION BY t.epoch
+               ORDER BY md5(CAST(d.doc_id AS STRING) || ':' ||
+                            CAST(t.epoch AS STRING)), d.doc_id
+             ) AS pos
+      FROM documents d, (VALUES (0), (1), (2)) t(epoch)
+    )
+    WHERE pos <= 100
+    ORDER BY epoch, pos
+    """,
+)
+def shuffle_deterministic_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic training-data order: epoch e's sequence
+    is the corpus sorted by md5(doc_id ':' e) — a different but fully
+    reproducible permutation per epoch, the property data loaders need
+    for resumable/distributed training (any worker can recompute its
+    slice; rand() cannot, per the module docstring). Emits the first
+    100 positions of 3 epochs. At 100 TB the global sequence number is
+    assigned by range-partitioning on the hash key + per-partition
+    offsets (sort happens within partitions; the fixture-scale
+    row_number window is the same contract); readers usually skip
+    materializing positions entirely and just sort each shard by the
+    epoch key."""
+    d = load(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string")
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 100)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
