@@ -1,9 +1,20 @@
 """Catalog: explicit schemas + loaders for the test tables.
 
-Schemas are declared explicitly (FIXTURES.md) so drift fails fast, but
-loading uses the parquet footer schema (Spark verifies compatibility via
-the assertion in ``load``). ``events.ts`` arrives as BIGINT ns-since-
-epoch under ``nanosAsLong`` (SURVEY.md §5.3.3); helpers below convert.
+This module is the SINGLE choke point between fixture parquet files and
+every operator: ``load`` canonicalizes physical drift (the ``events.ts``
+column has shipped as INT64 TIMESTAMP(NANOS) in one fixture generation
+and TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ in the
+next) into ONE logical contract, then validates the result against the
+declared ``SCHEMAS`` and fails loudly on any unexpected drift.
+
+The contract every downstream operator codes against:
+- ``events.ts`` is BIGINT nanoseconds-since-epoch (UTC). When the file
+  carries a timestamp type, ``load`` converts via ``unix_micros`` under
+  the UTC session timezone; when it carries INT64 ns (read under
+  ``nanosAsLong``), it passes through unchanged.
+- ``o_orderdate`` / ``l_shipdate`` stay timestamps as-read (NTZ and
+  LTZ behave identically under the UTC session tz for the extracts and
+  comparisons the operators use).
 
 At 100 TB these loaders become ``spark.read.parquet`` over partitioned
 S3 prefixes — the call shape is identical; partition pruning comes free
@@ -30,7 +41,9 @@ TABLES = (
     "embeddings",
 )
 
-# Spark DDL per table (FIXTURES.md). events.ts is LONG (ns) post-conf.
+# Spark DDL per table: the CANONICAL post-load schema (what operators
+# may rely on), not the raw footer schema. events.ts is BIGINT ns
+# post-canonicalization regardless of the fixture's physical type.
 SCHEMAS: dict[str, str] = {
     "region": "r_regionkey INT, r_name STRING",
     "nation": "n_nationkey INT, n_name STRING, n_regionkey INT",
@@ -70,13 +83,76 @@ SCHEMAS: dict[str, str] = {
 _DF_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
+# Types treated as equivalent by the schema gate: under the UTC session
+# timezone NTZ and LTZ timestamps behave identically for every extract/
+# comparison the operators perform, and fixtures have shipped both.
+_TS_TYPES = {"timestamp", "timestamp_ntz"}
+
+
+def _canonicalize(table: str, df: DataFrame) -> DataFrame:
+    """Normalize known physical-type drift into the declared contract.
+
+    ``events.ts`` has shipped as INT64 TIMESTAMP(NANOS) (reads as
+    BIGINT ns under ``nanosAsLong``) and as TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Operators code
+    against BIGINT ns; convert here, once, instead of in 13 files.
+    """
+    if table == "events":
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in _TS_TYPES:
+            # NTZ → TIMESTAMP is wall-clock-preserving under the UTC
+            # session tz; unix_micros then yields the UTC epoch-µs.
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                    "long"
+                ),
+            )
+        elif ts_type != "long":
+            raise TypeError(
+                f"events.ts arrived as {ts_type!r}; expected a timestamp "
+                "or BIGINT-ns column — fixture format changed again?"
+            )
+    return df
+
+
+def _validate(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Fail loudly if the post-canonicalization schema drifts from
+    ``SCHEMAS`` — one actionable error at the choke point instead of
+    16 scattered DATATYPE_MISMATCH crashes downstream."""
+    expected = spark.createDataFrame([], SCHEMAS[table]).schema
+    got = df.schema
+    problems: list[str] = []
+    exp_by_name = {f.name: f for f in expected.fields}
+    got_by_name = {f.name: f for f in got.fields}
+    for name, ef in exp_by_name.items():
+        gf = got_by_name.get(name)
+        if gf is None:
+            problems.append(f"missing column {name!r}")
+            continue
+        et, gt = ef.dataType.typeName(), gf.dataType.typeName()
+        if et != gt and not (et in _TS_TYPES and gt in _TS_TYPES):
+            problems.append(f"column {name!r}: expected {et}, got {gt}")
+    for name in got_by_name:
+        if name not in exp_by_name:
+            problems.append(f"unexpected column {name!r}")
+    if problems:
+        raise TypeError(
+            f"fixture drift in table {table!r} (post-canonicalization): "
+            + "; ".join(problems)
+            + " — update catalog.SCHEMAS/_canonicalize for the new format"
+        )
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load one table; applies required runtime confs first."""
+    """Load one table; applies required runtime confs, canonicalizes
+    physical-type drift, and validates the resulting schema."""
     prepare_session(spark)
     key = (id(spark), sf_dir, table)
     df = _DF_MEMO.get(key)
     if df is None:
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = _canonicalize(table, spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+        _validate(spark, table, df)
         _DF_MEMO[key] = df
     return df
 

@@ -11,6 +11,8 @@ executors.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -18,6 +20,8 @@ from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.catalog import load
 from kinesis_adapter_spark.plans.registry import query
+
+_LOG = logging.getLogger(__name__)
 
 CHUNK = 200  # chars per chunk
 STRIDE = 150  # chunk start interval → 50-char overlap
@@ -295,7 +299,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("label"))
     ).localCheckpoint(eager=True)
-    for _ in range(20):  # diameter bound; fixture needs 1-2 rounds
+    # Explicit iteration budget: plain propagation converges in
+    # O(diameter) rounds; a pathological duplicate chain at 100 TB must
+    # degrade LOUDLY (error naming the knob), never hang or silently
+    # return half-merged clusters. Fixture needs 2 rounds.
+    max_rounds = 20
+    converged_at: int | None = None
+    for round_no in range(1, max_rounds + 1):
         nbr = (
             edges.join(labels, edges.ev == labels.node, "inner")
             .select(F.col("eu").alias("nnode"), "label")
@@ -321,7 +331,16 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged_at = round_no
             break
+    if converged_at is None:
+        raise RuntimeError(
+            f"dedup_cluster_cc: min-label propagation did not converge in "
+            f"{max_rounds} rounds — duplicate graph has diameter > "
+            f"{max_rounds}; raise max_rounds or switch to large-star/"
+            "small-star contraction for this dataset"
+        )
+    _LOG.info("dedup_cluster_cc converged in %d round(s)", converged_at)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")

@@ -11,10 +11,13 @@ code"):
   defensively on every query entry. Idempotent and cheap.
 
 Required confs and why:
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet has
-  INT64 TIMESTAMP(NANOS) which Spark 4.1.2 refuses to read otherwise
-  ([PARQUET_TYPE_ILLEGAL]; SURVEY.md §5.3.3). With it, ``events.ts``
-  arrives as BIGINT nanoseconds-since-epoch.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — back-compat for the
+  ns-era fixture generation: events.parquet shipped as INT64
+  TIMESTAMP(NANOS), which Spark 4.1.2 refuses to read otherwise
+  ([PARQUET_TYPE_ILLEGAL]). Current fixtures carry TIMESTAMP(MICROS,
+  isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ; this conf is a no-op
+  for them) — ``catalog._canonicalize`` converts either physical form
+  to the BIGINT-ns contract at the load choke point.
 - ``spark.sql.session.timeZone=UTC`` — oracle (DuckDB) timestamps are
   naive/UTC; extracts (year/month/hour) must agree.
 - ``spark.sql.shuffle.partitions`` — sized to cores at test scale; at

@@ -27,7 +27,9 @@ from kinesis_adapter_spark.sources import aws
 # Bump the version when any derived-fixture FORMAT changes: staged
 # fixtures are cached by existence checks, so a format change without a
 # new directory would silently serve stale data to later runs.
-DERIVED_VERSION = "v1"
+# v2: fixtures changed events.ts to timestamp[us] — ts_ns derivation
+# fixed accordingly; v1 dirs may hold data staged from ns-era files.
+DERIVED_VERSION = "v2"
 DERIVED_ROOT = Path("/tmp/kas_derived") / DERIVED_VERSION
 
 
@@ -38,7 +40,20 @@ def derived_dir(sf_dir: str) -> Path:
 
 
 def _events_table(sf_dir: str):
-    return pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    """events as pandas with ``ts`` canonicalized to int64 epoch-ns.
+
+    Mirrors ``catalog._canonicalize``: fixtures have shipped ts as both
+    INT64 ns (arrives as int64) and timestamp[us] (arrives as
+    datetime64); both normalize to the same epoch-ns long here so the
+    staged text exports always carry true nanoseconds.
+    """
+    pdf = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    ts = pdf["ts"]
+    if ts.dtype.kind == "M":  # datetime64[*] → ns long
+        ts = ts.astype("datetime64[ns]").astype("int64")
+    else:
+        ts = ts.astype("int64")
+    return pdf.assign(ts=ts)
 
 
 def ensure_events_csv(sf_dir: str) -> Path:
