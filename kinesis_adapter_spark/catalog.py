@@ -167,6 +167,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+# ---------------------------------------------------------------------------
+# Canonical event-time accessors (VERDICT r03 "What's missing" #3).
+#
+# Operators must derive event-time values from ``ts`` (BIGINT ns, the
+# post-load contract) through these helpers, never by hand-rolling
+# constants. All arithmetic is INTEGER (DIV/%) — float division of an
+# int64 at 1e18-ns magnitudes loses low bits (double has 53 mantissa
+# bits), which can flip a truncation boundary.
+# ---------------------------------------------------------------------------
+
+NS_PER_US = 1_000
+NS_PER_MS = 1_000_000
+NS_PER_SEC = 1_000_000_000
+NS_PER_HOUR = 3_600 * NS_PER_SEC
+NS_PER_DAY = 24 * NS_PER_HOUR
+NS_PER_WEEK = 7 * NS_PER_DAY
+
+
+def ts_us_trunc(col: str = "ts"):
+    """ns value truncated to µs precision, still in ns units — the
+    value DuckDB sees for ns-era fixtures and the identity for µs-era
+    ones (whose ns values are always µs-aligned)."""
+    return F.expr(f"{col} - {col} % {NS_PER_US}")
+
+
+def ts_us(col: str = "ts"):
+    """Epoch-µs long (exact integer DIV)."""
+    return F.expr(f"{col} DIV {NS_PER_US}")
+
+
+def ts_timestamp(col: str = "ts"):
+    """µs-precision TIMESTAMP from the ns long (exact integer DIV)."""
+    return F.expr(f"timestamp_micros({col} DIV {NS_PER_US})")
+
+
+def ts_bucket(unit_ns: int, col: str = "ts"):
+    """Integer bucket index: floor(ts / unit_ns) via exact int64 DIV —
+    the scale-safe grouping key for hour/day rollups (no timestamp
+    object churn, pushes into codegen as one long op)."""
+    return F.expr(f"{col} DIV {unit_ns}")
+
+
 def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a proper TIMESTAMP column derived from the ns long.
 
@@ -174,4 +216,10 @@ def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ts_ts`` is microsecond-truncated TIMESTAMP for windowing.
     """
     ev = load(spark, sf_dir, "events")
-    return ev.withColumn("ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return ev.withColumn("ts_ts", ts_timestamp())
+
+
+def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events plus ``ts_us`` (epoch-µs long) — the compact integer
+    event-time most rollup/funnel/retention operators bucket on."""
+    return load(spark, sf_dir, "events").withColumn("ts_us", ts_us())

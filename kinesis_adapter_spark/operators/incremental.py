@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.catalog import load, ts_us_trunc
 from kinesis_adapter_spark.plans.registry import query
 
 # Deterministic change-set derived from orders itself (TESTDATA.md has
@@ -125,7 +125,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id") < 50)
-        .withColumn("ts_ns", F.col("ts") - F.col("ts") % 1000)
+        .withColumn("ts_ns", ts_us_trunc())
     )
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     changes = (

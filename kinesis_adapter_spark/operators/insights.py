@@ -13,16 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.catalog import (
+    NS_PER_HOUR,
+    events_us as _events_us,
+    load,
+    ts_bucket,
+    ts_us_trunc,
+)
 from kinesis_adapter_spark.plans.registry import query
-
-
-def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts truncated to µs (ns DIV 1000, exact on int64 —
-    float division would lose low bits at 1.7e18 ns magnitudes)."""
-    return load(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
 
 
 @query(
@@ -539,9 +537,7 @@ def ts_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ts is int64 ns Spark-side (nanosAsLong), µs-truncated to match
     DuckDB's µs parquet read (same convention as scd2_intervals)."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ts_ns", F.col("ts") - F.col("ts") % 1000
-    )
+    ev = load(spark, sf_dir, "events").withColumn("ts_ns", ts_us_trunc())
     ref = ev.agg(F.max("ts_ns").alias("t_ref"))
     tau = F.lit(604_800_000_000_000.0)  # 7 days in ns
     decay = F.exp(-((F.col("t_ref") - F.col("ts_ns")).cast("double") / tau))
@@ -591,7 +587,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch (exact on both engines, no float boundary risk)."""
     ev = load(spark, sf_dir, "events")
     hourly = (
-        ev.withColumn("hour_idx", F.expr("ts div 3600000000000"))
+        ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
         .groupBy("event_type", "hour_idx")
         .agg(F.count(F.lit(1)).alias("n"))
     )

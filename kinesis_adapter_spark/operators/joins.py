@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.catalog import NS_PER_DAY, load, ts_us_trunc
 from kinesis_adapter_spark.plans.registry import query
 
 
@@ -325,7 +325,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_totalprice").alias("last_totalprice"),
     )
-    ev_side = ev.withColumn("ts", F.col("ts") - F.col("ts") % 1000).select(
+    ev_side = ev.withColumn("ts", ts_us_trunc()).select(
         F.col("user_id").alias("key"),
         F.col("ts").alias("t"),
         F.lit(1).alias("is_event"),
@@ -351,7 +351,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("is_event") == 1).drop("is_event")
 
 
-_ASOF_TOL_NS = 30 * 86400 * 1_000_000_000  # 30 days
+_ASOF_TOL_NS = 30 * NS_PER_DAY  # 30 days
 
 
 @query(
@@ -416,7 +416,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("ts"),
         match_t.alias("m"),
     )
-    ev_side = ev.withColumn("ts", F.col("ts") - F.col("ts") % 1000).select(
+    ev_side = ev.withColumn("ts", ts_us_trunc()).select(
         F.col("user_id").alias("key"),
         F.col("ts").alias("t"),
         F.lit(1).alias("is_event"),
@@ -619,7 +619,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id") < 30)
-        .withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)
+        .withColumn("ts_us", ts_us_trunc())
     )
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts_us").over(w_order)

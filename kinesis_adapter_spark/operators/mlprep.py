@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.catalog import load, ts_timestamp
 from kinesis_adapter_spark.plans.registry import query
 
 # Per-language keep thresholds on the first md5 hex byte: 'en' is
@@ -134,7 +134,7 @@ def resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id") < 5)
-        .withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withColumn("ts_t", ts_timestamp())
     )
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts_t").alias("hr"))

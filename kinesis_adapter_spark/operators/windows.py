@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.catalog import load, ts_us_trunc
 from kinesis_adapter_spark.plans.registry import query
 
 
@@ -69,7 +69,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     match what the oracle can see."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = load(spark, sf_dir, "events").withColumn(
-        "ts_us", (F.col("ts") - F.col("ts") % 1000)
+        "ts_us", ts_us_trunc()
     )
     return ev.select(
         "event_id",
@@ -260,7 +260,7 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two window passes + one aggregate, all on the same user_id
     partitioning, so Catalyst reuses a single shuffle."""
     ev = load(spark, sf_dir, "events").withColumn(
-        "ts_us", (F.col("ts") - F.col("ts") % 1000)  # µs-truncated: what DuckDB sees
+        "ts_us", ts_us_trunc()  # µs-truncated: what DuckDB sees
     )
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ns = 30 * 60 * 1_000_000_000
