@@ -55,6 +55,13 @@ EXTRAS = {
     "dpp_prune": "join_dpp_prune",
     "interval_overlap": "join_interval_overlap",
     "rolling_wau": "rolling_active_users",
+    # round-4 additions: corpus-curation + star-contraction CC (their
+    # r04 numbers become the anchors, same adoption rule as before)
+    "containment": "dedup_containment",
+    "repetition_score": "text_repetition_score",
+    "curation_pipeline": "pipeline_text_curation",
+    "cc_stars": "dedup_cluster_cc_stars",
+    "moving_median": "win_moving_median",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -83,6 +90,12 @@ ANCHORS = {
     "dpp_prune": 0.3201,
     "interval_overlap": 0.3991,
     "rolling_wau": 0.326,
+    # round-4 additions, anchored at their r04 measurements (BASELINE.md)
+    "containment": 1.6668,
+    "repetition_score": 0.3994,
+    "curation_pipeline": 0.3222,
+    "cc_stars": 0.9397,
+    "moving_median": 0.6866,
 }
 
 

@@ -225,9 +225,36 @@ _CC_PAIRS_SQL = """
 """
 
 
-@query(
-    "dedup_cluster_cc",
-    f"""
+def _cc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-pair fixture behind both CC implementations (the
+    DataFrame twin of ``_CC_PAIRS_SQL``): every 7th doc ↔ its +2M
+    mutation, plus a two-hop chain d ↔ d+1 ↔ d+3M per seed."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    seeds = d.filter(F.col("doc_id") % 7 == 0)
+    return (
+        seeds.select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 2_000_000).alias("doc_b"),
+        )
+        .unionByName(
+            seeds.select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 1).alias("doc_b"),
+            )
+        )
+        .unionByName(
+            seeds.select(
+                (F.col("doc_id") + 1).alias("doc_a"),
+                (F.col("doc_id") + 3_000_000).alias("doc_b"),
+            )
+        )
+    )
+
+
+# Reachability oracle shared by BOTH connected-components
+# implementations (plain propagation and large/small-star): min
+# reachable node id == component id.
+_CC_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -242,8 +269,10 @@ _CC_PAIRS_SQL = """
     )
     SELECT u AS doc_id, MIN(v) AS cluster_id
     FROM reach GROUP BY u ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("dedup_cluster_cc", _CC_ORACLE)
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: pairwise near-dup matches are only
     half the dedup story — transitive pairs (A~B, B~C) must collapse
@@ -265,26 +294,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUS a chain d+3M — d+1 — d per seed, so the component min must
     propagate TWO hops (single-round propagation would leave d+3M
     labeled d+1: transitivity is genuinely tested)."""
-    d = load(spark, sf_dir, "documents").select("doc_id")
-    seeds = d.filter(F.col("doc_id") % 7 == 0)
-    pairs = (
-        seeds.select(
-            F.col("doc_id").alias("doc_a"),
-            (F.col("doc_id") + 2_000_000).alias("doc_b"),
-        )
-        .unionByName(
-            seeds.select(
-                F.col("doc_id").alias("doc_a"),
-                (F.col("doc_id") + 1).alias("doc_b"),
-            )
-        )
-        .unionByName(
-            seeds.select(
-                (F.col("doc_id") + 1).alias("doc_a"),
-                (F.col("doc_id") + 3_000_000).alias("doc_b"),
-            )
-        )
-    )
+    pairs = _cc_pairs(spark, sf_dir)
     # Every frame in the loop carries globally unique column names —
     # edges/labels/nbr all descend from one scan, and Spark's
     # ambiguous-self-join check rejects joins on shared-lineage names.
@@ -529,4 +539,112 @@ def delete_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit(docs, "doc_id", "documents")
         .unionByName(audit(embs, "vec_id", "embeddings"))
         .orderBy("dataset")
+    )
+
+
+@query("dedup_cluster_cc_stars", _CC_ORACLE)
+def dedup_cluster_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", ACM SoCC 2014 — public literature): the 100 TB-scale
+    alternative to plain min-label propagation (dedup_cluster_cc).
+
+    Plain propagation needs O(diameter) rounds — a pathological
+    duplicate CHAIN of length k (scraped mirror-of-mirror pages) costs
+    k rounds. Star contraction converges in O(log n) rounds regardless
+    of diameter (O(log log n) expected on realistic graphs): each
+    round every node links its strictly-larger neighbors (large-star)
+    then its smaller neighbors (small-star) directly to the minimum of
+    its closed neighborhood, halving path lengths multiplicatively.
+
+    Each star step is one groupBy(node) + explode — the per-node
+    neighbor list (collect_set) is degree-bounded; the hot-node risk at
+    extreme degree is the documented trade of the algorithm (the paper's
+    load-balanced variant hashes high-degree neighborhoods; not needed
+    at fixture scale). Fixpoint is detected by an order-insensitive
+    edge-set checksum (count + sum of per-edge hashes) — one tiny
+    aggregate per round, no driver-side edge materialization. Shares
+    the WITH RECURSIVE reachability oracle with dedup_cluster_cc, so
+    both implementations are pinned to the identical component map."""
+    pairs = _cc_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        g = sym.groupBy("u").agg(F.collect_set("v").alias("nb"))
+        m = F.array_min(F.array_union("nb", F.array(F.col("u"))))
+        return (
+            g.select(F.col("u"), m.alias("m"), F.explode("nb").alias("w"))
+            .filter(F.col("w") > F.col("u"))
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient child > parent, group by the child's closed smaller
+        # neighborhood, link everything to its minimum
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        g = oriented.groupBy("u").agg(F.collect_set("v").alias("nb"))
+        m = F.array_min("nb")
+        linked = g.select(
+            F.col("u"), m.alias("m"), F.explode(
+                F.array_union("nb", F.array(F.col("u")))
+            ).alias("w")
+        )
+        return (
+            linked.filter(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    max_rounds = 12  # ≥ log2(component span) with slack; fixture: 2-3
+    prev = _checksum(edges)
+    converged_at: int | None = None
+    for round_no in range(1, max_rounds + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            converged_at = round_no
+            break
+        prev = cur
+    if converged_at is None:
+        raise RuntimeError(
+            f"dedup_cluster_cc_stars: star contraction did not reach a "
+            f"fixpoint in {max_rounds} rounds — raise max_rounds "
+            "(components span > 2^rounds ids) or inspect for hash "
+            "checksum collisions"
+        )
+    _LOG.info("dedup_cluster_cc_stars converged in %d round(s)", converged_at)
+    # Fixpoint edges form stars child→component-min; roots label themselves.
+    parents = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return (
+        all_nodes.join(parents, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
     )

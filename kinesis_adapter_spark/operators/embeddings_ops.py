@@ -658,3 +658,45 @@ def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "ann_range_search",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+    )
+    SELECT q.qid, e.vec_id, e.label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 6) AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+      AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(q.qv AS DOUBLE[])), 6) >= 0.3
+    ORDER BY qid, vec_id
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search: ALL neighbors with cosine ≥ τ per query —
+    the retrieval mode dedup-by-embedding and contamination checks
+    need (top-k truncates exactly the borderline matches they care
+    about). Query side is a broadcast (small probe set against the big
+    corpus); the corpus scan streams once per batch of queries, never
+    once per query. The τ comparison is on the ROUNDED score on both
+    engines so the boundary can't flip between float paths.
+
+    At scale this composes with the LSH/IVF bucketing the ann_* keys
+    pin (probe only candidate buckets, verify with exact cosine);
+    brute-force IS the oracle path here, covering recall=1."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "label", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+        .orderBy("qid", "vec_id")
+    )

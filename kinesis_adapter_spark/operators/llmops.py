@@ -801,3 +801,279 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- corpus-quality filters (r4)
+
+
+@query(
+    "text_repetition_score",
+    """
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_frac,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_word_frac
+    FROM wc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public): the
+    fraction of a document occupied by its single most frequent word
+    and the duplicate-word fraction — the standard cheap signals for
+    keyboard-mash / SEO-spam / template pages before LLM training.
+
+    Two-level aggregation, both with map-side partial combine: words
+    explode → (doc, word) counts → per-doc stats. The second aggregate
+    reads the first's (already doc_id-clustered) output, so at 100 TB
+    only the first shuffle touches token-scale data, and its payload is
+    (doc_id, word-hash, count) partials, never text."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+            F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias(
+                "dup_word_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_entropy_score",
+    """
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY doc_id, w
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id
+    )
+    SELECT wc.doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_words,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6)
+             AS word_entropy
+    FROM wc JOIN tot ON wc.doc_id = tot.doc_id
+    GROUP BY wc.doc_id ORDER BY wc.doc_id
+    """,
+)
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document word distribution — low
+    entropy flags repetitive/templated text, very high entropy flags
+    random-token noise; together with the repetition fractions this is
+    the quality-filter trio every public corpus pipeline (C4, Gopher,
+    RefinedWeb) runs first.
+
+    Same two-level shape as text_repetition_score; the per-doc total
+    rides the same aggregate via a window over the doc (no extra
+    shuffle — doc_id partitioning is already established)."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / F.col("n")
+    return (
+        wc.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_words"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("word_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "boilerplate_ngrams",
+    f"""
+    WITH shing0 AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+      FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
+        FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM documents)
+      )
+    )
+    SELECT s AS ngram, CAST(COUNT(*) AS BIGINT) AS df
+    FROM shing0 GROUP BY s
+    ORDER BY df DESC, ngram LIMIT 20
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: the word-3-grams present in
+    the most documents — headers, footers, cookie banners, license
+    blurbs. The detected list feeds a removal pass (filter or span
+    strip); this key pins the detection aggregate.
+
+    Document frequency (not term frequency): shingles are DISTINCT per
+    doc before the global count, so one spammy page can't promote its
+    own phrase. Explode → partial-agg → top-k via TakeOrderedAndProject
+    — no global sort; the shuffle carries (shingle, partial-count)."""
+    sh = shingled(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), exploded=True
+    )
+    return (
+        sh.groupBy(F.col("s").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "ngram")
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH docs AS ({MUTATED_SQL}),
+    shing0 AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+      FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
+        FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM docs)
+      )
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM docs),
+    shing AS (
+      SELECT doc_id, s
+      FROM (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shing0), nd
+      WHERE df <= GREATEST({STOP_SHINGLE_ABS}, CEIL(n_docs * {STOP_SHINGLE_FRAC}))
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.c AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.c AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs: |A∩B| divided
+    by the SMALLER shingle set — the asymmetric complement to Jaccard
+    that catches a document embedded inside a longer one (quote farms,
+    scraped aggregators), which Jaccard under-scores because the union
+    is dominated by the longer doc.
+
+    Reuses the exact inverted-index pair generation of dedup_near_ngram
+    (same candidate join, same stop-shingle df cap bounding the worst
+    bucket) — only the verify formula changes, so the 100 TB cost
+    profile is identical: linear in corpus + shared-shingle pairs."""
+    sh = capped_shingles(mutated_documents(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= 0.9)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "pipeline_text_curation",
+    f"""
+    WITH duped AS ({DUPED_SQL}),
+    scored AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(str_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS uniq_ratio
+      FROM duped
+    ),
+    quality AS (
+      SELECT * FROM scored WHERE n_tokens >= 25 AND uniq_ratio >= 0.4
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM quality
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM deduped WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE declarative plan: quality
+    filter (token count + uniqueness ratio) → exact dedup (min doc_id
+    per content digest) → deterministic md5 train/val/test split →
+    per-(split, lang) audit counts. This is the composition a corpus
+    team actually ships; expressing it as one DataFrame lets Catalyst
+    pipeline the filter into the scan, run ONE shuffle for the dedup
+    window, and fold the split + audit into the dedup output — three
+    "stages" of the logical pipeline, two exchanges total.
+
+    Every stage is a pure function of row content (no sampling RNG, no
+    timestamps), so re-running on retry/backfill yields byte-identical
+    splits — the reproducibility property training pipelines need."""
+    d = duped_documents(spark, sf_dir)
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+    quality = scored.filter((F.col("n_tokens") >= 25) & (F.col("uniq_ratio") >= 0.4))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    return (
+        deduped.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )

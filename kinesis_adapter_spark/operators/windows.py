@@ -335,3 +335,41 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "month")
     )
+
+
+@query(
+    "win_moving_median",
+    """
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS median5
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over the trailing 5 events per user — the robust
+    smoother ops dashboards use where a moving AVERAGE would chase one
+    outlier. Exact continuous-interpolation median via the aggregate
+    ``percentile`` evaluated over a bounded ROWS frame (matches
+    DuckDB's quantile_cont): the frame holds ≤5 values, so per-row cost
+    is constant and the whole thing is ONE shuffle on user_id like
+    every other window key. At 100 TB the same caveat as all user-
+    partitioned windows applies: a whale user serializes one partition
+    — mitigate by time-slicing the partition key (windows.py module
+    docstring)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("median5"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -423,3 +423,49 @@ def test_rolling_active_users_fans_out_map_side(spark):
     plan = plan_of(spark, "rolling_active_users")
     assert "Generate explode" in plan or "Generate" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_repetition_score_partial_aggregates(spark):
+    """The word-count tier must partial-aggregate (map-side combine)
+    before its exchange — at 100 TB the shuffle carries (doc, word)
+    partial counts, not raw tokens."""
+    plan = plan_of(spark, "text_repetition_score")
+    assert plan.count("HashAggregate") >= 4, plan[:3000]  # partial+final ×2 tiers
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_containment_join_is_equijoin(spark):
+    """Pair generation must be the inverted-index equi-join on the
+    shingle key — never a cartesian over documents. (The 1-row
+    corpus-count broadcast inside capped_shingles is the only
+    nested-loop allowed; a CartesianProduct means the doc×doc
+    pair space leaked into the plan.)"""
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # equi-join on the shingle key, whichever physical strategy AQE picks
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[s#\d+\]", plan
+    ), plan[:3000]
+
+
+def test_range_search_broadcasts_queries(spark):
+    """The probe set must broadcast against the corpus scan; the corpus
+    must not shuffle for a handful of query vectors."""
+    plan = plan_of(spark, "ann_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:3000]
+    )
+
+
+def test_curation_pipeline_bounded_exchanges(spark):
+    """Quality filter + dedup window + split audit must fuse: one
+    exchange for the md5 dedup window, one for the final (split, lang)
+    aggregate — a third exchange means a stage boundary crept in."""
+    plan = plan_of(spark, "pipeline_text_curation")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges\n" + plan[:3000]
