@@ -514,3 +514,75 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_param"
         ),
     ).orderBy("event_id")
+
+
+@query(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT)     AS k_int,
+           json_extract_string(props, '$.k')           AS k_str,
+           CAST(json_extract(props, '$.missing') AS INT) AS k_missing
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion (the open lakehouse semi-structured
+    type): ``parse_json`` turns the props string into a binary VARIANT
+    once, then ``variant_get`` extracts typed paths without re-parsing
+    — at 100 TB this is the difference between parsing JSON text per
+    extraction (fn_json's get_json_object path) and parsing ONCE into
+    a columnar binary that every later projection reads directly.
+    Missing paths yield NULL (try-semantics), pinned by k_missing.
+    Oracle: DuckDB json_extract on the same paths — VARIANT is an
+    encoding change, not a semantics change, so the values must match
+    the JSON-text reference exactly."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+            F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+            F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias(
+                "k_missing"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "fn_xml",
+    """
+    SELECT event_id, event_type AS t_parsed, CAST(user_id AS BIGINT) AS u_parsed
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML: serialize each event to an XML fragment,
+    parse it back with ``from_xml`` (schema'd, codegen-friendly), and
+    emit the parsed fields — the round trip must be lossless, which is
+    what the oracle (the original columns) checks. This pins the XML
+    ingestion surface (feeds/exports still speak XML at many
+    enterprises) without needing an XML fixture file; the parse is the
+    same whether the string came from concat or from a raw scan."""
+    ev = load(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u></e>"),
+    )
+    parsed = F.from_xml(xml, "t STRING, u BIGINT")
+    return (
+        ev.select("event_id", parsed.alias("p"))
+        .select(
+            "event_id",
+            F.col("p.t").alias("t_parsed"),
+            F.col("p.u").alias("u_parsed"),
+        )
+        .orderBy("event_id")
+    )

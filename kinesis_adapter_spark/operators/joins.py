@@ -682,3 +682,42 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_a", "start_a", "user_b", "start_b")
     )
+
+
+@query(
+    "join_lateral_topn",
+    """
+    SELECT c.c_custkey, c.c_name, top.o_orderkey, top.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) top
+    WHERE c.c_custkey <= 200
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 surface, Spark 4 native):
+    top-2 orders per customer expressed as the per-row subquery users
+    actually write. Catalyst DECORRELATES it into the same
+    join + partitioned-window plan topk_per_group builds by hand — the
+    key pins that a correlated formulation does not regress into a
+    per-row re-execution (which at 100 TB would be |customers| scans).
+    Identical SQL runs on DuckDB as the oracle."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, top.o_orderkey, top.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) top
+        WHERE c.c_custkey <= 200
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )

@@ -469,3 +469,14 @@ def test_curation_pipeline_bounded_exchanges(spark):
     plan = plan_of(spark, "pipeline_text_curation")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"{n_exchanges} exchanges\n" + plan[:3000]
+
+
+def test_lateral_topn_decorrelates(spark):
+    """The correlated LATERAL top-2 subquery must decorrelate into a
+    join + window(+group-limit pushdown) — never a per-outer-row
+    re-execution or a cartesian. WindowGroupLimit is the rank-pushdown
+    Spark applies when the rank filter is a constant limit."""
+    plan = plan_of(spark, "join_lateral_topn")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]

@@ -98,6 +98,28 @@ SHOWCASE = {
         "late set, both hashed on l_orderkey with the supplier "
         "inequality as residual"
     ),
+    # round-4 additions
+    "dedup_containment": (
+        "inverted-index equi-join on the shingle key (BHJ/SMJ, never "
+        "CartesianProduct); the only nested-loop is the 1-row "
+        "corpus-count broadcast of the stop-shingle cap"
+    ),
+    "pipeline_text_curation": (
+        "quality filter fused into the scan projection; ONE exchange "
+        "for the md5 dedup window + ONE for the (split, lang) "
+        "aggregate — the 3-stage logical pipeline compiles to 2 "
+        "exchanges"
+    ),
+    "join_lateral_topn": (
+        "correlated LATERAL decorrelated to hash join + Window with "
+        "WindowGroupLimit rank-pushdown — no per-outer-row subquery "
+        "re-execution"
+    ),
+    "text_repetition_score": (
+        "two stacked partial+final HashAggregate pairs; the token-"
+        "scale shuffle carries (doc_id, word, partial-count), the "
+        "second tier reuses the doc_id clustering"
+    ),
 }
 
 
