@@ -294,7 +294,27 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUS a chain d+3M — d+1 — d per seed, so the component min must
     propagate TWO hops (single-round propagation would leave d+3M
     labeled d+1: transitivity is genuinely tested)."""
-    pairs = _cc_pairs(spark, sf_dir)
+    labels = cc_propagate_labels(_cc_pairs(spark, sf_dir))
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def cc_propagate_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation CC over a (doc_a, doc_b) pair frame;
+    returns (node, label=component min). Algorithm core shared by the
+    registry key and the property-based equivalence tests
+    (tests/test_property.py pins propagation ≡ star contraction ≡ a
+    Python union-find on random graphs).
+
+    Each iteration is one self-contained join+groupBy round trip;
+    ``localCheckpoint`` truncates the lineage so iteration N's plan
+    doesn't replay iterations 1..N-1. The driver loop only counts
+    changed labels — all data movement is executor-side. Explicit
+    iteration budget: plain propagation converges in O(diameter)
+    rounds; a pathological duplicate chain at 100 TB must degrade
+    LOUDLY (error naming the knob), never hang or silently return
+    half-merged clusters."""
     # Every frame in the loop carries globally unique column names —
     # edges/labels/nbr all descend from one scan, and Spark's
     # ambiguous-self-join check rejects joins on shared-lineage names.
@@ -309,11 +329,6 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("label"))
     ).localCheckpoint(eager=True)
-    # Explicit iteration budget: plain propagation converges in
-    # O(diameter) rounds; a pathological duplicate chain at 100 TB must
-    # degrade LOUDLY (error naming the knob), never hang or silently
-    # return half-merged clusters. Fixture needs 2 rounds.
-    max_rounds = 20
     converged_at: int | None = None
     for round_no in range(1, max_rounds + 1):
         nbr = (
@@ -345,15 +360,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     if converged_at is None:
         raise RuntimeError(
-            f"dedup_cluster_cc: min-label propagation did not converge in "
+            f"cc_propagate_labels: min-label propagation did not converge in "
             f"{max_rounds} rounds — duplicate graph has diameter > "
             f"{max_rounds}; raise max_rounds or switch to large-star/"
             "small-star contraction for this dataset"
         )
-    _LOG.info("dedup_cluster_cc converged in %d round(s)", converged_at)
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    _LOG.info("cc_propagate_labels converged in %d round(s)", converged_at)
+    return labels
 
 
 @query(
@@ -566,16 +579,28 @@ def dedup_cluster_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per round, no driver-side edge materialization. Shares
     the WITH RECURSIVE reachability oracle with dedup_cluster_cc, so
     both implementations are pinned to the identical component map."""
-    pairs = _cc_pairs(spark, sf_dir)
+    labels = cc_star_labels(_cc_pairs(spark, sf_dir))
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def cc_star_labels(pairs: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Large-star/small-star CC core over a (doc_a, doc_b) pair frame;
+    returns (node, label=component min). Shared by the registry key and
+    the property-based equivalence tests (tests/test_property.py)."""
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # node set from the UNFILTERED pairs: a node mentioned only by a
+    # self-loop still belongs to the output (as its own singleton
+    # component) even though the loop edge itself is dropped
     all_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -620,7 +645,6 @@ def dedup_cluster_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         return (row.n, row.h)
 
-    max_rounds = 12  # ≥ log2(component span) with slack; fixture: 2-3
     prev = _checksum(edges)
     converged_at: int | None = None
     for round_no in range(1, max_rounds + 1):
@@ -632,19 +656,14 @@ def dedup_cluster_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = cur
     if converged_at is None:
         raise RuntimeError(
-            f"dedup_cluster_cc_stars: star contraction did not reach a "
+            f"cc_star_labels: star contraction did not reach a "
             f"fixpoint in {max_rounds} rounds — raise max_rounds "
             "(components span > 2^rounds ids) or inspect for hash "
             "checksum collisions"
         )
-    _LOG.info("dedup_cluster_cc_stars converged in %d round(s)", converged_at)
+    _LOG.info("cc_star_labels converged in %d round(s)", converged_at)
     # Fixpoint edges form stars child→component-min; roots label themselves.
     parents = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
-    return (
-        all_nodes.join(parents, "node", "left")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.coalesce("label", "node").alias("cluster_id"),
-        )
-        .orderBy("doc_id")
+    return all_nodes.join(parents, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
     )

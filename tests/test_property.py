@@ -135,3 +135,63 @@ def test_levenshtein_agrees(spark, duck, a, b):
     d_spark = spark.sql(f"SELECT levenshtein('{a}', '{b}') AS d").collect()[0]["d"]
     d_duck = duck.execute(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
     assert d_spark == d_duck, (a, b)
+
+
+# --------------------------------------------------------------------------
+# Connected-components equivalence: both distributed CC implementations
+# (min-label propagation and large/small-star contraction) must agree
+# with a sequential union-find on arbitrary random graphs — not just on
+# the fixture's chain shape. Catches: missed symmetric closure, stars
+# that stop one contraction early, label-vs-min mixups.
+# --------------------------------------------------------------------------
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=60), st.integers(min_value=0, max_value=60)
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member id
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for root, members in comp.items() for n in members}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(_edge, min_size=1, max_size=40))
+def test_cc_implementations_agree_with_union_find(spark, edges):
+    from kinesis_adapter_spark.operators.curation import (
+        cc_propagate_labels,
+        cc_star_labels,
+    )
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a BIGINT, doc_b BIGINT"
+    )
+    expected = _union_find(edges)
+    got_prop = {
+        r.node: r.label for r in cc_propagate_labels(pairs, max_rounds=70).collect()
+    }
+    got_star = {
+        r.node: r.label for r in cc_star_labels(pairs, max_rounds=20).collect()
+    }
+    assert got_prop == expected
+    assert got_star == expected

@@ -1,0 +1,125 @@
+"""Scale smoke: measure how the heavy operators scale when the data
+does — the empirical check behind SCALE.md's linearity claims.
+
+Usage: python tools/scale_smoke.py [factor]   (default 8)
+
+Builds a synthetic sf directory at /tmp/kas_scale_x{N} by replicating
+sf0.1's big tables N times with id offsets (events: event_id/user_id,
+documents: doc_id, embeddings: vec_id — offsets multiply the GROUP
+counts, keeping per-group work constant, which is how real corpora
+grow), copying the bounded dims as-is. Then times each smoke op once
+warm at 1x (sf0.1) and once at Nx, printing per-op wall-clock and the
+scaling ratio. A ratio near N is linear scaling; a ratio well above N
+flags a superlinear shape that would not survive 100 TB.
+
+Replicated ts stays identical across replicas (more users per hour,
+same time span) — the realistic way event volume grows.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kinesis_adapter_spark import catalog  # noqa: E402
+from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules  # noqa: E402
+from kinesis_adapter_spark.session import build_spark  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+
+# op -> dominant input table (for the report only)
+SMOKE_OPS = {
+    "sessionize_gap": "events",
+    "win_moving_median": "events",
+    "rolling_active_users": "events",
+    "text_repetition_score": "documents",
+    "dedup_near_minhash": "documents",
+    "pipeline_text_curation": "documents",
+    "dedup_cluster_cc_stars": "documents",
+    "sim_topk": "embeddings",
+}
+
+# (table, id columns to offset, per-replica offset)
+_REPLICATE = {
+    "events": (("event_id", 1_000_000_000), ("user_id", 1_000_000)),
+    "documents": (("doc_id", 10_000_000),),
+    "embeddings": (("vec_id", 1_000_000),),
+}
+
+
+def build_scaled_dir(spark, factor: int) -> str:
+    out = Path(f"/tmp/kas_scale_x{factor}")
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in catalog.TABLES:
+        src = catalog.load(spark, BASE_SF, t)  # post-canonicalization
+        dest = out / f"{t}.parquet"
+        if t in _REPLICATE:
+            parts = []
+            for i in range(factor):
+                rep = src
+                for col, off in _REPLICATE[t]:
+                    rep = rep.withColumn(col, F.col(col) + F.lit(i * off))
+                parts.append(rep)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            df.write.mode("overwrite").parquet(str(dest))
+        else:
+            src.write.mode("overwrite").parquet(str(dest))
+    (out / "_SUCCESS").touch()
+    return str(out)
+
+
+def time_op(fn, spark, sf_dir: str) -> float:
+    fn(spark, sf_dir).collect()  # warm-up / staging
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = build_spark(app_name="kas-scale-smoke")
+    load_all_modules()
+    scaled = build_scaled_dir(spark, factor)
+    report = []
+    for op, table in SMOKE_OPS.items():
+        t1 = time_op(QUERIES[op], spark, BASE_SF)
+        tn = time_op(QUERIES[op], spark, scaled)
+        report.append(
+            {
+                "op": op,
+                "table": table,
+                "t_1x_sec": round(t1, 3),
+                f"t_{factor}x_sec": round(tn, 3),
+                "ratio": round(tn / t1, 2),
+                "factor": factor,
+            }
+        )
+        print(json.dumps(report[-1]))
+    worst = max(report, key=lambda r: r["ratio"])
+    print(
+        json.dumps(
+            {
+                "summary": "scale_smoke",
+                "factor": factor,
+                "worst_op": worst["op"],
+                "worst_ratio": worst["ratio"],
+                "linear_bound": factor * 1.5,
+                "pass": worst["ratio"] <= factor * 1.5,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
