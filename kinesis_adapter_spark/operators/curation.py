@@ -667,3 +667,44 @@ def cc_star_labels(pairs: DataFrame, max_rounds: int = 12) -> DataFrame:
     return all_nodes.join(parents, "node", "left").select(
         "node", F.coalesce("label", "node").alias("label")
     )
+
+
+# One SQL text, two engines: Spark 4.1 ships recursive CTEs, so the
+# duplicate-chain walk below runs VERBATIM on Spark (over temp views)
+# and on DuckDB (the oracle). UNION ALL recursion only (Spark does not
+# yet support the deduplicating UNION mode in recursion — probed
+# [UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]); the pair fixture is a DAG
+# (every edge points id-upward), so termination is structural.
+_CHAIN_DEPTH_SQL = f"""
+    WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+    roots AS (
+      SELECT DISTINCT doc_a AS doc_id FROM pairs
+      WHERE doc_a NOT IN (SELECT doc_b FROM pairs)
+    ),
+    walk(doc_id, depth) AS (
+      SELECT doc_id, 0 FROM roots
+      UNION ALL
+      SELECT p.doc_b, w.depth + 1
+      FROM walk w JOIN pairs p ON p.doc_a = w.doc_id
+    )
+    SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS depth
+    FROM walk GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("dedup_chain_depth", _CHAIN_DEPTH_SQL)
+def dedup_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-provenance depth via a RECURSIVE CTE (Spark 4.1
+    native): how many copy-of-a-copy hops separate each document from
+    its chain root — the lineage question a curation team asks when
+    deciding which generation of a mirrored page to keep. The SAME SQL
+    text executes on Spark and on the DuckDB oracle (engine-portable
+    declarative recursion, no hand-rolled driver loop); Spark plans
+    each recursion step as a join against the previous frontier —
+    the iteration count is bounded by the DAG depth, and each step is
+    a bounded equi-join exactly like one cc round. For cyclic graphs
+    use dedup_cluster_cc/_stars (UNION-mode recursion is not yet
+    supported in Spark)."""
+    for t in ("documents",):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CHAIN_DEPTH_SQL)

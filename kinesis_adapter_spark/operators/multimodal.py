@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.plans.registry import query
-from kinesis_adapter_spark.sources.scans import derived_dir
+from kinesis_adapter_spark.sources.scans import DERIVED_ROOT, derived_dir
 
 MEDIA_TYPES = ("image", "audio", "video")
 
@@ -113,6 +113,10 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(ensure_media_parquet(sf_dir)))
 
 
+# Oracle path constant: tracks DERIVED_ROOT so a staged-fixture version
+# bump can never strand the oracles on a stale directory.
+_MEDIA_ORACLE_PATH = str(DERIVED_ROOT / "sf0.01" / "media.parquet")
+
 # NOTE: oracle SQL paths point at the sf0.01 staging dir — the scale
 # the driver (and the local parity gate) oracles at. The Spark side of
 # each key stages the fixture before the oracle runs.
@@ -120,10 +124,10 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_decode_features",
-    """
+    f"""
     SELECT media_id, media_type, gt_n_bytes AS n_bytes,
            gt_byte_mean AS byte_mean, gt_sha256_16 AS sha256_16
-    FROM read_parquet('/tmp/kas_derived/v1/sf0.01/media.parquet')
+    FROM read_parquet('{_MEDIA_ORACLE_PATH}')
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,12 +166,12 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_metadata_profile",
-    """
+    f"""
     SELECT media_type, COUNT(*) AS n,
            CAST(SUM(gt_n_bytes) AS BIGINT) AS total_bytes,
            CAST(MAX(width) AS INT) AS max_width,
            CAST(MAX(n_frames) AS INT) AS max_frames
-    FROM read_parquet('/tmp/kas_derived/v1/sf0.01/media.parquet')
+    FROM read_parquet('{_MEDIA_ORACLE_PATH}')
     GROUP BY media_type
     """,
 )
@@ -191,9 +195,9 @@ def mm_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_frame_sample",
-    """
+    f"""
     SELECT media_id, CAST(f.frame_id AS BIGINT) AS frame_id
-    FROM read_parquet('/tmp/kas_derived/v1/sf0.01/media.parquet'),
+    FROM read_parquet('{_MEDIA_ORACLE_PATH}'),
          LATERAL (SELECT unnest(range(0, CAST(n_frames AS BIGINT), CAST(fps AS BIGINT)))
                   AS frame_id) f
     WHERE media_type = 'video'
@@ -216,7 +220,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_multimodal_curation",
-    """
+    f"""
     SELECT d.lang, m.media_type,
            COUNT(*) AS n_docs,
            CAST(SUM(m.gt_n_bytes) AS BIGINT) AS total_media_bytes,
@@ -225,7 +229,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS avg_emb_norm
     FROM documents d
     JOIN embeddings e ON d.doc_id = e.vec_id
-    JOIN read_parquet('/tmp/kas_derived/v1/sf0.01/media.parquet') m
+    JOIN read_parquet('{_MEDIA_ORACLE_PATH}') m
       ON d.doc_id = m.media_id
     WHERE d.n_chars >= 100
     GROUP BY d.lang, m.media_type

@@ -823,3 +823,55 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sketches"),
     ).select(F.lit("__all__").alias("event_type"), "est_users", "n_sketches")
     return per.unionByName(glob).orderBy("event_type")
+
+
+@query(
+    "stream_static_enrich",
+    """
+    WITH seg AS (
+      SELECT * FROM (VALUES
+        (0,'s0'),(1,'s1'),(2,'s2'),(3,'s3'),(4,'s4'),
+        (5,'s5'),(6,'s6'),(7,'s7'),(8,'s8'),(9,'s9')
+      ) AS t(seg_id, segment)
+    )
+    SELECT s.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN seg s ON e.user_id % 10 = s.seg_id
+    GROUP BY s.segment
+    ORDER BY s.segment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join: the unbounded event stream is
+    enriched against a BOUNDED static dimension (user segment map) —
+    the most common production streaming join, and the cheap one: the
+    static side broadcasts once per micro-batch, needs NO watermark and
+    NO join state (unlike stream-stream), so state size stays zero
+    regardless of stream length. At 100 TB/day the dim is a slowly-
+    changing table re-broadcast per batch — swap the createDataFrame
+    for a Delta/parquet read and the plan is unchanged.
+
+    The aggregate runs in update mode; the final per-segment totals
+    must equal the batch join — which is what the oracle checks."""
+    segments = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "seg_id BIGINT, segment STRING"
+    )
+    src = _events_stream(spark, sf_dir, max_files=8)
+    enriched = src.withColumn("seg_id", F.col("user_id") % 10).join(
+        F.broadcast(segments), "seg_id"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value_raw"),
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    return (
+        spark.table(name)
+        .select(
+            "segment",
+            "n_events",
+            F.round("sum_value_raw", 2).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
