@@ -115,7 +115,28 @@ def pack_sequences_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_sequences_greedy")  # T3: greedy reset is sequential — invariants in pytest
+@query(
+    "pack_sequences_greedy",
+    f"""
+    WITH RECURSIVE toked AS (
+      SELECT doc_id, lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk(lang, rn, doc_id, tokens, cum, pack_id) AS (
+      SELECT lang, rn, doc_id, tokens, tokens, CAST(0 AS BIGINT)
+      FROM toked WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.rn, t.doc_id, t.tokens,
+             CASE WHEN w.cum + t.tokens > {BUDGET}
+                  THEN t.tokens ELSE w.cum + t.tokens END,
+             CASE WHEN w.cum + t.tokens > {BUDGET}
+                  THEN w.pack_id + 1 ELSE w.pack_id END
+      FROM walk w JOIN toked t ON t.lang = w.lang AND t.rn = w.rn + 1
+    )
+    SELECT doc_id, lang, tokens, pack_id FROM walk ORDER BY lang, doc_id
+    """,
+)  # r4: T3 → oracled (the greedy reset IS sequential, but a recursive CTE replays it)
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy no-split bin packing: docs never straddle packs; a new
     pack opens when the next doc would overflow BUDGET (oversized docs

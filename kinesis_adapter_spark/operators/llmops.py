@@ -6,10 +6,12 @@ Design rules:
   driver-side loops, no RDDs;
 - dedup keys are content hashes so the heavy shuffle carries 16-byte
   digests, not document bodies;
-- near-dup has TWO paths: an exact inverted-index n-gram Jaccard
-  (oracle-able, quadratic only within shingle buckets) and a
-  MinHash+LSH path (the 100 TB approximation, T3 — recall asserted in
-  pytest against the exact path).
+- near-dup has THREE paths, all fully oracled since round 4: an exact
+  inverted-index n-gram Jaccard (quadratic only within shingle
+  buckets), a MinHash+LSH path (the 100 TB approximation, banded
+  recall-complete at the verify threshold so it shares the exact
+  oracle), and SimHash Hamming-≤2 blocking (md5-derived bits, so the
+  oracle replays the identical majority vote).
 
 Duplicate fixtures are derived in-query (documents has zero dups at
 any sf — FIXTURES.md): a deterministic subset is re-tagged with
@@ -363,7 +365,48 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # T3: simhash uses xxhash64 (not expressible in the oracle)
+SIMHASH_ORACLE = f"""
+WITH docs AS ({MUTATED_SQL}),
+tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM docs),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INT AS hv FROM tok),
+bits AS (
+  SELECT doc_id,
+    SUM(CASE WHEN (hv & 1) != 0 THEN 1 ELSE -1 END) AS b0,
+    SUM(CASE WHEN (hv & 2) != 0 THEN 1 ELSE -1 END) AS b1,
+    SUM(CASE WHEN (hv & 4) != 0 THEN 1 ELSE -1 END) AS b2,
+    SUM(CASE WHEN (hv & 8) != 0 THEN 1 ELSE -1 END) AS b3,
+    SUM(CASE WHEN (hv & 16) != 0 THEN 1 ELSE -1 END) AS b4,
+    SUM(CASE WHEN (hv & 32) != 0 THEN 1 ELSE -1 END) AS b5,
+    SUM(CASE WHEN (hv & 64) != 0 THEN 1 ELSE -1 END) AS b6,
+    SUM(CASE WHEN (hv & 128) != 0 THEN 1 ELSE -1 END) AS b7,
+    SUM(CASE WHEN (hv & 256) != 0 THEN 1 ELSE -1 END) AS b8,
+    SUM(CASE WHEN (hv & 512) != 0 THEN 1 ELSE -1 END) AS b9,
+    SUM(CASE WHEN (hv & 1024) != 0 THEN 1 ELSE -1 END) AS b10,
+    SUM(CASE WHEN (hv & 2048) != 0 THEN 1 ELSE -1 END) AS b11,
+    SUM(CASE WHEN (hv & 4096) != 0 THEN 1 ELSE -1 END) AS b12,
+    SUM(CASE WHEN (hv & 8192) != 0 THEN 1 ELSE -1 END) AS b13,
+    SUM(CASE WHEN (hv & 16384) != 0 THEN 1 ELSE -1 END) AS b14,
+    SUM(CASE WHEN (hv & 32768) != 0 THEN 1 ELSE -1 END) AS b15
+  FROM h GROUP BY doc_id
+),
+sim AS (SELECT doc_id, CASE WHEN b0 > 0 THEN 1 ELSE 0 END + CASE WHEN b1 > 0 THEN 2 ELSE 0 END + CASE WHEN b2 > 0 THEN 4 ELSE 0 END + CASE WHEN b3 > 0 THEN 8 ELSE 0 END + CASE WHEN b4 > 0 THEN 16 ELSE 0 END + CASE WHEN b5 > 0 THEN 32 ELSE 0 END + CASE WHEN b6 > 0 THEN 64 ELSE 0 END + CASE WHEN b7 > 0 THEN 128 ELSE 0 END + CASE WHEN b8 > 0 THEN 256 ELSE 0 END + CASE WHEN b9 > 0 THEN 512 ELSE 0 END + CASE WHEN b10 > 0 THEN 1024 ELSE 0 END + CASE WHEN b11 > 0 THEN 2048 ELSE 0 END + CASE WHEN b12 > 0 THEN 4096 ELSE 0 END + CASE WHEN b13 > 0 THEN 8192 ELSE 0 END + CASE WHEN b14 > 0 THEN 16384 ELSE 0 END + CASE WHEN b15 > 0 THEN 32768 ELSE 0 END AS simhash FROM bits),
+keyed AS (SELECT doc_id, simhash, simhash % 256 AS lo, simhash // 256 AS hi FROM sim),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_simhash", SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document + candidate pairs at Hamming ≤ 2.
 
@@ -374,7 +417,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys, then exact hamming verify)."""
     docs = mutated_documents(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    h = F.xxhash64("t")
+    # 16-bit token hash from the md5 prefix: md5 is md5 on every engine,
+    # so since round 4 this key carries a full DuckDB oracle (upgraded
+    # from T3 — the original xxhash64 had no oracle-side equivalent)
+    h = F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
     bits = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(16)
@@ -401,6 +447,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.distinct()
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 2)
+        .orderBy("doc_a", "doc_b")
     )
 
 
