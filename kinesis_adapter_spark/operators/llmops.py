@@ -164,6 +164,14 @@ def shingled(docs: DataFrame, exploded: bool) -> DataFrame:
 # measured, so the guard is exercised by the oracle, not dead code.
 STOP_SHINGLE_ABS = 5
 STOP_SHINGLE_FRAC = 0.01
+# Absolute ceiling on the df cap (r4): the FRAC term alone grows the
+# cap linearly with corpus size, which makes candidate pairs grow as
+# sum(df^2) — measured 30.6x runtime at 8x data in tools/scale_smoke.py
+# before this bound. Capping the bucket absolutely keeps the worst
+# shingle's pair fan-out constant at any corpus size (the standard
+# blocking-key discipline); unchanged at the sf0.01 oracle scale where
+# ceil(0.01*572)=6 < 64.
+STOP_SHINGLE_MAX = 64
 
 
 def capped_shingles(docs: DataFrame) -> DataFrame:
@@ -176,7 +184,10 @@ def capped_shingles(docs: DataFrame) -> DataFrame:
     sh = shingled(docs, exploded=True)
     n = docs.select(F.count(F.lit(1)).alias("n_docs"))
     cap = F.greatest(
-        F.lit(STOP_SHINGLE_ABS), F.ceil(F.col("n_docs") * STOP_SHINGLE_FRAC)
+        F.lit(STOP_SHINGLE_ABS),
+        F.least(
+            F.ceil(F.col("n_docs") * STOP_SHINGLE_FRAC), F.lit(STOP_SHINGLE_MAX)
+        ),
     )
     return (
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
@@ -199,7 +210,7 @@ nd AS (SELECT COUNT(*) AS n_docs FROM docs),
 shing AS (
   SELECT doc_id, s
   FROM (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shing0), nd
-  WHERE df <= GREATEST({STOP_SHINGLE_ABS}, CEIL(n_docs * {STOP_SHINGLE_FRAC}))
+  WHERE df <= GREATEST({STOP_SHINGLE_ABS}, LEAST(CEIL(n_docs * {STOP_SHINGLE_FRAC}), {STOP_SHINGLE_MAX}))
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
 inter AS (
@@ -1002,7 +1013,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shing AS (
       SELECT doc_id, s
       FROM (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shing0), nd
-      WHERE df <= GREATEST({STOP_SHINGLE_ABS}, CEIL(n_docs * {STOP_SHINGLE_FRAC}))
+      WHERE df <= GREATEST({STOP_SHINGLE_ABS}, LEAST(CEIL(n_docs * {STOP_SHINGLE_FRAC}), {STOP_SHINGLE_MAX}))
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
     inter AS (

@@ -480,3 +480,15 @@ def test_lateral_topn_decorrelates(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan, plan[:3000]
     assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_bitmap_distinct_two_tier_aggregate(spark):
+    """The bitmap distinct must show both aggregate tiers with MAP-SIDE
+    partials: per-bucket bitmap construction (SortAggregate —
+    bitmap_construct_agg is not hash-aggregable) and the popcount sum
+    (HashAggregate). Partial agg in both tiers is the mergeable shape
+    that lets rollups re-aggregate stored bitmaps."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "partial_bitmap_construct_agg" in plan, plan[:3000]
+    assert "partial_sum" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan

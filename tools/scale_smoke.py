@@ -44,6 +44,8 @@ SMOKE_OPS = {
     "pipeline_text_curation": "documents",
     "dedup_cluster_cc_stars": "documents",
     "sim_topk": "embeddings",
+    "dedup_containment": "documents",
+    "agg_bitmap_distinct": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
