@@ -2,6 +2,8 @@
 does — the empirical check behind SCALE.md's linearity claims.
 
 Usage: python tools/scale_smoke.py [factor]   (default 8)
+Full run over all SMOKE_OPS takes ~10-12 min (each op runs warm twice
+at both scales; fuzzy_match_names alone is ~30 s of it).
 
 Builds a synthetic sf directory at /tmp/kas_scale_x{N} by replicating
 sf0.1's big tables N times with id offsets (events: event_id/user_id,
@@ -46,6 +48,10 @@ SMOKE_OPS = {
     "sim_topk": "embeddings",
     "dedup_containment": "documents",
     "agg_bitmap_distinct": "events",
+    "tfidf_topterms": "documents",
+    "contamination_ngram": "documents",
+    "fuzzy_match_names": "customer",
+    "join_asof": "events+orders",
 }
 
 # (table, id columns to offset, per-replica offset)
@@ -53,6 +59,11 @@ _REPLICATE = {
     "events": (("event_id", 1_000_000_000), ("user_id", 1_000_000)),
     "documents": (("doc_id", 10_000_000),),
     "embeddings": (("vec_id", 1_000_000),),
+    # FK-consistent replication: user_id/o_custkey/c_custkey share the
+    # same per-replica offset so cross-table joins replicate per copy
+    # instead of fanning out across copies
+    "customer": (("c_custkey", 1_000_000),),
+    "orders": (("o_orderkey", 100_000_000), ("o_custkey", 1_000_000)),
 }
 
 
@@ -70,6 +81,15 @@ def build_scaled_dir(spark, factor: int) -> str:
                 rep = src
                 for col, off in _REPLICATE[t]:
                     rep = rep.withColumn(col, F.col(col) + F.lit(i * off))
+                if t == "customer":
+                    # vary the name per replica: leaving names identical
+                    # would make every name an 8-way collision, and the
+                    # CORRECT fuzzy-match output itself grows
+                    # quadratically in copies — an artifact of naive
+                    # replication, not a property of real corpus growth
+                    rep = rep.withColumn(
+                        "c_name", F.concat("c_name", F.lit(f"-r{i}"))
+                    )
                 parts.append(rep)
             df = parts[0]
             for p in parts[1:]:
