@@ -220,3 +220,71 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.doc_id
         """
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    """
+    SELECT doc_id,
+           CAST(n_chars * 2 + len(str_split(text, ' ')) AS BIGINT) AS feature
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``):
+    same row-wise author experience as @udf, but the engine ships
+    Arrow batches instead of pickled rows — measured 1.5-3× over
+    classic @udf without rewriting to pandas-UDF style. The remaining
+    gap to true vectorization (pandas_udf processes whole series with
+    numpy) is why the hierarchy in this module's docstring still puts
+    pandas UDFs above it; useArrow is the drop-in upgrade for legacy
+    @udf code. Oracled against pure SQL: the Python body must agree
+    with the relational expression exactly."""
+
+    @F.udf("long", useArrow=True)
+    def doc_feature(n_chars: int, text: str) -> int:
+        return n_chars * 2 + len(text.split(" "))
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", doc_feature("n_chars", "text").alias("feature"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "udf_map_arrow",
+    """
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_chars % 7 AS BIGINT) AS bucket
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: per-partition transformation directly over
+    pyarrow RecordBatches — no pandas materialization at all, the
+    lowest-overhead Python extension point (pandas conversion cost
+    matters when batches are wide or string-heavy). The transform
+    computes a bucket column with pyarrow compute kernels; oracled
+    against the SQL equivalent."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bucketize(batches):
+        for batch in batches:
+            n = batch.column("n_chars")
+            # n % 7 from divide/multiply/subtract — this pyarrow build
+            # ships no mod kernel (Arrow integer divide truncates)
+            bucket = pc.subtract(n, pc.multiply(pc.divide(n, 7), 7))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n, bucket],
+                names=["doc_id", "n_chars", "bucket"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInArrow(
+        bucketize, "doc_id long, n_chars long, bucket long"
+    ).orderBy("doc_id")
