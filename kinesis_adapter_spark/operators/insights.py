@@ -657,3 +657,159 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("gday").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+@query(
+    "affinity_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM events),
+    supp AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND((p.n_both * n.n_users) / (sa.n_t * sb.n_t), 6) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.event_type = p.type_a
+    JOIN supp sb ON sb.event_type = p.type_b
+    CROSS JOIN n
+    ORDER BY type_a, type_b
+    """,
+)
+def affinity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over event types: for every pair of
+    types, how many users do both, and the lift
+    P(a,b) / (P(a)·P(b)) — the standard co-occurrence screen behind
+    "users who X also Y". The heavy input collapses to DISTINCT
+    (user, type) FIRST — the pair join then runs on |users|·|types|
+    rows, not raw events, and the per-user fan-out is bounded by the
+    (small) type vocabulary squared, so at 100 TB the cost is the
+    distinct pass; supports and the user count are broadcast-sized."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").cast("double").alias("n_users"))
+    supp = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_users")) / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "dq_expectations",
+    """
+    SELECT 'events_value_null_frac_lt_5pct' AS check_name,
+           CAST(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) < 0.05
+                AS BOOLEAN) AS passed,
+           ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS observed
+    FROM events
+    UNION ALL
+    SELECT 'orders_totalprice_nonnegative',
+           CAST(MIN(o_totalprice) >= 0 AS BOOLEAN),
+           ROUND(MIN(o_totalprice), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain_le_3',
+           CAST(COUNT(DISTINCT o_orderstatus) <= 3 AS BOOLEAN),
+           CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_in_1_50',
+           CAST(MIN(l_quantity) >= 1 AND MAX(l_quantity) <= 50 AS BOOLEAN),
+           ROUND(MAX(l_quantity), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents_nchars_matches_text',
+           CAST(SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) = 0
+                AS BOOLEAN),
+           CAST(SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+                AS DOUBLE)
+    FROM documents
+    ORDER BY check_name
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations pattern): each check is a named aggregate predicate
+    over a table — null-fraction bound, domain cardinality, value
+    ranges, cross-column consistency — emitted as one (check, passed,
+    observed) report row. Every check is a plain aggregation, so the
+    whole suite runs as a handful of single-pass scans with partial
+    aggregation, and at 100 TB checks over the same table share one
+    scan (Catalyst caches nothing here, but a production runner
+    unions per-table checks into one agg — the per-table shape below).
+    The oracle recomputes the identical report in SQL, pinning both
+    the observations and the pass/fail booleans."""
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    d = load(spark, sf_dir, "documents")
+    null_frac = F.avg(F.when(F.col("value").isNull(), 1.0).otherwise(0.0))
+    checks = [
+        ev.agg(
+            F.lit("events_value_null_frac_lt_5pct").alias("check_name"),
+            (null_frac < 0.05).alias("passed"),
+            F.round(null_frac, 6).alias("observed"),
+        ),
+        o.agg(
+            F.lit("orders_totalprice_nonnegative").alias("check_name"),
+            (F.min("o_totalprice") >= 0).alias("passed"),
+            F.round(F.min("o_totalprice"), 6).alias("observed"),
+        ),
+        o.agg(
+            F.lit("orders_status_domain_le_3").alias("check_name"),
+            (F.count_distinct("o_orderstatus") <= 3).alias("passed"),
+            F.count_distinct("o_orderstatus").cast("double").alias("observed"),
+        ),
+        li.agg(
+            F.lit("lineitem_quantity_in_1_50").alias("check_name"),
+            ((F.min("l_quantity") >= 1) & (F.max("l_quantity") <= 50)).alias(
+                "passed"
+            ),
+            F.round(F.max("l_quantity"), 6).alias("observed"),
+        ),
+        d.agg(
+            F.lit("documents_nchars_matches_text").alias("check_name"),
+            (
+                F.sum(
+                    F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+                )
+                == 0
+            ).alias("passed"),
+            F.sum(
+                F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("observed"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
