@@ -2,7 +2,7 @@
 
 Runs each headline query at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``, one warm-up
-then median of 3 timed runs (wall-clock around full materialization via
+then median of 5 timed runs (wall-clock around full materialization via
 ``collect()``), and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
@@ -99,10 +99,12 @@ ANCHORS = {
 }
 
 
-def time_query(fn, spark, sf_dir: str, runs: int = 3) -> list[float]:
+def time_query(fn, spark, sf_dir: str, runs: int = 5) -> list[float]:
     """One warm-up, then ``runs`` timed executions; returns all samples
     so the emitted JSON carries run-to-run spread (VERDICT r01 item #7:
-    a single driver invocation still exposes variance)."""
+    a single driver invocation still exposes variance). 5 runs (r4, was
+    3): sub-second queries on a busy host showed ±50% medians-of-3;
+    medians-of-5 damp the outlier runs for ~1 min extra wall."""
     fn(spark, sf_dir).collect()  # warm-up (also triggers any staging)
     samples = []
     for _ in range(runs):
@@ -137,7 +139,7 @@ def main() -> None:
         "queries": timings,
         "spread_min_med_max": spread,
         "ratio_vs_anchor": ratios,
-        "n_runs": 3,
+        "n_runs": 5,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -78,9 +78,13 @@ SCHEMAS: dict[str, str] = {
 # tables are immutable, so the relation (file listing + footer schema)
 # is resolved once per session instead of per query call — measured
 # ~80 ms of py4j/footer overhead on EVERY load, which dominates the
-# sub-second headline queries. Keyed on the SparkSession object so a
-# rebuilt session never serves relations from a stopped context.
-_DF_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# sub-second headline queries. The value stores the session object
+# itself and ``load`` checks identity: a bare ``id()`` key could alias
+# if a stopped session is garbage-collected and a new one lands on the
+# same address — holding the reference makes address reuse impossible
+# while the entry lives, so a rebuilt session can never be served
+# relations from a dead context.
+_DF_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 # Types treated as equivalent by the schema gate: under the UTC session
@@ -149,11 +153,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     physical-type drift, and validates the resulting schema."""
     prepare_session(spark)
     key = (id(spark), sf_dir, table)
-    df = _DF_MEMO.get(key)
-    if df is None:
-        df = _canonicalize(table, spark.read.parquet(f"{sf_dir}/{table}.parquet"))
-        _validate(spark, table, df)
-        _DF_MEMO[key] = df
+    entry = _DF_MEMO.get(key)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    df = _canonicalize(table, spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+    _validate(spark, table, df)
+    _DF_MEMO[key] = (spark, df)
     return df
 
 
