@@ -654,3 +654,69 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("bitmap_count(bmp)")).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_listagg",
+    """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP,
+    native in Spark 4): the report-friendly "all values as one cell"
+    shape. DISTINCT + explicit ORDER BY make the cell deterministic —
+    an unordered listagg is engine-dependent and would never
+    hash-match; that determinism requirement is the same discipline
+    every collect_list in this repo follows (agg_collect_sorted). The
+    aggregation state is the distinct value set per group, so groups
+    with huge distinct cardinality need capping upstream — here the
+    domain is 5 priorities."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_la")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+        FROM orders_la
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    """
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, item
+    LIMIT 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Spark 4 ``approx_top_k``): single-pass,
+    mergeable top-k item counts — the heavy-hitters primitive for
+    skew detection and hot-key dashboards at 100 TB, where an exact
+    groupBy-then-sort over a high-cardinality key is a full shuffle
+    this sketch avoids. The sketch is EXACT whenever the tracked-item
+    capacity (default 10k) exceeds the true cardinality — the fixture's
+    event-type domain is 5, so the oracle can be the exact SQL top-3;
+    on a real hot-key workload the counts become estimates with the
+    standard space-saving error bound. Output re-sorted by
+    (count desc, item) because sketch emission order is unspecified
+    for ties."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "item")
+    )
