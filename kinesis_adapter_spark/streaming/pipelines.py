@@ -875,3 +875,107 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "stream_curation_filter",
+    """
+    WITH duped AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    scored AS (
+      SELECT lang, n_chars, md5(text) AS fp,
+             len(str_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS uniq_ratio
+      FROM duped
+    ),
+    quality AS (
+      SELECT * FROM scored WHERE n_tokens >= 25 AND uniq_ratio >= 0.4
+    ),
+    dedup AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY fp ORDER BY fp) AS rn
+      FROM quality
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM dedup WHERE rn = 1
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def stream_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: documents arrive as NDJSON batches
+    (the 100 TB ingest reality — a crawler drops files continuously),
+    and the stream applies the quality gate (token count + uniqueness
+    ratio, same thresholds as the batch pipeline_text_curation) and
+    exactly-once content dedup (dropDuplicates on the md5 text digest —
+    16-byte state per distinct doc, the streaming twin of the batch
+    md5-window dedup) BEFORE anything lands. Per-language audit counts
+    are computed over the deduped sink and must equal the batch oracle:
+    duplicate copies differ only in doc_id, so the (lang, n_chars)
+    audit is arrival-order-invariant even though which COPY survives
+    is not. In production the digest state gets a watermark TTL
+    (dedup-within-horizon) to bound state; here the corpus is finite."""
+    import pyarrow.parquet as pq
+
+    work = Path(tempfile.mkdtemp(prefix="kas_curstream_"))
+    src = work / "src"
+    src.mkdir()
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    rows = list(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("lang").to_pylist(),
+            tbl.column("n_chars").to_pylist(),
+        )
+    )
+    fixture = rows + [
+        (d + 1_000_000, t, lg, nc) for d, t, lg, nc in rows if d % 5 == 0
+    ]
+    for b in range(3):
+        (src / f"arrivals_{b}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": d, "text": t, "lang": lg, "n_chars": int(nc)}
+                )
+                for d, t, lg, nc in fixture
+                if d % 3 == b
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    toks = F.split("text", " ")
+    scored = (
+        stream.withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "uniq_ratio",
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        .withColumn("fp", F.md5("text"))
+    )
+    curated = scored.filter(
+        (F.col("n_tokens") >= 25) & (F.col("uniq_ratio") >= 0.4)
+    ).dropDuplicates(["fp"])
+    name, _ = _run_to_memory(curated.select("lang", "n_chars"), "append")
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
