@@ -83,8 +83,28 @@ SCHEMAS: dict[str, str] = {
 # if a stopped session is garbage-collected and a new one lands on the
 # same address — holding the reference makes address reuse impossible
 # while the entry lives, so a rebuilt session can never be served
-# relations from a dead context.
+# relations from a dead context. Entries for STOPPED sessions are
+# swept on every insert (and an aliased entry is dropped the moment
+# its identity check fails), so rebuilt sessions don't accumulate dead
+# relations for process lifetime; a WeakKeyDictionary can't do this
+# because the memoized DataFrame values strongly reference their own
+# session, which would pin the weak keys forever.
 _DF_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _is_stopped(session: SparkSession) -> bool:
+    """True once ``session.stop()`` ran (SparkContext.stop clears
+    ``_jsc``); any introspection error is treated as stopped so the
+    sweep can only over-evict (a re-resolve), never serve stale."""
+    try:
+        return session._sc._jsc is None  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        return True
+
+
+def _sweep_memo() -> None:
+    for key in [k for k, (s, _) in _DF_MEMO.items() if _is_stopped(s)]:
+        _DF_MEMO.pop(key, None)
 
 
 # Types treated as equivalent by the schema gate: under the UTC session
@@ -154,8 +174,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     prepare_session(spark)
     key = (id(spark), sf_dir, table)
     entry = _DF_MEMO.get(key)
-    if entry is not None and entry[0] is spark:
-        return entry[1]
+    if entry is not None:
+        if entry[0] is spark:
+            return entry[1]
+        del _DF_MEMO[key]  # id() aliased a dead session's address
+    _sweep_memo()
     df = _canonicalize(table, spark.read.parquet(f"{sf_dir}/{table}.parquet"))
     _validate(spark, table, df)
     _DF_MEMO[key] = (spark, df)

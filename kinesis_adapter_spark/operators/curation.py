@@ -482,7 +482,16 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant hash, and the quadratic blowup a naive theta-join would
     hit never exists — the same blocked-join discipline as every
     near-dup operator in this engine. Distance-k generalizes with
-    k-deletion neighborhoods."""
+    k-deletion neighborhoods.
+
+    Cost discipline (r5): (1) `array_distinct` collapses per-name
+    duplicate variants — deleting any of the 8 zeros in
+    Customer#000000016 yields the SAME 17-char string, so without it
+    each repeated-character run multiplies bucket df and candidate
+    pairs quadratically; (2) the self-join carries only (id, v) — the
+    candidate distinct dedupes narrow id pairs, and names re-join
+    afterward on id (linear shuffle), so the hot bucket shuffle never
+    carries name bytes."""
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
@@ -494,21 +503,27 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     variants = c.select(
-        "id", "name", F.explode(F.array_prepend(dels, F.col("name"))).alias("v")
+        "id",
+        F.explode(
+            F.array_distinct(F.array_prepend(dels, F.col("name")))
+        ).alias("v"),
     )
-    a = variants.select(
-        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "v"
-    )
-    b = variants.select(
-        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "v"
-    )
-    return (
+    a = variants.select(F.col("id").alias("id_a"), "v")
+    b = variants.select(F.col("id").alias("id_b"), "v")
+    pairs = (
         a.join(b, "v")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    na = c.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    nb = c.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
         .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
 
 
@@ -666,15 +681,23 @@ def cc_star_labels(pairs: DataFrame, max_rounds: int = 12) -> DataFrame:
         ).first()
         return (row.n, row.h)
 
+    prev_edges = edges
     prev = _checksum(edges)
     converged_at: int | None = None
     for round_no in range(1, max_rounds + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _checksum(edges)
-        if cur == prev:
+        # Cheap per-round gate is the checksum (one tiny aggregate); the
+        # fixpoint CLAIM is confirmed exactly — equal counts + empty
+        # exceptAll means set equality, so a 2^-64 checksum collision
+        # between different consecutive edge sets can never terminate
+        # the loop early with silently half-contracted labels (ADVICE
+        # r4). The exact check shuffles both edge sets, but runs only
+        # once per convergence (or per collision, which keeps looping).
+        if cur == prev and edges.exceptAll(prev_edges).isEmpty():
             converged_at = round_no
             break
-        prev = cur
+        prev, prev_edges = cur, edges
     if converged_at is None:
         raise RuntimeError(
             f"cc_star_labels: star contraction did not reach a "

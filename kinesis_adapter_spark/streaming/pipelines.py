@@ -638,9 +638,15 @@ def stream_minhash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
       and APPENDS the rows to the signature parquet;
     - the dedup query then runs against the maintained artifact alone:
       the stop-shingle list is derived from the STORED sets (df over
-      the artifact, cap = max(5, 1% of indexed docs) — same formula as
-      the batch path), band keys derive from the stored min-hashes,
-      and candidates get the exact capped-Jaccard verify.
+      the artifact, cap = max(5, min(1% of indexed docs, 64)) — the
+      IDENTICAL formula as batch `capped_shingles`, including the
+      absolute STOP_SHINGLE_MAX ceiling that keeps the worst bucket's
+      pair fan-out constant at any corpus size; without it the
+      fractional term grows the cap linearly and candidate pairs grow
+      as sum(df^2), the exact superlinearity measured at 30.6x on the
+      batch path before r4 commit 328a1bc), band keys derive from the
+      stored min-hashes, and candidates get the exact capped-Jaccard
+      verify.
 
     Signatures are stored uncapped (per-doc, append-safe); capping is
     applied at query time from the artifact, which is what makes the
@@ -655,9 +661,8 @@ def stream_minhash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_adapter_spark.operators.llmops import (
         N_BANDS,
         N_HASHES,
-        STOP_SHINGLE_ABS,
-        STOP_SHINGLE_FRAC,
         shingled,
+        stop_shingle_cap,
     )
 
     import pyarrow.parquet as pq
@@ -718,9 +723,9 @@ def stream_minhash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- dedup query over the maintained artifact only ----
     sig = spark.read.parquet(sig_path)
     n = sig.select(F.count(F.lit(1)).alias("n_docs"))
-    cap = F.greatest(
-        F.lit(STOP_SHINGLE_ABS), F.ceil(F.col("n_docs") * STOP_SHINGLE_FRAC)
-    )
+    # Shared helper = shared formula: the streaming twin can never fork
+    # from the batch path's bounded cap again (r4 verdict finding #1).
+    cap = stop_shingle_cap(F.col("n_docs"))
     stop = (
         sig.select("doc_id", F.explode("sh").alias("s"))
         .groupBy("s")

@@ -60,3 +60,37 @@ def test_validate_rejects_drift(spark):
     )
     with pytest.raises(TypeError, match="fixture drift|events.ts"):
         catalog._validate(spark, "events", ev)
+
+def test_memo_evicts_stopped_sessions(spark):
+    """ADVICE r4: the DF memo must not retain relations for stopped
+    sessions forever — dead entries are swept on the next insert."""
+    catalog.load(spark, "/root/testdata/sf0.001", "region")
+    n_before = len(catalog._DF_MEMO)
+    # forge an entry whose "session" reports stopped (anything lacking
+    # ._sc._jsc is treated as stopped by the sweep)
+    class _Dead:
+        pass
+
+    catalog._DF_MEMO[(id(_Dead), "/x", "region")] = (_Dead(), None)
+    # an insert (forced by dropping nation's memo entry) triggers the sweep
+    catalog._DF_MEMO.pop((id(spark), "/root/testdata/sf0.001", "nation"), None)
+    catalog.load(spark, "/root/testdata/sf0.001", "nation")
+    assert (id(_Dead), "/x", "region") not in catalog._DF_MEMO
+    # live entries survive
+    assert len(catalog._DF_MEMO) >= n_before
+    assert catalog.load(spark, "/root/testdata/sf0.001", "region") is not None
+
+
+def test_memo_drops_aliased_entry(spark):
+    """If id() reuse ever lands a new session on a memoized address,
+    the stale entry is deleted (not just bypassed) on first touch."""
+    key = (id(spark), "/root/testdata/sf0.001", "supplier")
+    df = catalog.load(spark, "/root/testdata/sf0.001", "supplier")
+
+    class _Other:
+        _sc = None  # looks stopped to the sweep as well
+
+    catalog._DF_MEMO[key] = (_Other(), df)
+    out = catalog.load(spark, "/root/testdata/sf0.001", "supplier")
+    assert catalog._DF_MEMO[key][0] is spark
+    assert out is not None

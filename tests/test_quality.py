@@ -256,3 +256,35 @@ def test_stream_hll_rollup_matches_exact_distincts(spark):
         est = rows[et]["est_users"]
         assert abs(est - truth) <= 0.05 * truth, (et, est, truth)
     assert rows["__all__"]["n_sketches"] > len(exact) - 1  # >1 batch per type merged
+
+
+def test_ann_range_threshold_off_rounding_boundary(spark):
+    """ADVICE r4: ann_range_search filters on a 6-decimal-rounded
+    cosine computed independently on Spark and DuckDB; a raw similarity
+    within ~1e-6 of the 0.3 threshold could round differently across
+    the two float paths and flip a row in/out of the result. Pin the
+    data property the oracle parity relies on: at oracle SF no raw
+    similarity lands within 5e-6 of the boundary. If the fixtures
+    regenerate and violate this, fail HERE with a name, not as an
+    opaque driver hash mismatch."""
+    from kinesis_adapter_spark.catalog import load
+    from kinesis_adapter_spark.operators.embeddings_ops import cosine
+
+    e = load(spark, SF_TEST, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    gap = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.abs(cosine(F.col("embedding"), F.col("qv")) - F.lit(0.3)).alias("g")
+        )
+        .agg(F.min("g").alias("min_gap"))
+        .first()
+    )
+    assert gap.min_gap > 5e-6, (
+        f"a similarity sits {gap.min_gap} from the 0.3 threshold — "
+        "rounding may disagree across engines; move the threshold or "
+        "regenerate fixtures"
+    )

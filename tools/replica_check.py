@@ -1,0 +1,102 @@
+"""Full-registry replica of the driver's correctness gate.
+
+The per-round driver samples only ~50 of the registry's keys, so most
+keys never get a hard `CORRECTNESS_r{N}.json` row and a stale red row
+(e.g. scd2_intervals after its r4 rewrite) can masquerade as a live
+failure. This tool runs the driver's EXACT check — `entry()` smoke,
+then every `queries()` key vs its `oracle_sql()` DuckDB twin at sf0.01
+(row count + schema + order-insensitive value equality, plus the
+stricter Arrow type gate) on a deliberately BARE SparkSession — and
+writes one auditable JSON artifact per round (`REPLICA_r{N}.json`).
+
+Usage:  python tools/replica_check.py [--round N] [--out PATH]
+Exit status is non-zero if any key fails, so it can gate commits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=5)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    out_path = Path(args.out) if args.out else REPO / f"REPLICA_r{args.round:02d}.json"
+
+    from pyspark.sql import SparkSession
+
+    # Bare session on purpose: the driver sets no special confs, so any
+    # conf the queries need must be applied by prepare_session() inside
+    # the query functions themselves (verify-skill gotcha #1).
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("replica-check")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as E
+    from tests.oracle import arrow_type_problems, check_query
+
+    t0 = time.time()
+    entry_rows = len(E.entry(spark).collect())
+    results: dict[str, dict] = {}
+    qs, osql = E.queries(), E.oracle_sql()
+    n_pass = n_rows_only = n_fail = 0
+    for key in sorted(qs):
+        kt0 = time.time()
+        rec: dict = {}
+        try:
+            if key in osql:
+                problems = check_query(spark, key, args.sf_dir)
+                problems += arrow_type_problems(spark, key, args.sf_dir)
+                rec["status"] = "pass" if not problems else "fail"
+                rec["problems"] = problems
+            else:
+                df = qs[key](spark, args.sf_dir)
+                rec["rows"] = df.count()
+                assert len(df.schema.fields) > 0
+                rec["status"] = "rows_only"
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the sweep
+            rec["status"] = "fail"
+            rec["problems"] = [f"{type(exc).__name__}: {exc}"[:500]]
+        rec["sec"] = round(time.time() - kt0, 2)
+        results[key] = rec
+        n_pass += rec["status"] == "pass"
+        n_rows_only += rec["status"] == "rows_only"
+        n_fail += rec["status"] == "fail"
+        print(f"{rec['status']:<9} {key} ({rec['sec']}s)", flush=True)
+
+    artifact = {
+        "round": args.round,
+        "sf_dir": args.sf_dir,
+        "entry_smoke_rows": entry_rows,
+        "keys_total": len(qs),
+        "oracled": len(osql),
+        "pass": n_pass,
+        "rows_only": n_rows_only,
+        "fail": n_fail,
+        "wall_sec": round(time.time() - t0, 1),
+        "keys": results,
+    }
+    out_path.write_text(json.dumps(artifact, indent=1, sort_keys=False) + "\n")
+    print(
+        f"\n{out_path.name}: {n_pass} pass / {n_rows_only} rows-only / "
+        f"{n_fail} FAIL of {len(qs)} keys in {artifact['wall_sec']}s"
+    )
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,9 +1,12 @@
 """Scale smoke: measure how the heavy operators scale when the data
 does — the empirical check behind SCALE.md's linearity claims.
 
-Usage: python tools/scale_smoke.py [factor]   (default 8)
+Usage: python tools/scale_smoke.py [factor] [op ...]   (default 8, all ops)
 Full run over all SMOKE_OPS takes ~10-12 min (each op runs warm twice
-at both scales; fuzzy_match_names alone is ~30 s of it).
+at both scales; fuzzy_match_names alone is ~30 s of it). Naming ops
+restricts the run — e.g. `python tools/scale_smoke.py 32
+fuzzy_match_names dedup_containment` pushes just the worst batch ops
+to a higher factor.
 
 Builds a synthetic sf directory at /tmp/kas_scale_x{N} by replicating
 sf0.1's big tables N times with id offsets (events: event_id/user_id,
@@ -52,6 +55,14 @@ SMOKE_OPS = {
     "contamination_ngram": "documents",
     "fuzzy_match_names": "customer",
     "join_asof": "events+orders",
+    # streaming maintenance twins (r5, VERDICT item #2): each call
+    # stages its own arrival batches from the sf dir, runs the
+    # availableNow maintenance stream, then queries the maintained
+    # artifact — so the timing covers the whole incremental path, and a
+    # superlinear query-time formula (the r4 stop-shingle cap bug)
+    # shows up here instead of in production
+    "stream_minhash_maintain": "documents",
+    "stream_hll_rollup": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
@@ -67,10 +78,29 @@ _REPLICATE = {
 }
 
 
+def _base_fingerprint() -> str:
+    """Identity of the base fixtures the scaled dir derives from: file
+    sizes + mtimes of every sf0.1 parquet. If /root/testdata is ever
+    regenerated (the DERIVED_VERSION drift class in sources/scans.py),
+    the cached replica is invalid and must rebuild — a bare _SUCCESS
+    marker would silently measure stale data (ADVICE r4)."""
+    parts = []
+    for p in sorted(Path(BASE_SF).glob("*.parquet")):
+        st = p.stat()
+        parts.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def build_scaled_dir(spark, factor: int) -> str:
     out = Path(f"/tmp/kas_scale_x{factor}")
-    if (out / "_SUCCESS").exists():
+    marker = out / "_SUCCESS"
+    fp = _base_fingerprint()
+    if marker.exists() and marker.read_text() == fp:
         return str(out)
+    if out.exists():
+        import shutil
+
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     for t in catalog.TABLES:
         src = catalog.load(spark, BASE_SF, t)  # post-canonicalization
@@ -97,7 +127,7 @@ def build_scaled_dir(spark, factor: int) -> str:
             df.write.mode("overwrite").parquet(str(dest))
         else:
             src.write.mode("overwrite").parquet(str(dest))
-    (out / "_SUCCESS").touch()
+    marker.write_text(fp)
     return str(out)
 
 
@@ -110,11 +140,16 @@ def time_op(fn, spark, sf_dir: str) -> float:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = set(sys.argv[2:])
+    unknown = only - set(SMOKE_OPS)
+    if unknown:
+        raise SystemExit(f"unknown smoke ops: {sorted(unknown)}")
+    ops = {k: v for k, v in SMOKE_OPS.items() if not only or k in only}
     spark = build_spark(app_name="kas-scale-smoke")
     load_all_modules()
     scaled = build_scaled_dir(spark, factor)
     report = []
-    for op, table in SMOKE_OPS.items():
+    for op, table in ops.items():
         t1 = time_op(QUERIES[op], spark, BASE_SF)
         tn = time_op(QUERIES[op], spark, scaled)
         report.append(
