@@ -720,3 +720,107 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "item")
     )
+
+
+@query(
+    "agg_weighted_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 6)
+             AS wmean_price,
+           ROUND(SQRT(SUM(l_quantity * l_extendedprice * l_extendedprice)
+                        / SUM(l_quantity)
+                      - POW(SUM(l_quantity * l_extendedprice)
+                              / SUM(l_quantity), 2)), 4)
+             AS wstd_price,
+           ROUND(SUM(l_quantity), 2) AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean / weighted stddev per group — the aggregation
+    shape importance-weighted corpus statistics need (token-weighted
+    doc quality, quantity-weighted price here). Neither engine ships a
+    weighted stddev aggregate, so both sides evaluate the SAME
+    algebraic expansion sqrt(E_w[x^2] - E_w[x]^2) over three plain
+    SUMs — one map-side-combinable shuffle, no second pass, and the
+    shared expression tree keeps the float paths identical for the
+    value hash. At 100 TB this is exactly as scalable as agg_sum_group:
+    partial aggregation does all the work."""
+    li = load(spark, sf_dir, "lineitem")
+    w, x = F.col("l_quantity"), F.col("l_extendedprice")
+    sw, swx, swx2 = F.sum(w), F.sum(w * x), F.sum(w * x * x)
+    wmean = swx / sw
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(swx / sw, 6).alias("wmean_price"),
+            F.round(F.sqrt(swx2 / sw - F.pow(wmean, F.lit(2))), 4).alias(
+                "wstd_price"
+            ),
+            F.round(sw, 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_skew_kurt_moments",
+    """
+    SELECT l_linestatus,
+           ROUND((SUM(POW(l_quantity, 3)) / COUNT(*)
+                  - 3 * (SUM(l_quantity) / COUNT(*))
+                      * (SUM(POW(l_quantity, 2)) / COUNT(*))
+                  + 2 * POW(SUM(l_quantity) / COUNT(*), 3))
+                 / POW(SUM(POW(l_quantity, 2)) / COUNT(*)
+                       - POW(SUM(l_quantity) / COUNT(*), 2), 1.5), 6)
+             AS skewness_qty,
+           ROUND((SUM(POW(l_quantity, 4)) / COUNT(*)
+                  - 4 * (SUM(l_quantity) / COUNT(*))
+                      * (SUM(POW(l_quantity, 3)) / COUNT(*))
+                  + 6 * POW(SUM(l_quantity) / COUNT(*), 2)
+                      * (SUM(POW(l_quantity, 2)) / COUNT(*))
+                  - 3 * POW(SUM(l_quantity) / COUNT(*), 4))
+                 / POW(SUM(POW(l_quantity, 2)) / COUNT(*)
+                       - POW(SUM(l_quantity) / COUNT(*), 2), 2) - 3, 6)
+             AS excess_kurtosis_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def agg_skew_kurt_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group, computed from
+    raw power sums (E[x^k], k<=4) expanded algebraically — the
+    distribution-shape profile data-quality monitors track (a sudden
+    skew shift in a feature column is a drift alarm).
+
+    Built-in ``skewness``/``kurtosis`` differ DEFINITIONALLY between
+    engines (sample-bias-corrected vs population), so both sides
+    evaluate the identical moment expansion instead. l_quantity is
+    integral and <= 50, so every power sum is an exact integer in
+    double (< 2^53): the sums are order-independent, which is what
+    makes the cross-engine hash deterministic without a tolerance. One
+    combinable shuffle; the moment sums are the textbook mergeable
+    statistics, so this is also the shape of a streaming/partitioned
+    rollup at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    e1, e2 = F.sum(x) / n, F.sum(x * x) / n
+    e3, e4 = F.sum(x * x * x) / n, F.sum(x * x * x * x) / n
+    m2 = e2 - F.pow(e1, F.lit(2))
+    m3 = e3 - 3 * e1 * e2 + 2 * F.pow(e1, F.lit(3))
+    m4 = e4 - 4 * e1 * e3 + 6 * F.pow(e1, F.lit(2)) * e2 - 3 * F.pow(e1, F.lit(4))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness_qty"),
+            F.round(m4 / F.pow(m2, F.lit(2)) - 3, 6).alias("excess_kurtosis_qty"),
+            n.alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -752,3 +752,63 @@ def dedup_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("documents",):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CHAIN_DEPTH_SQL)
+
+
+@query(
+    "quality_quantile_gate",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(n_chars
+                  - 2 * (LENGTH(text)
+                         - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                  AS BIGINT) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality, doc_id) AS pr
+      FROM scored
+    )
+    SELECT doc_id, lang, quality, ROUND(pr, 6) AS lang_quantile
+    FROM ranked
+    WHERE pr >= 0.5
+    ORDER BY lang, doc_id
+    """,
+)
+def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language RELATIVE quality gate: keep each language's top
+    half by quality score. An absolute threshold is the classic
+    curation bug — it silently empties low-resource languages whose
+    score distribution sits lower (shorter docs, different punctuation
+    mass); ranking within the language stratum adapts the cutoff per
+    language by construction, which is how production corpus filters
+    set thresholds (per-stratum quantiles, not global constants).
+
+    percent_rank needs only (lang, quality, doc_id) — one window
+    shuffle on lang carrying 24 bytes/row, never text. Languages are
+    bounded (the partition count is the lang domain), so at 100 TB the
+    skew risk is the big-language partition; the standard mitigation is
+    a two-pass approx-quantile cutoff per lang (computed via
+    approx_percentile, broadcast back), which this exact-rank key is
+    the oracle twin for. Tie policy (quality, doc_id) is pinned so the
+    boundary is deterministic on both engines."""
+    d = load(spark, sf_dir, "documents")
+    punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") - 2 * punct).cast("bigint").alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select(
+            "doc_id", "lang", "quality", F.round("pr", 6).alias("lang_quantile")
+        )
+        .orderBy("lang", "doc_id")
+    )
