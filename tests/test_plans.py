@@ -492,3 +492,35 @@ def test_bitmap_distinct_two_tier_aggregate(spark):
     assert "partial_bitmap_construct_agg" in plan, plan[:3000]
     assert "partial_sum" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_stats_partial_aggregates_one_exchange(spark):
+    """agg_weighted_stats must plan exactly like agg_sum_group: partial
+    HashAggregate (the three weighted SUMs combine map-side) → ONE
+    exchange on the group key → final aggregate. A second exchange or a
+    missing partial tier means the 100 TB claim in its docstring is
+    wrong."""
+    plan = plan_of(spark, "agg_weighted_stats")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial + final
+
+
+def test_skew_kurt_moments_partial_aggregates(spark):
+    """The power sums are the mergeable statistics — they must combine
+    map-side before the single group-key exchange."""
+    plan = plan_of(spark, "agg_skew_kurt_moments")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_quality_quantile_gate_single_window_shuffle(spark):
+    """One hashpartitioning exchange on lang feeds the percent_rank
+    window; the shuffle must carry only (doc_id, lang, quality) — if
+    'text' appears in the window input the gate is shuffling document
+    bodies at 100 TB."""
+    plan = plan_of(spark, "quality_quantile_gate")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    m = re.search(r"Exchange hashpartitioning\(lang[^\n]*", plan)
+    assert m is not None, plan[:3000]
+    win = re.search(r"Window \[[^\]]*\]", plan)
+    assert win and "text" not in win.group(0), plan[:3000]
