@@ -813,3 +813,74 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+@query(
+    "user_streak_days",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp,
+             CAST(COUNT(*) AS BIGINT) AS streak_len,
+             MIN(day) AS streak_start_day
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id, streak_len AS longest_streak, streak_start_day,
+           CAST(SUM(streak_len) OVER (PARTITION BY user_id) AS BIGINT)
+             AS n_active_days
+    FROM streaks
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY streak_len DESC, streak_start_day) = 1
+    ORDER BY user_id
+    """,
+)
+def user_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (day minus dense row_number is constant
+    within a run of consecutive days), the engagement metric next to
+    WAU on every events dashboard.
+
+    Work per user is its distinct-day list: the raw log pre-shrinks to
+    DISTINCT (user, day) pairs first (same DAU tier as
+    rolling_active_users — the only pass over raw events), then two
+    windows and one aggregate all share the SAME user_id partitioning,
+    so AQE plans one shuffle for the whole island pipeline. Integer
+    day buckets (ns epoch div) are exact on both engines; ties between
+    equal-length streaks resolve to the earliest start, pinned in both
+    engines."""
+    day_ns = 86_400_000_000_000
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"ts div {day_ns}").alias("day"))
+        .distinct()
+    )
+    wdays = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(wdays)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start_day"),
+    )
+    wuser = Window.partitionBy("user_id")
+    wbest = wuser.orderBy(F.col("streak_len").desc(), "streak_start_day")
+    return (
+        streaks.withColumn("n_active_days", F.sum("streak_len").over(wuser))
+        .withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak"),
+            "streak_start_day",
+            "n_active_days",
+        )
+        .orderBy("user_id")
+    )

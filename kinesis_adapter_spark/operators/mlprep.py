@@ -341,3 +341,70 @@ def shuffle_deterministic_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "pos", "doc_id")
         .orderBy("epoch", "pos")
     )
+
+
+@query(
+    "mixture_temperature_plan",
+    """
+    WITH st AS (
+      SELECT lang, SUM(len(str_split(text, ' '))) AS toks
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(toks) AS total FROM st),
+    scaled AS (
+      SELECT lang, toks, toks / total AS p,
+             POW(toks / total, 0.3) AS p_alpha
+      FROM st, tot
+    ),
+    z AS (SELECT SUM(p_alpha) AS zsum FROM scaled)
+    SELECT lang,
+           CAST(toks AS BIGINT) AS lang_tokens,
+           ROUND(p, 6) AS natural_frac,
+           ROUND(p_alpha / zsum, 6) AS sampled_frac,
+           ROUND((p_alpha / zsum) / p, 4) AS upsample_factor
+    FROM scaled, z
+    ORDER BY lang
+    """,
+)
+def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (q_l ∝ p_l^α, α = 0.3 — the
+    UniMax/mT5-family recipe from the public multilingual-pretraining
+    literature): flattens the natural distribution so low-resource
+    languages are upsampled without letting any single language
+    dominate. Complements ``mixture_epoch_plan`` (uniform per-source
+    budget): this is the smooth interpolation between natural (α=1)
+    and uniform (α=0).
+
+    One token-sum aggregation over the corpus is the only heavy pass.
+    The per-lang frame after it is bounded by the language domain, so
+    the corpus total and the normalizer Σp^α are both unpartitioned
+    windows over that tiny frame — one SinglePartition exchange of
+    ~n_langs rows, and the heavy aggregation subtree is evaluated
+    exactly once (a scalar-subquery formulation re-evaluates it per
+    consumer). Both engines evaluate the same POW expression tree on
+    the same exact integer token sums."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    st = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks")
+    )
+    wall = Window.partitionBy()
+    scaled = st.select(
+        "lang",
+        "toks",
+        (F.col("toks") / F.sum("toks").over(wall)).alias("p"),
+    ).withColumn("p_alpha", F.pow(F.col("p"), F.lit(0.3)))
+    return (
+        scaled.withColumn("zsum", F.sum("p_alpha").over(wall))
+        .select(
+            "lang",
+            F.col("toks").alias("lang_tokens"),
+            F.round("p", 6).alias("natural_frac"),
+            F.round(F.col("p_alpha") / F.col("zsum"), 6).alias("sampled_frac"),
+            F.round((F.col("p_alpha") / F.col("zsum")) / F.col("p"), 4).alias(
+                "upsample_factor"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -524,3 +524,25 @@ def test_quality_quantile_gate_single_window_shuffle(spark):
     assert m is not None, plan[:3000]
     win = re.search(r"Window \[[^\]]*\]", plan)
     assert win and "text" not in win.group(0), plan[:3000]
+
+
+def test_streak_pipeline_shuffles_only_on_user(spark):
+    """The gaps-and-islands pipeline (distinct day tier, island window,
+    per-user aggregate + best-streak window) must share user_id
+    partitioning: at most 2 exchanges, every one keyed on user_id —
+    a day- or grp-keyed exchange would re-shuffle the log per stage."""
+    plan = plan_of(spark, "user_streak_days")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert len(keys) <= 2, plan[:3000]
+    assert all(k.startswith("user_id") for k in keys), keys
+
+
+def test_mixture_temperature_single_heavy_pass(spark):
+    """Token-sum agg is the only heavy pass, evaluated ONCE: one lang
+    exchange feeds it, and the total + Σp^α normalizer are
+    unpartitioned windows over the tiny post-agg frame (SinglePartition
+    exchanges of ~n_langs rows) — no duplicated aggregation subtree,
+    no join."""
+    plan = plan_of(spark, "mixture_temperature_plan")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]

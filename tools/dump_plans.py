@@ -120,6 +120,20 @@ SHOWCASE = {
         "scale shuffle carries (doc_id, word, partial-count), the "
         "second tier reuses the doc_id clustering"
     ),
+    "quality_quantile_gate": (
+        "one hashpartitioning exchange on lang feeding the "
+        "percent_rank window; shuffle carries (doc_id, lang, quality) "
+        "only — no text column"
+    ),
+    "user_streak_days": (
+        "distinct DAU tier then island window, per-user aggregate and "
+        "best-streak window all on the same user_id partitioning — "
+        "at most 2 user_id exchanges, none on day/grp"
+    ),
+    "agg_weighted_stats": (
+        "partial+final HashAggregate around one group-key exchange; "
+        "the three weighted SUMs combine map-side"
+    ),
 }
 
 
