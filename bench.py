@@ -62,6 +62,10 @@ EXTRAS = {
     "curation_pipeline": "pipeline_text_curation",
     "cc_stars": "dedup_cluster_cc_stars",
     "moving_median": "win_moving_median",
+    # round-5 additions: per-stratum curation gate + streak islands
+    # (their r5 idle measurements are the anchors, BASELINE.md)
+    "quality_gate": "quality_quantile_gate",
+    "streak_days": "user_streak_days",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -96,6 +100,9 @@ ANCHORS = {
     "curation_pipeline": 0.3222,
     "cc_stars": 0.9397,
     "moving_median": 0.6866,
+    # round-5 additions, anchored at their r5 idle medians (BASELINE.md)
+    "quality_gate": 0.6154,
+    "streak_days": 0.5959,
 }
 
 
