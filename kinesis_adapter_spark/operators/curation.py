@@ -812,3 +812,71 @@ def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "decontaminate_corpus",
+    f"""
+    WITH tk AS (SELECT doc_id, source, str_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
+        FROM tk
+      )
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    hits AS (
+      SELECT doc_id, COUNT(DISTINCT s) AS n_shared
+      FROM sh
+      WHERE doc_id % {BENCH_MOD} != 0 AND s IN (SELECT s FROM bench)
+      GROUP BY doc_id
+    ),
+    train AS (
+      SELECT d.doc_id, d.source, COALESCE(h.n_shared, 0) AS n_shared
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % {BENCH_MOD} != 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN n_shared >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN n_shared >= 2 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_after
+    FROM train
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination ACTION on top of contamination_ngram's
+    screen: drop every training doc sharing >= 2 distinct 3-grams
+    with the held-out split and report the per-source audit
+    (n_before, n_dropped, n_after) — the report a curation run must
+    emit before a training job consumes the corpus (which sources are
+    contaminated is the first question asked when a benchmark number
+    looks too good).
+
+    Same scale shape as the screen: the benchmark gram set broadcasts,
+    hits are the only shuffle (count-distinct on the rare surviving
+    grams), and the audit join is hits-side tiny against a doc-id/
+    source projection (never text). The kept rows at 100 TB are the
+    anti-join of the same hit set — one more broadcast anti-join over
+    the lake, embarrassingly parallel, same plan as delete_propagate."""
+    d = load(spark, sf_dir, "documents")
+    hits = contamination_ngram(spark, sf_dir).filter(F.col("n_shared") >= 2)
+    train = d.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", "source"
+    )
+    dropped = F.when(F.col("n_shared").isNotNull(), 1).otherwise(0)
+    return (
+        train.join(F.broadcast(hits), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.sum(1 - dropped).cast("bigint").alias("n_after"),
+        )
+        .orderBy("source")
+    )

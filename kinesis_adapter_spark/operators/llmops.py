@@ -1146,3 +1146,82 @@ def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "pii_inventory",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, source,
+             concat(substring(text, 1, 40),
+                    CASE WHEN doc_id % 3 != 0
+                         THEN concat(' contact user', doc_id, '@example.com')
+                         ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN concat(' ref ', 1000000 + doc_id * 137)
+                         ELSE '' END) AS raw
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(raw, '{_EMAIL_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN regexp_matches(raw, '{_LONGNUM_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_longnum,
+           CAST(SUM(len(regexp_extract_all(raw, '{_EMAIL_RE}'))) AS BIGINT)
+             AS total_emails
+    FROM staged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-redaction PII inventory per source — the governance report
+    that decides WHERE text_pii_redact must run and which sources need
+    locale-specific NER passes (the fixture corpus carries no real
+    PII, so a deterministic synthetic contact line is staged into a
+    varying subset of docs and must be found again).
+
+    Map-only scan + one bounded groupBy(source): the regex match and
+    the match-count both run JVM-side in codegen (rlike /
+    regexp_count), the shuffle carries only per-source partial counts,
+    and the regexes stay in the RE2/Java common subset shared with
+    text_pii_redact so both engines agree byte-for-byte. At 100 TB
+    this is the same single-pass profile as profile_stats — the
+    inventory and the redaction compose into one map stage."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ref "),
+                (1_000_000 + F.col("doc_id") * 137).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    staged = d.select("doc_id", "source", raw.alias("raw"))
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("raw").rlike(_EMAIL_RE).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_email"),
+            F.sum(F.col("raw").rlike(_LONGNUM_RE).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_longnum"),
+            F.sum(F.regexp_count(F.col("raw"), F.lit(_EMAIL_RE)))
+            .cast("bigint")
+            .alias("total_emails"),
+        )
+        .orderBy("source")
+    )
