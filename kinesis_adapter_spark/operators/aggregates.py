@@ -824,3 +824,73 @@ def agg_skew_kurt_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "agg_filter_clause",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 150000), 2)
+             AS big_order_revenue,
+           ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 6)
+             AS avg_open_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER-clause aggregates — several differently-filtered
+    aggregates over ONE scan and ONE shuffle (the pre-SQL:2003 pattern
+    of N self-joined filtered subqueries scans the fact N times; at
+    100 TB that difference is the whole job). Spark evaluates the same
+    shape as conditional aggregation (agg over CASE/when), which is
+    exactly what the FILTER clause desugars to on both engines, so the
+    plan is an ordinary partial+final HashAggregate pair."""
+    o = load(spark, sf_dir, "orders")
+    finished = F.when(F.col("o_orderstatus") == "F", 1)
+    big = F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice"))
+    open_price = F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(finished).alias("n_finished"),
+            F.round(F.sum(big), 2).alias("big_order_revenue"),
+            F.round(F.avg(open_price), 6).alias("avg_open_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_bool_logic",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or = SQL:2023 ANY/EVERY) —
+    the assertion tier of data-quality checks expressed as plain
+    aggregates (dq_expectations builds on exactly these). Booleans
+    partial-aggregate to single bits, so the shuffle payload is
+    minimal; same one-exchange profile as every groupBy here."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+            F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+        )
+        .orderBy("l_returnflag")
+    )
