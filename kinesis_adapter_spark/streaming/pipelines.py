@@ -984,3 +984,110 @@ def stream_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "stream_histogram_rollup",
+    """
+    WITH binned AS (
+      SELECT event_type,
+             CAST(FLOOR(value / 25) AS BIGINT) AS bin
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(total AS BIGINT) AS n_events,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_bins,
+           CAST(MIN(CASE WHEN c * 2 >= total THEN bin END)
+                  OVER (PARTITION BY event_type) AS BIGINT) AS p50_bin
+    FROM cum
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY bin) = 1
+    ORDER BY event_type
+    """,
+)
+def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL histogram maintenance — the exact-oracle sibling of
+    stream_hll_rollup's sketch tier. Each arriving micro-batch is
+    collapsed to per-(event_type, bin) partial counts (fixed-width
+    value bins) and APPENDED to a histogram-tier parquet; the read
+    side sums partials per key and derives the median bin from the
+    cumulative histogram. Counts are exactly mergeable (integer
+    addition), so unlike the HLL tier this rollup carries a full
+    value-hash oracle: the streamed result must equal the batch
+    histogram of the raw log, bin for bin.
+
+    At 100 TB the tier is O(types × bins) per batch — metadata-sized —
+    and any percentile over any window of batches is a sum over stored
+    partials, never a re-scan; replayed micro-batches dedup by
+    (type, bin, batch_id) exactly like the HLL tier. The same pattern
+    maintains any distributive/algebraic aggregate (count/sum/min/max/
+    mean); quantiles get bin-resolution accuracy, the standard
+    trade."""
+    from pyspark.sql import Window
+
+    sink = tempfile.mkdtemp(prefix="kas_histroll_") + "/hist"
+
+    def hist_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                "event_type",
+                F.floor(F.col("value") / 25).cast("long").alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        _events_stream(spark, sf_dir, max_files=4)
+        .writeStream.foreachBatch(hist_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kas_histroll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    tier = spark.read.parquet(sink)
+    one_per_replay = Window.partitionBy("event_type", "bin", "batch_id").orderBy(
+        F.monotonically_increasing_id()
+    )
+    tier = (
+        tier.withColumn("_rn", F.row_number().over(one_per_replay))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    hist = tier.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
+    wtype = Window.partitionBy("event_type")
+    wcum = wtype.orderBy("bin")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(wtype).alias("total"),
+        F.count(F.lit(1)).over(wtype).alias("n_bins"),
+    )
+    p50 = F.min(
+        F.when(F.col("c") * 2 >= F.col("total"), F.col("bin"))
+    ).over(wtype)
+    return (
+        cum.withColumn("p50_bin", p50.cast("long"))
+        .withColumn("rn", F.row_number().over(wcum))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("total").cast("bigint").alias("n_events"),
+            F.col("n_bins").cast("bigint").alias("n_bins"),
+            "p50_bin",
+        )
+        .orderBy("event_type")
+    )

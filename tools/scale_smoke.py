@@ -63,6 +63,7 @@ SMOKE_OPS = {
     # shows up here instead of in production
     "stream_minhash_maintain": "documents",
     "stream_hll_rollup": "events",
+    "stream_histogram_rollup": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
