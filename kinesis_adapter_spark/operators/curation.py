@@ -767,24 +767,29 @@ def dedup_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT doc_id, lang, quality,
-             percent_rank() OVER (PARTITION BY lang
-                                  ORDER BY quality, doc_id) AS pr
+             cume_dist() OVER (PARTITION BY lang
+                               ORDER BY quality, doc_id) AS cd
       FROM scored
     )
-    SELECT doc_id, lang, quality, ROUND(pr, 6) AS lang_quantile
+    SELECT doc_id, lang, quality, ROUND(cd, 6) AS lang_quantile
     FROM ranked
-    WHERE pr >= 0.5
+    WHERE cd > 0.5
     ORDER BY lang, doc_id
     """,
 )
 def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language RELATIVE quality gate: keep each language's top
-    half by quality score. An absolute threshold is the classic
+    """Per-language RELATIVE quality gate: keep each language's strict
+    top half by quality score (cume_dist > 0.5). An absolute threshold is the classic
     curation bug — it silently empties low-resource languages whose
     score distribution sits lower (shorter docs, different punctuation
     mass); ranking within the language stratum adapts the cutoff per
     language by construction, which is how production corpus filters
     set thresholds (per-stratum quantiles, not global constants).
+    cume_dist (not percent_rank) is the gate statistic: percent_rank
+    of a 1-row partition is 0, which would silently DELETE any
+    language with a single document — the exact failure this gate
+    exists to prevent; cume_dist of that row is 1.0, so singleton
+    strata always survive (r5 review finding).
 
     percent_rank needs only (lang, quality, doc_id) — one window
     shuffle on lang carrying 24 bytes/row, never text. Languages are
@@ -805,10 +810,10 @@ def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     return (
-        scored.withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") >= 0.5)
+        scored.withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("cd") > 0.5)
         .select(
-            "doc_id", "lang", "quality", F.round("pr", 6).alias("lang_quantile")
+            "doc_id", "lang", "quality", F.round("cd", 6).alias("lang_quantile")
         )
         .orderBy("lang", "doc_id")
     )

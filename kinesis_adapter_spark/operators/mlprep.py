@@ -383,8 +383,6 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once (a scalar-subquery formulation re-evaluates it per
     consumer). Both engines evaluate the same POW expression tree on
     the same exact integer token sums."""
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     st = d.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).alias("toks")

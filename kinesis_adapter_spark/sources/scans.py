@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from pathlib import Path
 
@@ -37,6 +38,39 @@ def derived_dir(sf_dir: str) -> Path:
     d = DERIVED_ROOT / Path(sf_dir).name
     d.mkdir(parents=True, exist_ok=True)
     return d
+
+
+def source_fingerprint(src: Path) -> str:
+    """Identity of a staged dir's SOURCE data: sizes + mtimes of the
+    files it derives from. Stored in the derived dir's _SUCCESS marker
+    and compared on reuse — derived_dir keys by basename only, so a
+    rebuilt source at the same path (a regenerated /root/testdata, or
+    scale_smoke re-materializing /tmp/kas_scale_xN after a fingerprint
+    mismatch) would otherwise silently serve stale staged data to
+    every later run (the ADVICE-r4 drift class)."""
+    if src.is_file():
+        files = [src]
+    else:
+        files = sorted(p for p in src.rglob("*") if p.is_file() and p.name != "_SUCCESS")
+    parts = []
+    for p in files:
+        st = p.stat()
+        parts.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def fresh_staging(out: Path, src: Path) -> tuple[Path, str] | None:
+    """Return (marker, fingerprint) if ``out`` must be (re)staged from
+    ``src``; None when the cached staging is current. On a stale cache
+    the directory is cleared first."""
+    marker = out / "_SUCCESS"
+    fp = source_fingerprint(src)
+    if marker.exists() and marker.read_text() == fp:
+        return None
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
+    return marker, fp
 
 
 def _events_table(sf_dir: str):
@@ -74,9 +108,9 @@ def ensure_events_ndjson(sf_dir: str) -> Path:
     reads parquet NANOS at µs, SURVEY.md §5.3) plus the raw ns long.
     """
     out = derived_dir(sf_dir) / "events_ndjson"
-    done = out / "_SUCCESS"
-    if not done.exists():
-        out.mkdir(parents=True, exist_ok=True)
+    staging = fresh_staging(out, Path(sf_dir) / "events.parquet")
+    if staging is not None:
+        done, fp = staging
         pdf = _events_table(sf_dir).sort_values("event_id")
         ts = pdf["ts"].astype("int64")
         pdf = pdf.assign(
@@ -104,7 +138,7 @@ def ensure_events_ndjson(sf_dir: str) -> Path:
                         + "\n"
                     )
             os.replace(out / f"events-{day}.json.tmp", out / f"events-{day}.json")
-        done.touch()
+        done.write_text(fp)
     return out
 
 
@@ -161,14 +195,16 @@ def roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIGINAL parquet, so the round trip must be value-exact. ORC gets
     the same pushdown/pruning treatment as parquet at the scan."""
     out = derived_dir(sf_dir) / "orders_orc"
-    done = out / "_SUCCESS"
-    if not done.exists():
+    staging = fresh_staging(out, Path(sf_dir) / "orders.parquet")
+    if staging is not None:
+        done, fp = staging
         (
             load(spark, sf_dir, "orders")
             .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
             .write.mode("overwrite")
             .orc(str(out))
         )
+        done.write_text(fp)  # after Spark's own empty _SUCCESS
     return spark.read.orc(str(out))
 
 
@@ -344,9 +380,9 @@ def ensure_events_ndjson_dirty(sf_dir: str) -> Path:
     state of any at-scale ingest directory."""
     clean = ensure_events_ndjson(sf_dir)
     out = derived_dir(sf_dir) / "events_ndjson_dirty"
-    done = out / "_SUCCESS"
-    if not done.exists():
-        out.mkdir(parents=True, exist_ok=True)
+    staging = fresh_staging(out, clean)
+    if staging is not None:
+        done, fp = staging
         for f in clean.glob("events-*.json"):
             target = out / f.name
             if not target.exists():
@@ -364,7 +400,7 @@ def ensure_events_ndjson_dirty(sf_dir: str) -> Path:
         tmp = out / "events-badlines.json.tmp"
         tmp.write_text("\n".join(bad) + "\n")
         tmp.rename(out / "events-badlines.json")
-        done.touch()
+        done.write_text(fp)
     return out
 
 
@@ -410,9 +446,9 @@ def ensure_parquet_evolving(sf_dir: str) -> Path:
     (doc_id, lang), gen2 adds n_chars — the normal state of a lake
     table after a schema migration."""
     out = derived_dir(sf_dir) / "docs_evolving"
-    done = out / "_SUCCESS"
-    if not done.exists():
-        out.mkdir(parents=True, exist_ok=True)
+    staging = fresh_staging(out, Path(sf_dir) / "documents.parquet")
+    if staging is not None:
+        done, fp = staging
         pdf = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
         pdf = pdf.sort_values("doc_id")
         gen1 = pdf[pdf.doc_id % 2 == 0][["doc_id", "lang"]]
@@ -423,7 +459,7 @@ def ensure_parquet_evolving(sf_dir: str) -> Path:
                        out / "gen1.parquet")
         pq.write_table(pa.Table.from_pandas(gen2, preserve_index=False),
                        out / "gen2.parquet")
-        done.touch()
+        done.write_text(fp)
     return out
 
 

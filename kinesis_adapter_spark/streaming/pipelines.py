@@ -54,6 +54,39 @@ def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = Non
     return reader.json(str(src_dir))
 
 
+def _await_done(q, timeout_s: int) -> None:
+    """awaitTermination with a timeout returns FALSE on expiry instead
+    of raising; every maintenance pipeline here reads its sink right
+    after, so a silent timeout would mean computing results from a
+    half-written artifact tier. Convert the False into a loud error
+    (r5 review finding)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout_s}s — artifact tier is incomplete; raise the "
+            "timeout or reduce the staged batch count"
+        )
+
+
+def _dedup_replays(tier: DataFrame, *keys: str) -> DataFrame:
+    """Keep one row per (*keys, batch_id): a micro-batch replayed after
+    a crash between sink write and checkpoint commit appends duplicate
+    partial rows; the artifact read side must collapse them before
+    merging. Shared by every append-only rollup tier (HLL, histogram)
+    so the replay discipline cannot fork per tier."""
+    from pyspark.sql import Window
+
+    one = Window.partitionBy(*keys, "batch_id").orderBy(
+        F.monotonically_increasing_id()
+    )
+    return (
+        tier.withColumn("_rn", F.row_number().over(one))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _run_to_memory(df, mode: str = "complete", max_files: int | None = None):
     """Run a streaming DF to completion (availableNow) into a memory
     sink; returns (spark_table_name, query_progress_list)."""
@@ -565,7 +598,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q, 120)
     return spark.read.parquet(versions[-1]).orderBy("k")
 
 
@@ -718,7 +751,7 @@ def stream_minhash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q, 180)
 
     # ---- dedup query over the maintained artifact only ----
     sig = spark.read.parquet(sig_path)
@@ -786,10 +819,8 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts over any window of batches become a metadata-sized union
     instead of a shuffle of user ids. Per-batch sketch rows carry
     batch_id, so a replayed micro-batch (restart between write and
-    commit) can be deduplicated by (type, batch_id) at read — shown
-    here by a window that keeps one row per key before the union."""
-    from pyspark.sql import Window
-
+    commit) can be deduplicated by (type, batch_id) at read — the
+    shared `_dedup_replays` discipline, applied before the union."""
     sink = tempfile.mkdtemp(prefix="kas_hllroll_") + "/sketches"
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -808,17 +839,9 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q, 180)
 
-    tier = spark.read.parquet(sink)
-    one_per_replay = Window.partitionBy("event_type", "batch_id").orderBy(
-        F.monotonically_increasing_id()
-    )
-    tier = (
-        tier.withColumn("_rn", F.row_number().over(one_per_replay))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    tier = _dedup_replays(spark.read.parquet(sink), "event_type")
     per = tier.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         F.count(F.lit(1)).alias("n_sketches"),
@@ -993,6 +1016,7 @@ def stream_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(FLOOR(value / 25) AS BIGINT) AS bin
       FROM events
+      WHERE value IS NOT NULL
     ),
     hist AS (
       SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
@@ -1031,14 +1055,22 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, bin, batch_id) exactly like the HLL tier. The same pattern
     maintains any distributive/algebraic aggregate (count/sum/min/max/
     mean); quantiles get bin-resolution accuracy, the standard
-    trade."""
+    trade.
+
+    NULL values are excluded from the histogram on BOTH engines (a
+    NULL has no bin; more to the point, Spark windows order NULLS
+    FIRST and DuckDB NULLS LAST, so a NULL bin row would shift the
+    cumulative count and flip p50_bin between engines — r5 review
+    finding; the fixture's declared quality budget allows a small
+    null fraction in value, so this is a live path, not dead code)."""
     from pyspark.sql import Window
 
     sink = tempfile.mkdtemp(prefix="kas_histroll_") + "/hist"
 
     def hist_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.groupBy(
+            batch_df.filter(F.col("value").isNotNull())
+            .groupBy(
                 "event_type",
                 F.floor(F.col("value") / 25).cast("long").alias("bin"),
             )
@@ -1055,17 +1087,9 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q, 180)
 
-    tier = spark.read.parquet(sink)
-    one_per_replay = Window.partitionBy("event_type", "bin", "batch_id").orderBy(
-        F.monotonically_increasing_id()
-    )
-    tier = (
-        tier.withColumn("_rn", F.row_number().over(one_per_replay))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    tier = _dedup_replays(spark.read.parquet(sink), "event_type", "bin")
     hist = tier.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
     wtype = Window.partitionBy("event_type")
     wcum = wtype.orderBy("bin")

@@ -288,3 +288,25 @@ def test_ann_range_threshold_off_rounding_boundary(spark):
         "rounding may disagree across engines; move the threshold or "
         "regenerate fixtures"
     )
+
+
+def test_quantile_gate_keeps_singleton_language(spark):
+    """r5 review: percent_rank of a 1-row partition is 0, which would
+    silently delete any language with a single document — the exact
+    failure the per-stratum gate exists to prevent. cume_dist gives
+    the singleton 1.0; pin that a 1-doc language always survives."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 50), (3, "rare", 10)],
+        "doc_id long, lang string, quality long",
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    kept = (
+        df.withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("cd") > 0.5)
+        .select("doc_id")
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert 3 in ids, "singleton language was dropped by the gate"
+    assert 1 in ids and 2 not in ids  # top half of 'en' only
