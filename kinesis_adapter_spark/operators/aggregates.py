@@ -894,3 +894,48 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_grouping_id",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grouping_level,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY grouping_level, returnflag, linestatus
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with the GROUPING() marker — the standard way a report
+    distinguishes a real NULL group from a rollup subtotal row (here
+    packed into one grouping_level int, exactly the bit layout
+    GROUPING_ID defines). Without the marker, downstream consumers of
+    a rollup cube can't tell '(all)' apart from a genuinely missing
+    dimension value — the classic silent-aggregation bug. Plan is the
+    ordinary expand + partial/final aggregate pair; the marker is
+    computed at no extra cost from the grouping-set id."""
+    li = load(spark, sf_dir, "lineitem")
+    lvl = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast(
+        "bigint"
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            lvl.alias("grouping_level"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "grouping_level",
+            "n",
+            "sum_qty",
+        )
+        .orderBy("grouping_level", "returnflag", "linestatus")
+    )
