@@ -94,3 +94,35 @@ def test_memo_drops_aliased_entry(spark):
     out = catalog.load(spark, "/root/testdata/sf0.001", "supplier")
     assert catalog._DF_MEMO[key][0] is spark
     assert out is not None
+
+
+def test_fresh_staging_rebuilds_on_source_change(tmp_path):
+    """r5 review: derived caches must rebuild when their SOURCE data
+    changes at the same path (regenerated testdata / re-materialized
+    scaled dirs), not trust a bare _SUCCESS marker."""
+    import os
+    import time
+
+    from kinesis_adapter_spark.sources.scans import fresh_staging
+
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"gen-one")
+    out = tmp_path / "derived"
+
+    staging = fresh_staging(out, src)
+    assert staging is not None
+    marker, fp = staging
+    (out / "data.txt").write_text("staged-from-gen-one")
+    marker.write_text(fp)
+
+    # unchanged source -> cache hit
+    assert fresh_staging(out, src) is None
+    assert (out / "data.txt").read_text() == "staged-from-gen-one"
+
+    # regenerate the source (new mtime/size) -> stale dir is cleared
+    time.sleep(0.01)
+    src.write_bytes(b"gen-two!!")
+    os.utime(src)
+    staging2 = fresh_staging(out, src)
+    assert staging2 is not None
+    assert not (out / "data.txt").exists(), "stale staging survived"
