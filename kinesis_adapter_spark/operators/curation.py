@@ -625,32 +625,39 @@ def cc_star_labels(pairs: DataFrame, max_rounds: int = 12) -> DataFrame:
     """Large-star/small-star CC core over a (doc_a, doc_b) pair frame;
     returns (node, label=component min). Shared by the registry key and
     the property-based equivalence tests (tests/test_property.py)."""
+    # LAZY checkpoints throughout (r5): each round's checksum action is
+    # what materializes that round's checkpoint, so lineage truncation
+    # costs zero extra actions — with eager checkpoints every round
+    # paid two driver round-trips (checkpoint + checksum), and on a
+    # 2k-edge fixture the whole runtime was that fixed overhead.
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # node set from the UNFILTERED pairs: a node mentioned only by a
     # self-loop still belongs to the output (as its own singleton
-    # component) even though the loop edge itself is dropped
+    # component) even though the loop edge itself is dropped.
+    # Materialized only by the final join's action.
     all_nodes = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionByName(pairs.select(F.col("doc_b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         g = sym.groupBy("u").agg(F.collect_set("v").alias("nb"))
         m = F.array_min(F.array_union("nb", F.array(F.col("u"))))
+        # no distinct here: the next step's collect_set dedups neighbor
+        # lists, so the extra exchange per round bought nothing (r5)
         return (
             g.select(F.col("u"), m.alias("m"), F.explode("nb").alias("w"))
             .filter(F.col("w") > F.col("u"))
             .select(F.col("w").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -685,7 +692,7 @@ def cc_star_labels(pairs: DataFrame, max_rounds: int = 12) -> DataFrame:
     prev = _checksum(edges)
     converged_at: int | None = None
     for round_no in range(1, max_rounds + 1):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _checksum(edges)
         # Cheap per-round gate is the checksum (one tiny aggregate); the
         # fixpoint CLAIM is confirmed exactly — equal counts + empty
