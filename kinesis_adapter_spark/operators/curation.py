@@ -892,3 +892,90 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dataset_card_stats",
+    """
+    WITH per_doc AS (
+      SELECT source, lang,
+             md5(text) AS fp,
+             len(str_split(text, ' ')) AS toks,
+             n_chars
+      FROM documents
+    ),
+    lang_counts AS (
+      SELECT source, lang, COUNT(*) AS nl
+      FROM per_doc GROUP BY source, lang
+    ),
+    tot AS (SELECT source, SUM(nl) AS nt FROM lang_counts GROUP BY source),
+    ent AS (
+      SELECT lc.source,
+             -SUM((nl * 1.0 / nt) * LN(nl * 1.0 / nt)) AS lang_entropy_nats
+      FROM lang_counts lc JOIN tot USING (source)
+      GROUP BY lc.source
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(ANY_VALUE(e.lang_entropy_nats), 6) AS lang_entropy_nats,
+           ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 6) AS dup_rate,
+           ROUND(AVG(n_chars), 4) AS mean_chars
+    FROM per_doc p JOIN ent e USING (source)
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source "dataset card" datasheet a corpus release ships:
+    volume (docs, tokens), language diversity (count + Shannon entropy
+    of the language mix, nats), exact-dup rate (1 - distinct
+    fingerprints / docs), and mean length. One pass computes the
+    per-doc facts; the language mix aggregates per (source, lang) —
+    thousands of rows at any corpus size — so the entropy tier costs
+    nothing. The dup-rate distinct rides the same shuffle as the
+    groupBy via partial aggregation. Every number here is a gate input
+    for the mixture planner (mixture_temperature_plan) and the dedup
+    policy; emitting them in one job is the standard pre-training
+    audit step."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.size(F.split("text", " ")).alias("toks"),
+        "n_chars",
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    wsrc = Window.partitionBy("source")
+    p = F.col("nl") / F.sum("nl").over(wsrc)
+    ent = (
+        lang_counts.withColumn("plogp", -p * F.log(p))
+        .groupBy("source")
+        .agg(F.sum("plogp").alias("lang_entropy_nats"))
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(
+            1.0 - F.count_distinct("fp") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+    return (
+        base.join(ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            F.round("lang_entropy_nats", 6).alias("lang_entropy_nats"),
+            "dup_rate",
+            "mean_chars",
+        )
+        .orderBy("source")
+    )
