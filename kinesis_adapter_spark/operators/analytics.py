@@ -951,3 +951,76 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "skew_key_report",
+    """
+    WITH freq AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_n,
+             ROUND(AVG(n), 6) AS mean_n,
+             ROUND(MAX(n) * 1.0 / AVG(n), 4) AS skew_factor
+      FROM freq
+    ),
+    top AS (
+      SELECT key, n FROM freq ORDER BY n DESC, key LIMIT 5
+    )
+    SELECT s.n_keys, s.n_rows, s.max_n, s.mean_n, s.skew_factor,
+           t.key AS hot_key, t.n AS hot_n,
+           CAST(row_number() OVER (ORDER BY t.n DESC, t.key) AS BIGINT) AS hot_rank
+    FROM stats s CROSS JOIN top t
+    ORDER BY hot_rank
+    """,
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew diagnosis — the report run BEFORE choosing
+    a mitigation (salt count, AQE skew-join thresholds, broadcast
+    cutoff): per-key frequency tier, corpus-level skew factor
+    (max/mean key frequency), and the top-5 heavy hitters, in one
+    pass. The frequency tier is the only row-scale aggregation (a
+    combinable count per key); everything after operates on the key
+    frequency table. skew_factor ~ 1 means uniform keys (hash
+    partitioning is fine); a hot key at 100x mean is exactly the case
+    agg_salted_skew / join_salted_skew exist for — this op tells you
+    which keys and how bad, so the salt count is chosen from data, not
+    folklore. At 100 TB the same report runs on a sample or on the
+    maintained frequency rollup."""
+    o = load(spark, sf_dir, "orders")
+    # materialize the frequency tier once (lazy localCheckpoint): both
+    # the stats and top-5 consumers read it, so orders is scanned a
+    # single time — without this the subtree plans twice
+    freq = (
+        o.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n"), 6).alias("mean_n"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+    )
+    top = freq.orderBy(F.col("n").desc(), "key").limit(5)
+    w = Window.orderBy(F.col("n").desc(), "key")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("hot_rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_n",
+            "mean_n",
+            "skew_factor",
+            F.col("key").alias("hot_key"),
+            F.col("n").alias("hot_n"),
+            "hot_rank",
+        )
+        .orderBy("hot_rank")
+    )

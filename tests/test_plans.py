@@ -546,3 +546,28 @@ def test_mixture_temperature_single_heavy_pass(spark):
     plan = plan_of(spark, "mixture_temperature_plan")
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
     assert "Join" not in plan, plan[:3000]
+
+
+def test_decontaminate_broadcasts_hits(spark):
+    """The contaminated-doc hit set must broadcast into the audit join
+    (map-side against the doc-id/source projection) — a shuffled join
+    here would move the whole training corpus for a rare hit list."""
+    plan = plan_of(spark, "decontaminate_corpus")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_pii_inventory_single_exchange(spark):
+    """Map-only regex scan + one bounded source groupBy: a second hash
+    exchange means the scan stopped combining map-side."""
+    plan = plan_of(spark, "pii_inventory")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_skew_report_frequency_tier_only_row_scale_agg(spark):
+    """The per-key frequency count is the only row-scale aggregation;
+    the stats and top-5 tiers must operate on the key-frequency frame
+    (one key exchange + a TakeOrdered, stats side broadcast)."""
+    plan = plan_of(spark, "skew_key_report")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
