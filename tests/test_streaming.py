@@ -245,3 +245,34 @@ def test_session_window_equals_batch_sessionization(spark):
     s = {tuple(r) for r in streaming.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_histogram_tier_replay_dedup(spark, tmp_path):
+    """A micro-batch replayed after a crash between tier write and
+    checkpoint commit appends DUPLICATE partial rows; the read-side
+    merge must collapse them by (key, bin, batch_id) or every replayed
+    count double-counts. Stage the duplication explicitly and assert
+    the merged histogram equals the single-write truth."""
+    from kinesis_adapter_spark.streaming.pipelines import _dedup_replays
+
+    sink = str(tmp_path / "hist")
+    rows = [
+        ("click", 0, 5, 7),   # (event_type, bin, n, batch_id)
+        ("click", 1, 3, 7),
+        ("view", 0, 2, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, bin long, n long, batch_id long"
+    )
+    df.write.mode("append").parquet(sink)
+    # replay batch 7 verbatim (the crash-between-write-and-commit case)
+    df.filter(F.col("batch_id") == 7).write.mode("append").parquet(sink)
+
+    tier = _dedup_replays(spark.read.parquet(sink), "event_type", "bin")
+    merged = {
+        (r.event_type, r.bin): r.total
+        for r in tier.groupBy("event_type", "bin")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert merged == {("click", 0): 5, ("click", 1): 3, ("view", 0): 2}, merged
