@@ -91,13 +91,21 @@ def _events_table(sf_dir: str):
 
 
 def ensure_events_csv(sf_dir: str) -> Path:
-    """events → single CSV (event_id,user_id,event_type,value)."""
+    """events → single CSV (event_id,user_id,event_type,value).
+
+    Single-file staging, so the source fingerprint lives in a sibling
+    `.src` marker instead of a dir _SUCCESS (same invalidation contract
+    as fresh_staging — a regenerated events.parquet at the same path
+    must rebuild, never serve the stale CSV)."""
     out = derived_dir(sf_dir) / "events.csv"
-    if not out.exists():
+    marker = derived_dir(sf_dir) / "events.csv.src"
+    fp = source_fingerprint(Path(sf_dir) / "events.parquet")
+    if not out.exists() or not marker.exists() or marker.read_text() != fp:
         pdf = _events_table(sf_dir)[["event_id", "user_id", "event_type", "value"]]
         tmp = out.with_suffix(".tmp")
         pdf.to_csv(tmp, index=False, float_format="%.2f")
         os.replace(tmp, out)
+        marker.write_text(fp)
     return out
 
 
