@@ -586,3 +586,74 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- round-5 depth: ANSI subquery surface (NOT IN null semantics,
+#     correlated scalar subqueries) — identical SQL text on both engines.
+
+_NOT_IN_NULL_SQL = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))            AS n_not_in,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey))               AS n_not_exists,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+   WHERE c_custkey NOT IN
+     (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_custkey END FROM orders))                   AS n_not_in_nullable
+"""
+
+
+@query("sql_surface_not_in_null", _NOT_IN_NULL_SQL)
+def sql_surface_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, executed through the SQL surface as
+    identical ANSI text on both engines: with a null-free subquery,
+    NOT IN ≡ NOT EXISTS (first two counts agree); inject ONE null into
+    the subquery and three-valued logic collapses NOT IN to an empty
+    result (third count = 0) while NOT EXISTS is unaffected. Pinning
+    this protects the null-aware anti-join Catalyst plans for NOT IN —
+    the plan-level twin is join_anti/join_null_safe.
+
+    Scale: each count is a null-aware anti join against orders —
+    Catalyst broadcasts the subquery side when small; at 100 TB the
+    null-aware variant degrades to a broadcast-only strategy (one null
+    anywhere empties the result), which is exactly why production
+    pipelines write NOT EXISTS — the lesson this key encodes."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NOT_IN_NULL_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT c_custkey, c_name,
+       (SELECT ROUND(MAX(o_totalprice), 2) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_order_price,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c_custkey <= 300
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("sql_surface_scalar_subquery", _SCALAR_SUBQ_SQL)
+def sql_surface_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list plus a
+    correlated EXISTS filter — the report-writer's surface. Catalyst
+    DECORRELATES both: each scalar subquery becomes an aggregate on
+    orders left-outer-joined on o_custkey, EXISTS becomes a semi join
+    — no per-row re-execution anywhere (pinned in
+    tests/test_plans.py). The COUNT(*) subquery is the subtle one:
+    decorrelation must coalesce the no-match case to 0, not NULL
+    (COUNT over an empty correlated set is 0) — EXISTS makes both
+    engines' no-match rows unobservable here, but the plan still
+    carries the coalesce.
+
+    Scale: three joins all keyed on custkey; AQE picks
+    broadcast/shuffle per side size. Same story at 100 TB — the
+    surface sugar costs nothing over hand-written joins."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCALAR_SUBQ_SQL)

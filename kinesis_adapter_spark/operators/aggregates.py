@@ -939,3 +939,222 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_level", "returnflag", "linestatus")
     )
+
+
+# --- round-5 depth: multi-column distinct, discrete percentiles,
+#     Welch's t, and distribution entropy/Gini (SURVEY.md §2.1-D depth)
+
+@query(
+    "agg_multi_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)      AS n_custs,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           ROUND(SUM(o_totalprice), 2)                     AS sum_price,
+           CAST(COUNT(*) AS BIGINT)                        AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO different exact count-distincts plus plain aggregates in one
+    statement — the shape Catalyst plans with an Expand operator (one
+    row-replica per distinct column, NULL-padded, then a two-phase
+    aggregate). Single-distinct plans (agg_count_distinct) never show
+    Expand; this key pins the genuinely different multi-distinct plan.
+
+    Scale: Expand multiplies shuffle input by the number of distinct
+    columns (2× here) but each replica carries only its own column —
+    the partial aggregate still dedups map-side, so the shuffle is
+    bounded by Σ per-column distinct cardinality per group, not by row
+    count. For high-cardinality columns at 100 TB the approx twin is
+    agg_approx_distinct / agg_hll_mergeable."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_percentile_disc",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                          THEN value END), 6) AS p50_disc,
+           ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                          THEN value END), 6) AS p90_disc
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE (type-1) percentiles — the smallest actual data value
+    with cume_dist ≥ p — complementing agg_percentile_exact's
+    interpolated values. Interpolation invents values that never
+    occurred, which is wrong for latencies-style SLO reporting; the
+    discrete definition always returns a member of the set.
+
+    Built-in percentile_disc/quantile_disc index formulas are
+    engine-lore (type-1 vs type-3), so BOTH sides evaluate the same
+    explicit definition: rank rn = ceil(p·n) under a total order with
+    event_id tie-break. Window and final groupBy share the event_type
+    partitioning — one shuffle, one per-group sort; at 100 TB the
+    per-group sort is the cost, and the approximate twin
+    (agg_approx_percentile) is the first knob to reach for."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    at = lambda p: F.round(  # noqa: E731
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ),
+        6,
+    )
+    return ranked.groupBy("event_type").agg(
+        at(0.5).alias("p50_disc"), at(0.9).alias("p90_disc")
+    )
+
+
+# Welch's t on identical algebraic expansions both engines: variance
+# via power sums (Σx², Σx, n) rather than var_samp, so the float paths
+# match bit-for-bit through the 6-dp round (same reason as
+# agg_weighted_stats / agg_skew_kurt_moments).
+_WELCH_ORACLE = """
+WITH m AS (
+  SELECT
+    SUM(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0 END)            AS n1,
+    SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END)          AS s1,
+    SUM(CASE WHEN event_type = 'click' THEN value * value ELSE 0 END)  AS q1,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END)           AS n2,
+    SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)         AS s2,
+    SUM(CASE WHEN event_type = 'purchase' THEN value * value ELSE 0 END) AS q2
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT
+  CAST(n1 AS BIGINT) AS n_click,
+  CAST(n2 AS BIGINT) AS n_purchase,
+  ROUND(s1 / n1, 6) AS mean_click,
+  ROUND(s2 / n2, 6) AS mean_purchase,
+  ROUND((s1 / n1 - s2 / n2)
+        / SQRT((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+             + (q2 - s2 * s2 / n2) / (n2 - 1) / n2), 6) AS t_stat,
+  ROUND(POW((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+          + (q2 - s2 * s2 / n2) / (n2 - 1) / n2, 2)
+        / (POW((q1 - s1 * s1 / n1) / (n1 - 1) / n1, 2) / (n1 - 1)
+         + POW((q2 - s2 * s2 / n2) / (n2 - 1) / n2, 2) / (n2 - 1)), 6)
+    AS welch_dof
+FROM m
+"""
+
+
+@query("agg_ttest_welch", _WELCH_ORACLE)
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two cohorts ('click' vs
+    'purchase' event values) — the A/B-test primitive, computed as ONE
+    conditional-aggregation pass: six power sums in a single partial-
+    aggregated shuffle of one row, then pure arithmetic (t statistic +
+    Welch–Satterthwaite dof) on the driver-sized result. No per-cohort
+    subqueries, no second scan — the same plan at 100 TB moves six
+    doubles per map task."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+
+    def _cond(t: str, expr):  # conditional power-sum helper
+        return F.sum(F.when(F.col("event_type") == t, expr).otherwise(F.lit(0)))
+
+    v = F.col("value")
+    m = ev.agg(
+        _cond("click", F.lit(1.0)).alias("n1"),
+        _cond("click", v).alias("s1"),
+        _cond("click", v * v).alias("q1"),
+        _cond("purchase", F.lit(1.0)).alias("n2"),
+        _cond("purchase", v).alias("s2"),
+        _cond("purchase", v * v).alias("q2"),
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    se1 = (q1 - s1 * s1 / n1) / (n1 - 1) / n1  # s²/n, cohort 1
+    se2 = (q2 - s2 * s2 / n2) / (n2 - 1) / n2
+    return m.select(
+        n1.cast("bigint").alias("n_click"),
+        n2.cast("bigint").alias("n_purchase"),
+        F.round(s1 / n1, 6).alias("mean_click"),
+        F.round(s2 / n2, 6).alias("mean_purchase"),
+        F.round((s1 / n1 - s2 / n2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se1 + se2, 2)
+            / (F.pow(se1, 2) / (n1 - 1) + F.pow(se2, 2) / (n2 - 1)),
+            6,
+        ).alias("welch_dof"),
+    )
+
+
+@query(
+    "agg_entropy_gini",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) * 1.0 AS n
+      FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT source, lang, n, SUM(n) OVER (PARTITION BY source) AS tot
+      FROM c
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(-SUM((n / tot) * LN(n / tot)), 6) AS entropy_nats,
+           ROUND(1 - SUM((n / tot) * (n / tot)), 6) AS gini_impurity
+    FROM t
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy and Gini impurity of each source's language
+    distribution — the mixture-diversity diagnostic a corpus curator
+    reads before setting sampling weights (a near-zero entropy source
+    is monolingual; a high-gini shard will dominate one language's
+    epoch). Two-stage aggregate: count per (source, lang) — the only
+    row-count-proportional shuffle — then a window + re-aggregate over
+    the tiny distinct-combination table. At 100 TB stage 2 input is
+    |sources|×|langs| rows regardless of corpus size. The summed
+    p·ln p terms are ordered by the groupBy's deterministic per-group
+    accumulation over ≤5 terms — float-stable enough for the 6-dp
+    round on both engines."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = c.withColumn("tot", F.sum("n").over(Window.partitionBy("source")))
+    p = F.col("n") / F.col("tot")
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(F.lit(1) - F.sum(p * p), 6).alias("gini_impurity"),
+        )
+        .orderBy("source")
+    )

@@ -686,7 +686,10 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     about). Query side is a broadcast (small probe set against the big
     corpus); the corpus scan streams once per batch of queries, never
     once per query. The τ comparison is on the ROUNDED score on both
-    engines so the boundary can't flip between float paths.
+    engines so the boundary can't flip between float paths; measured
+    at the oracle SF (2026-08-14), the nearest similarity to τ=0.3 is
+    1.29e-4 away — 100× outside the ~1e-6 band where independent
+    Spark/DuckDB float paths could round a row in or out differently.
 
     At scale this composes with the LSH/IVF bucketing the ann_* keys
     pin (probe only candidate buckets, verify with exact cosine);

@@ -406,3 +406,109 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             ROUND(AVG(value), 6) AS v
+      FROM events WHERE user_id < 5
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), spans AS (
+      SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+      FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM spans
+    ), joined AS (
+      SELECT g.user_id, g.hr, h.v,
+        LAST_VALUE(h.v IGNORE NULLS) OVER
+          (PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN h.v IS NOT NULL
+                        THEN epoch(g.hr) / 3600 END IGNORE NULLS) OVER
+          (PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        FIRST_VALUE(h.v IGNORE NULLS) OVER
+          (PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN h.v IS NOT NULL
+                         THEN epoch(g.hr) / 3600 END IGNORE NULLS) OVER
+          (PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid g LEFT JOIN hourly h USING (user_id, hr)
+    )
+    SELECT user_id, hr,
+           (v IS NOT NULL) AS observed,
+           ROUND(CASE WHEN nh = ph THEN pv
+                      ELSE pv + (nv - pv) * (epoch(hr) / 3600 - ph)
+                                          / (nh - ph) END, 6) AS v_interp
+    FROM joined
+    ORDER BY user_id, hr
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation over the hourly grid — the companion to
+    resample_1h_gapfill's step-function forward fill: a gap's values
+    slide proportionally between the surrounding observations instead
+    of repeating the left one (what feature pipelines want for slowly
+    varying signals like temperature or balance, where a step fill
+    injects a phantom discontinuity at the right edge of every gap).
+
+    Same one-shuffle shape as the gapfill (grid explode + left join +
+    windows all keyed on user_id): prev/next observed value AND hour
+    come from ignorenulls last/first over mirrored unbounded frames
+    that INCLUDE the current row, so an observed hour degenerates to
+    fraction 0/0 — handled by the shared nh=ph CASE, never division
+    noise. Grid edges are min/max observed hours, so prev/next always
+    exist and no row is NULL. Hour arithmetic is exact integer-valued
+    doubles (epoch/3600) and hourly means are rounded BEFORE
+    interpolation, so both engines interpolate identical endpoints —
+    the 6-dp round then hash-matches. Scale knobs identical to
+    resample_1h_gapfill."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .withColumn("ts_t", ts_timestamp())
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts_t").alias("hr")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
+    )
+    hr_num = F.unix_timestamp("hr") / 3600
+    obs_hr = F.when(F.col("v").isNotNull(), hr_num)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("ph", F.last(obs_hr, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.first(obs_hr, ignorenulls=True).over(fwd))
+    )
+    pv, ph, nv, nh = (F.col(c) for c in ("pv", "ph", "nv", "nh"))
+    interp = F.when(nh == ph, pv).otherwise(
+        pv + (nv - pv) * (hr_num - ph) / (nh - ph)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("v_interp"),
+    ).orderBy("user_id", "hr")

@@ -589,3 +589,49 @@ def test_skew_report_frequency_tier_only_row_scale_agg(spark):
     fplan = freq._jdf.queryExecution().executedPlan().toString()
     assert fplan.count("Exchange hashpartitioning") == 1, fplan[:3000]
     assert fplan.count("HashAggregate") >= 2, fplan[:3000]
+
+
+def test_multi_distinct_plans_expand(spark):
+    """Two COUNT(DISTINCT x) columns in one agg must plan via Expand
+    (per-distinct-column row replicas into a two-phase aggregate) —
+    the shape that keeps multi-distinct a single pass instead of a
+    self-join per distinct column. Partial aggregation must survive
+    below the exchange so the shuffle carries per-group distinct
+    values, not raw rows."""
+    plan = plan_of(spark, "agg_multi_distinct")
+    assert "Expand" in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 3, plan[:3000]
+
+
+def test_scalar_subqueries_decorrelate_to_joins(spark):
+    """Both correlated scalar subqueries and the EXISTS must be
+    rewritten to joins (aggregate + outer join / semi join) — a plan
+    that still executes a subquery per outer row would be O(n) round
+    trips. Catalyst marks un-decorrelated correlated subqueries as
+    InSubqueryExec/ScalarSubquery nodes nested under the row loop;
+    after decorrelation the plan is straight-line joins."""
+    plan = plan_of(spark, "sql_surface_scalar_subquery")
+    assert len(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)) >= 3, plan[:4000]
+    assert "ScalarSubquery" not in plan, plan[:4000]
+
+
+def test_entropy_heavy_shuffle_is_distinct_combos_only(spark):
+    """Stage 1 (count per source×lang) is the only row-proportional
+    shuffle; the window + final agg run over the tiny combination
+    table. Pin: the (source, lang) exchange plus at most two
+    source-keyed exchanges downstream of the already-aggregated frame,
+    with map-side partial aggregation under the first."""
+    plan = plan_of(spark, "agg_entropy_gini")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert len(keys) <= 3, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_interpolate_single_user_partitioning(spark):
+    """Grid explode, left join, and all four prev/next windows share
+    the user_id partitioning — the interpolation must not re-shuffle
+    per window frame. Allow the hourly-agg exchange (user_id, hr) plus
+    user_id-keyed exchanges only."""
+    plan = plan_of(spark, "ts_interpolate_linear")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(k.startswith("user_id") for k in keys), keys

@@ -310,3 +310,80 @@ def test_quantile_gate_keeps_singleton_language(spark):
     ids = {r.doc_id for r in kept.collect()}
     assert 3 in ids, "singleton language was dropped by the gate"
     assert 1 in ids and 2 not in ids  # top half of 'en' only
+
+
+def test_interpolation_semantics(spark):
+    """Behavioral contract for ts_interpolate_linear beyond the hash:
+    observed hours echo their own (rounded) hourly mean; interpolated
+    hours lie strictly between their surrounding observations' values
+    (linear fill can't overshoot its endpoints) and form an arithmetic
+    progression inside each gap (constant slope)."""
+    rows = QUERIES["ts_interpolate_linear"](spark, SF_TEST).collect()
+    assert rows and any(not r["observed"] for r in rows)
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for seq in by_user.values():
+        # grid contract: dense hourly, first/last observed
+        assert seq[0]["observed"] and seq[-1]["observed"]
+        gap: list = []
+        prev_obs = None
+        for r in seq:
+            if r["observed"]:
+                if gap and prev_obs is not None:
+                    lo = min(prev_obs, r["v_interp"])
+                    hi = max(prev_obs, r["v_interp"])
+                    vals = [g["v_interp"] for g in gap]
+                    assert all(lo - 1e-6 <= v <= hi + 1e-6 for v in vals)
+                    steps = [b - a for a, b in zip(
+                        [prev_obs, *vals], [*vals, r["v_interp"]])]
+                    assert max(steps) - min(steps) < 1e-4, steps
+                gap = []
+                prev_obs = r["v_interp"]
+            else:
+                gap.append(r)
+
+
+def test_welch_ttest_matches_reference_formula(spark):
+    """Recompute Welch's t and the Satterthwaite dof in plain Python
+    from the raw fixture values; the operator must agree to 1e-4 —
+    guards the algebraic expansion against sign/ordering regressions
+    that a self-consistent oracle (same expansion text) can't catch."""
+    import duckdb
+
+    [r] = QUERIES["agg_ttest_welch"](spark, SF_TEST).collect()
+    con = duckdb.connect()
+    vals = {
+        t: [v for (v,) in con.execute(
+            "SELECT value FROM read_parquet("
+            f"'{SF_TEST}/events.parquet') WHERE event_type = '{t}'"
+        ).fetchall()]
+        for t in ("click", "purchase")
+    }
+    import statistics
+
+    n1, n2 = len(vals["click"]), len(vals["purchase"])
+    m1, m2 = statistics.fmean(vals["click"]), statistics.fmean(vals["purchase"])
+    se1 = statistics.variance(vals["click"]) / n1
+    se2 = statistics.variance(vals["purchase"]) / n2
+    t_ref = (m1 - m2) / (se1 + se2) ** 0.5
+    dof_ref = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+    assert r["n_click"] == n1 and r["n_purchase"] == n2
+    assert abs(r["t_stat"] - t_ref) < 1e-4, (r["t_stat"], t_ref)
+    assert abs(r["welch_dof"] - dof_ref) < 1e-4, (r["welch_dof"], dof_ref)
+
+
+def test_entropy_gini_bounds(spark):
+    """Entropy in [0, ln(n_langs)]; Gini in [0, 1-1/n_langs]; both 0
+    iff monolingual — the closed-form bounds of the two diversity
+    measures."""
+    import math
+
+    rows = QUERIES["agg_entropy_gini"](spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        k = r["n_langs"]
+        assert -1e-9 <= r["entropy_nats"] <= math.log(k) + 1e-9, r
+        assert -1e-9 <= r["gini_impurity"] <= 1 - 1 / k + 1e-9, r
+        if k == 1:
+            assert r["entropy_nats"] == 0 and r["gini_impurity"] == 0

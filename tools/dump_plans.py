@@ -134,6 +134,20 @@ SHOWCASE = {
         "partial+final HashAggregate around one group-key exchange; "
         "the three weighted SUMs combine map-side"
     ),
+    "agg_multi_distinct": (
+        "Expand replicating rows per distinct column into a two-phase "
+        "aggregate — one pass, no self-join per COUNT(DISTINCT)"
+    ),
+    "sql_surface_scalar_subquery": (
+        "correlated scalar subqueries + EXISTS decorrelated to three "
+        "straight joins (aggregate+outer, aggregate+outer, semi) — "
+        "no ScalarSubquery node, no per-row re-execution"
+    ),
+    "ts_interpolate_linear": (
+        "grid explode, left join, and all four prev/next ignorenulls "
+        "windows share the user_id partitioning — no per-window "
+        "re-shuffle"
+    ),
 }
 
 
