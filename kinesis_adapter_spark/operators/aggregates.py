@@ -1158,3 +1158,62 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "agg_chi2_independence",
+    """
+    WITH o AS (
+      SELECT event_type, user_id % 3 AS arm, COUNT(*) * 1.0 AS n
+      FROM events GROUP BY event_type, user_id % 3
+    ), m AS (
+      SELECT n,
+             SUM(n) OVER (PARTITION BY event_type) AS rt,
+             SUM(n) OVER (PARTITION BY arm) AS ct,
+             SUM(n) OVER () AS t,
+             event_type, arm
+      FROM o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT arm) - 1) AS BIGINT) AS dof,
+           ROUND(SUM((n - rt * ct / t) * (n - rt * ct / t)
+                     / (rt * ct / t)), 6) AS chi2_stat
+    FROM m
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence on the event_type ×
+    experiment-arm contingency table (arms = user_id % 3 — the
+    deterministic assignment an A/B platform uses). This is the
+    sample-ratio-mismatch / randomization-health check run before
+    trusting any experiment metric: a large chi2 for a contingency
+    that should be independent means broken assignment.
+
+    One row-proportional pass (the (type, arm) count), then margins as
+    windows over the ≤ |types|·|arms| contingency frame and a scalar
+    re-aggregate — at 100 TB the heavy shuffle carries per-group
+    partial counts only, identical to agg_sum_group's shape. Expected
+    counts rt·ct/t are exact integer-valued products in double, so the
+    6-dp round hash-matches across engines."""
+    ev = load(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", (F.col("user_id") % 3).alias("arm")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    m = (
+        o.withColumn("rt", F.sum("n").over(Window.partitionBy("event_type")))
+        .withColumn("ct", F.sum("n").over(Window.partitionBy("arm")))
+        .withColumn(
+            "t", F.sum("n").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    e = F.col("rt") * F.col("ct") / F.col("t")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("arm") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 6).alias(
+            "chi2_stat"
+        ),
+    )

@@ -1225,3 +1225,109 @@ def pii_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------- benchmark decontamination via MinHash
+
+# Cross-set twin of NGRAM_JACCARD_ORACLE: corpus (< 2M) vs the held-out
+# benchmark set (the ≥ 2M mutated twins), same capped shingle
+# definition, no doc_a < doc_b — membership decides the join sides.
+CONTAMINATION_MINHASH_ORACLE = f"""
+WITH docs AS ({MUTATED_SQL}),
+shing0 AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+  FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
+    FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM docs)
+  )
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM docs),
+shing AS (
+  SELECT doc_id, s
+  FROM (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shing0), nd
+  WHERE df <= GREATEST({STOP_SHINGLE_ABS}, LEAST(CEIL(n_docs * {STOP_SHINGLE_FRAC}), {STOP_SHINGLE_MAX}))
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS c
+  FROM shing a JOIN shing b ON a.s = b.s
+  WHERE a.doc_id < 2000000 AND b.doc_id >= 2000000
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_id, i.bench_id,
+       ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id
+JOIN sizes sb ON sb.doc_id = i.bench_id
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.6
+ORDER BY i.doc_id, i.bench_id
+"""
+
+
+@query("contamination_minhash", CONTAMINATION_MINHASH_ORACLE)
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark contamination via MinHash+LSH — the
+    100 TB complement to contamination_ngram's exact shared-gram
+    screen: an eval document whose text was lightly edited before
+    landing in the training corpus shares few exact 13-gram-style
+    shingles but a high Jaccard, and this is the standard first-pass
+    screen for it (banded LSH candidates, exact-Jaccard verify).
+
+    Reuses the SAME materialized signature artifact as
+    dedup_near_minhash — in production the benchmark suite is signed
+    once with the corpus's hash family and every corpus refresh probes
+    it. The band join keys corpus signatures against the BENCHMARK
+    side only (broadcast: a benchmark is thousands of docs however big
+    the corpus is), so the corpus never self-joins and never shuffles —
+    cost is one scan of the corpus signature columns + candidate
+    verification. Band count (16×2) is recall-complete at the ≥0.6
+    verify threshold (P(candidate) ≥ 0.9992 at j = 0.6, ~1 at the
+    fixture's ~0.9 twin similarity), so the verified output equals the
+    brute-force cross-set oracle."""
+    sig = spark.read.parquet(minhash_signature_table(spark, sf_dir))
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+
+    def banded(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        ).select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.sig").alias("sig"),
+        )
+
+    corpus = sig.filter(F.col("doc_id") < 2_000_000)
+    bench = sig.filter(F.col("doc_id") >= 2_000_000)
+    cand = (
+        banded(corpus)
+        .join(
+            F.broadcast(
+                banded(bench).select(
+                    F.col("doc_id").alias("bench_id"), "band", "sig"
+                )
+            ),
+            ["band", "sig"],
+        )
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    a = corpus.select("doc_id", F.col("sh").alias("sa"))
+    b = bench.select(F.col("doc_id").alias("bench_id"), F.col("sh").alias("sb"))
+    c = F.size(F.array_intersect("sa", "sb"))
+    jac = c / (F.size("sa") + F.size("sb") - c)
+    return (
+        cand.join(a, "doc_id")
+        .join(F.broadcast(b), "bench_id")
+        .filter(jac >= 0.6)
+        .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_id", "bench_id")
+    )

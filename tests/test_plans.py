@@ -635,3 +635,17 @@ def test_interpolate_single_user_partitioning(spark):
     plan = plan_of(spark, "ts_interpolate_linear")
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert all(k.startswith("user_id") for k in keys), keys
+
+
+def test_contamination_minhash_broadcasts_benchmark(spark):
+    """The benchmark side (band keys AND verify shingle sets) must
+    broadcast into both joins — a corpus that shuffles against its own
+    benchmark suite is moving 100 TB for a fixed few-thousand-doc probe
+    set. Like dedup_near_minhash, the probe reads only the staged
+    signature artifact, never document text."""
+    plan = plan_of(spark, "contamination_minhash", executed=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2, final[:3000]
+    assert "documents.parquet" not in final, "probe re-reads raw text"
+    assert "kas_minhash" in final, final[:3000]
+    assert "CartesianProduct" not in final
