@@ -66,6 +66,9 @@ EXTRAS = {
     # (their r5 idle measurements are the anchors, BASELINE.md)
     "quality_gate": "quality_quantile_gate",
     "streak_days": "user_streak_days",
+    # late-r5: benchmark decontamination probe over the shared minhash
+    # signature artifact (broadcast benchmark side)
+    "contamination_lsh": "contamination_minhash",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -103,6 +106,7 @@ ANCHORS = {
     # round-5 additions, anchored at their r5 idle medians (BASELINE.md)
     "quality_gate": 0.6154,
     "streak_days": 0.5959,
+    "contamination_lsh": 1.04,
 }
 
 

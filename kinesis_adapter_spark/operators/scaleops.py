@@ -444,3 +444,127 @@ def cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "o_orderkey")
         .limit(50)
     )
+
+
+@query(
+    "join_cbo_reorder",
+    """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization over ANALYZEd catalog tables: the three
+    join inputs are staged as catalog tables with table + column
+    statistics (ANALYZE TABLE ... FOR COLUMNS on the join/filter
+    keys), and CBO + cost-based join reorder are enabled, so Catalyst
+    plans the multi-way join from ESTIMATED filtered cardinalities —
+    the written order (fact first, most-selective dim last) is
+    deliberately the wrong one to execute literally. The plan test
+    pins that optimized-plan nodes carry rowCount statistics (proof
+    the column stats actually reached the optimizer — without ANALYZE
+    Spark only has file sizes) and that the filtered customer side is
+    broadcast.
+
+    At 100 TB this is the difference between a join tree sized from
+    stats and one sized from naive file bytes: stats-driven reorder +
+    broadcast decisions are exactly what a warehouse's nightly ANALYZE
+    pays for. Staging is per-process (same isolation rationale as
+    join_bucket_colocated); the few-second ANALYZE is a one-time
+    catalog cost, not per-query."""
+    import os
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    sf_tag = f"{sf_tag}_{os.getpid()}"
+    db_dir = tempfile.gettempdir() + f"/kas_cbo_{sf_tag}"
+    spark.conf.set("spark.sql.legacy.createHiveTableByDefault", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    # o_orderdate is deliberately NOT analyzed: TIMESTAMP column stats
+    # trip an INTERNAL_ERROR inside CostBasedJoinReorder on Spark
+    # 4.1.2 (probed in this environment — the rule crashes during
+    # optimization when a timestamp histogram feeds the cardinality
+    # estimator). Key and categorical column stats are what drive the
+    # reorder; the date filter falls back to default selectivity.
+    stats_cols = {
+        "customer": "c_custkey, c_mktsegment, c_nationkey",
+        "orders": "o_orderkey, o_custkey",
+        "lineitem": "l_orderkey, l_extendedprice, l_discount",
+    }
+    names = {t: f"kas_cbo_{t}_{sf_tag}" for t in stats_cols}
+    for tbl, name in names.items():
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .option("path", f"{db_dir}/{name}")
+                .saveAsTable(name)
+            )
+            spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {stats_cols[tbl]}"
+            )
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"]).filter(
+        F.col("o_orderdate") < F.lit("1995-06-01 00:00:00").cast("timestamp")
+    )
+    c = spark.table(names["customer"]).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "plan_reuse_exchange",
+    """
+    WITH agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT * FROM (
+      (SELECT 'top' AS which, event_type, n FROM agg ORDER BY n DESC LIMIT 1)
+      UNION ALL
+      (SELECT 'bottom' AS which, event_type, n FROM agg ORDER BY n ASC LIMIT 1)
+    ) ORDER BY which DESC
+    """,
+)
+def plan_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two consumers of the same aggregate subplan (most- and
+    least-frequent event type) — Spark must compute the aggregation
+    ONCE and wire the second branch to a ReusedExchange, not re-scan
+    and re-shuffle the fact table per branch (pinned in
+    tests/test_plans.py). This is the plan property that makes
+    diff-style reports (top/bottom, before/after over one frame)
+    affordable at 100 TB: N consumers of a common subplan cost one
+    scan + one shuffle, not N.
+
+    Fixture counts per type are distinct, so both limits are
+    deterministic without a tie-break."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    top = agg.orderBy(F.col("n").desc()).limit(1).select(
+        F.lit("top").alias("which"), "event_type", "n"
+    )
+    bottom = agg.orderBy(F.col("n").asc()).limit(1).select(
+        F.lit("bottom").alias("which"), "event_type", "n"
+    )
+    return top.unionByName(bottom).orderBy(F.col("which").desc())

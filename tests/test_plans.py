@@ -649,3 +649,27 @@ def test_contamination_minhash_broadcasts_benchmark(spark):
     assert "documents.parquet" not in final, "probe re-reads raw text"
     assert "kas_minhash" in final, final[:3000]
     assert "CartesianProduct" not in final
+
+
+def test_cbo_stats_reach_optimizer(spark):
+    """join_cbo_reorder's staged tables are ANALYZEd, CBO on: the
+    optimized plan must carry rowCount statistics (proof column stats
+    reached the cost model — without ANALYZE Spark estimates from file
+    bytes only and rowCount is absent), and the stats-sized dim sides
+    must broadcast."""
+    df = QUERIES["join_cbo_reorder"](spark, SF_TEST)
+    stats = df._jdf.queryExecution().stringWithStats()
+    assert "rowCount=" in stats, stats[:3000]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_reuse_exchange_single_scan(spark):
+    """Both branches (top and bottom event type) must consume ONE
+    aggregation: the executed plan contains a ReusedExchange and
+    exactly one events file scan — N consumers of a shared subplan
+    cost one scan + one shuffle."""
+    plan = plan_of(spark, "plan_reuse_exchange", executed=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final[:3000]
+    assert final.count("FileScan") == 1, final[:3000]

@@ -148,6 +148,14 @@ SHOWCASE = {
         "windows share the user_id partitioning — no per-window "
         "re-shuffle"
     ),
+    "join_cbo_reorder": (
+        "ANALYZEd catalog tables: rowCount statistics drive the join "
+        "order and both stats-sized dim sides broadcast"
+    ),
+    "plan_reuse_exchange": (
+        "ReusedExchange: top and bottom branches consume ONE "
+        "aggregation — a single events scan feeds both"
+    ),
 }
 
 
