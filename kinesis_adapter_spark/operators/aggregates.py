@@ -1217,3 +1217,85 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_stat"
         ),
     )
+
+
+@query(
+    "agg_mann_whitney",
+    """
+    WITH ev AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), pv AS (
+      SELECT value, COUNT(*) * 1.0 AS n_all, SUM(g1) * 1.0 AS n1
+      FROM ev GROUP BY value
+    ), mr AS (
+      SELECT n_all, n1,
+             SUM(n_all) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_all AS n_less
+      FROM pv
+    ), s AS (
+      SELECT SUM(n1) AS c1, SUM(n_all - n1) AS c2,
+             SUM(n1 * (n_less + (n_all + 1) / 2)) AS r1
+      FROM mr
+    )
+    SELECT CAST(c1 AS BIGINT) AS n_click,
+           CAST(c2 AS BIGINT) AS n_purchase,
+           ROUND(r1 - c1 * (c1 + 1) / 2, 2) AS u_click,
+           ROUND(c1 * c2 - (r1 - c1 * (c1 + 1) / 2), 2) AS u_purchase,
+           ROUND((r1 - c1 * (c1 + 1) / 2 - c1 * c2 / 2)
+                 / SQRT(c1 * c2 * (c1 + c2 + 1) / 12), 6) AS z_stat
+    FROM s
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the same two cohorts
+    as agg_ttest_welch — the nonparametric sibling an A/B analyst
+    reaches for when values are skewed or heavy-tailed and a mean
+    comparison misleads.
+
+    The SCALABLE exact formulation: midranks depend only on per-value
+    counts — midrank(v) = #{values < v} + (count(v)+1)/2 — so the rows
+    are aggregated to the DISTINCT VALUE DOMAIN first (one
+    partial-aggregated shuffle, same as agg_sum_group) and the only
+    ordered pass is a running sum over that compressed frame, never a
+    global sort of raw rows. Rank sums then come from one more tiny
+    aggregate. Ties are exact via the midrank; z uses the standard
+    no-tie normal variance (both engines share the formula text, so
+    parity is exact). At 100 TB the compressed frame is |distinct
+    values| rows; if even that overflows one partition, the same
+    counts feed a binned approximation (feature_binning_quantile's
+    path)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pv = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("double").alias("n1"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mr = pv.withColumn("n_less", F.sum("n_all").over(w) - F.col("n_all"))
+    s = mr.agg(
+        F.sum("n1").alias("c1"),
+        F.sum(F.col("n_all") - F.col("n1")).alias("c2"),
+        F.sum(
+            F.col("n1") * (F.col("n_less") + (F.col("n_all") + 1) / 2)
+        ).alias("r1"),
+    )
+    c1, c2, r1 = F.col("c1"), F.col("c2"), F.col("r1")
+    u1 = r1 - c1 * (c1 + 1) / 2
+    return s.select(
+        c1.cast("bigint").alias("n_click"),
+        c2.cast("bigint").alias("n_purchase"),
+        F.round(u1, 2).alias("u_click"),
+        F.round(c1 * c2 - u1, 2).alias("u_purchase"),
+        F.round(
+            (u1 - c1 * c2 / 2) / F.sqrt(c1 * c2 * (c1 + c2 + 1) / 12), 6
+        ).alias("z_stat"),
+    )

@@ -568,3 +568,49 @@ def plan_reuse_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bottom").alias("which"), "event_type", "n"
     )
     return top.unionByName(bottom).orderBy(F.col("which").desc())
+
+
+@query(
+    "scan_rowgroup_prune",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value
+    FROM events WHERE value >= 150
+    """,
+)
+def scan_rowgroup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group statistics pruning — the IO tier BELOW partition
+    pruning: the staged copy of events is SORTED by value and written
+    with small parquet row groups, so each row group's min/max stats
+    cover a narrow value band and the pushed `value >= 900` predicate
+    lets the reader skip whole row groups without decoding them (the
+    threshold is ~p95 of value, so ~5% of rows qualify). The
+    plan test executes the scan and asserts its output-row metric is a
+    small fraction of the table (proof the skip actually happened —
+    PushedFilters alone doesn't prove the reader used the stats).
+
+    This is why sort-on-write (cluster_zorder's 1-D sibling) matters
+    at 100 TB: the same filter over an unsorted layout reads every row
+    group because each one's [min,max] spans the full domain. Staging
+    is per-process, same rationale as the bucketed tables."""
+    import os
+
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    path = f"{tempfile.gettempdir()}/kas_rowgroups_{sf_tag}_{os.getpid()}/events"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            load(spark, sf_dir, "events")
+            .select("event_id", "value")
+            .sort("value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 16 * 1024)
+            .parquet(path)
+        )
+    ev = spark.read.parquet(path)
+    return ev.filter(F.col("value") >= 150).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+    )

@@ -673,3 +673,36 @@ def test_reuse_exchange_single_scan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final, final[:3000]
     assert final.count("FileScan") == 1, final[:3000]
+
+
+def test_rowgroup_stats_pruning_skips_data(spark):
+    """The sorted small-row-group staging must let the pushed value
+    predicate skip row groups: the executed scan's output-row metric
+    stays under 20% of the 10k-row table (measured 793 when written —
+    PushedFilters in the plan text alone wouldn't prove the reader
+    consulted the stats)."""
+    df = QUERIES["scan_rowgroup_prune"](spark, SF_TEST)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+        nm = node.nodeName()
+        if nm == "AdaptiveSparkPlan":
+            yield from walk(node.executedPlan())
+        elif "QueryStage" in nm:
+            yield from walk(node.plan())
+        elif nm == "ReusedExchange":
+            yield from walk(node.child())
+
+    scan_rows = []
+    for n in walk(ep):
+        if "Scan" in n.nodeName():
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    scan_rows.append(kv._2().value())
+    assert scan_rows and min(scan_rows) <= 2000, scan_rows

@@ -387,3 +387,34 @@ def test_entropy_gini_bounds(spark):
         assert -1e-9 <= r["gini_impurity"] <= 1 - 1 / k + 1e-9, r
         if k == 1:
             assert r["entropy_nats"] == 0 and r["gini_impurity"] == 0
+
+
+def test_mann_whitney_matches_reference(spark):
+    """Recompute U and z from raw values with a plain-Python midrank
+    implementation; the compressed-domain aggregate must agree to
+    1e-6 (U is integer-valued up to ties) / 1e-4 (z)."""
+    import duckdb
+
+    [r] = QUERIES["agg_mann_whitney"](spark, SF_TEST).collect()
+    con = duckdb.connect()
+    pooled = con.execute(
+        "SELECT value, event_type FROM read_parquet("
+        f"'{SF_TEST}/events.parquet') WHERE event_type IN ('click','purchase')"
+    ).fetchall()
+    vals = sorted(v for v, _ in pooled)
+    # midrank per value (1-based)
+    first = {}
+    cnt = {}
+    for i, v in enumerate(vals):
+        first.setdefault(v, i + 1)
+        cnt[v] = cnt.get(v, 0) + 1
+    mid = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    r1 = sum(mid[v] for v, t in pooled if t == "click")
+    n1 = sum(1 for _, t in pooled if t == "click")
+    n2 = len(pooled) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2
+    z = (u1 - n1 * n2 / 2) / (n1 * n2 * (n1 + n2 + 1) / 12) ** 0.5
+    assert r["n_click"] == n1 and r["n_purchase"] == n2
+    assert abs(r["u_click"] - u1) < 1e-6, (r["u_click"], u1)
+    assert abs(r["u_click"] + r["u_purchase"] - n1 * n2) < 1e-6
+    assert abs(r["z_stat"] - z) < 1e-4, (r["z_stat"], z)
