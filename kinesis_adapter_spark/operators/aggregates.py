@@ -1299,3 +1299,77 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u1 - c1 * c2 / 2) / F.sqrt(c1 * c2 * (c1 + c2 + 1) / 12), 6
         ).alias("z_stat"),
     )
+
+
+@query(
+    "agg_ks_test",
+    """
+    WITH ev AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), pv AS (
+      SELECT value, SUM(g1) * 1.0 AS n1, SUM(1 - g1) * 1.0 AS n2
+      FROM ev GROUP BY value
+    ), tot AS (
+      SELECT value,
+             SUM(n1) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(n2) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+             SUM(n1) OVER () AS t1,
+             SUM(n2) OVER () AS t2
+      FROM pv
+    )
+    SELECT CAST(MAX(t1) AS BIGINT) AS n_click,
+           CAST(MAX(t2) AS BIGINT) AS n_purchase,
+           ROUND(MAX(ABS(c1 / t1 - c2 / t2)), 6) AS d_stat,
+           ROUND(MAX(ABS(c1 / t1 - c2 / t2))
+                 * SQRT(MAX(t1) * MAX(t2) / (MAX(t1) + MAX(t2))), 6)
+             AS ks_lambda
+    FROM tot
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (max ECDF gap) between
+    the same cohorts as agg_ttest_welch / agg_mann_whitney — the
+    distribution-shift detector that sees what mean- and rank-shift
+    tests both miss (e.g. equal-median variance changes); the standard
+    drift alarm between yesterday's and today's feature distribution.
+
+    Same compressed-value-domain shape as agg_mann_whitney: per-value
+    cohort counts (one partial-aggregated shuffle), running ECDFs as
+    ordered windows over the DISTINCT-value frame, one final max.
+    ks_lambda = D·sqrt(n1·n2/(n1+n2)) is the scale-free statistic the
+    asymptotic p-value reads from. ECDF steps are exact rationals in
+    double (integer counts / integer totals), so the 6-dp round
+    matches across engines."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g1 = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    pv = ev.groupBy("value").agg(
+        F.sum(g1).cast("double").alias("n1"),
+        F.sum(1 - g1).cast("double").alias("n2"),
+    )
+    run = (
+        Window.partitionBy()
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy()
+    tot = pv.select(
+        F.sum("n1").over(run).alias("c1"),
+        F.sum("n2").over(run).alias("c2"),
+        F.sum("n1").over(whole).alias("t1"),
+        F.sum("n2").over(whole).alias("t2"),
+    )
+    gap = F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))
+    t1, t2 = F.max("t1"), F.max("t2")
+    return tot.agg(
+        t1.cast("bigint").alias("n_click"),
+        t2.cast("bigint").alias("n_purchase"),
+        F.round(F.max(gap), 6).alias("d_stat"),
+        F.round(F.max(gap) * F.sqrt(t1 * t2 / (t1 + t2)), 6).alias(
+            "ks_lambda"
+        ),
+    )

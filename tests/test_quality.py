@@ -418,3 +418,28 @@ def test_mann_whitney_matches_reference(spark):
     assert abs(r["u_click"] - u1) < 1e-6, (r["u_click"], u1)
     assert abs(r["u_click"] + r["u_purchase"] - n1 * n2) < 1e-6
     assert abs(r["z_stat"] - z) < 1e-4, (r["z_stat"], z)
+
+
+def test_ks_test_matches_reference(spark):
+    """Recompute the two-sample KS D from raw values in plain Python;
+    the compressed-domain windows must agree to 1e-6."""
+    import duckdb
+
+    [r] = QUERIES["agg_ks_test"](spark, SF_TEST).collect()
+    con = duckdb.connect()
+    pooled = con.execute(
+        "SELECT value, event_type FROM read_parquet("
+        f"'{SF_TEST}/events.parquet') WHERE event_type IN ('click','purchase')"
+    ).fetchall()
+    a = sorted(v for v, t in pooled if t == "click")
+    b = sorted(v for v, t in pooled if t == "purchase")
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(a, v) / len(a) - bisect.bisect_right(b, v) / len(b))
+        for v in set(a) | set(b)
+    )
+    assert r["n_click"] == len(a) and r["n_purchase"] == len(b)
+    assert abs(r["d_stat"] - d) < 1e-6, (r["d_stat"], d)
+    lam = d * (len(a) * len(b) / (len(a) + len(b))) ** 0.5
+    assert abs(r["ks_lambda"] - lam) < 1e-4

@@ -64,6 +64,11 @@ SMOKE_OPS = {
     "stream_minhash_maintain": "documents",
     "stream_hll_rollup": "events",
     "stream_histogram_rollup": "events",
+    # r5 rank-statistic keys: the compressed-value-domain claim —
+    # per-value counts shrink the ordered pass to the distinct-value
+    # frame, so runtime should grow far slower than the data
+    "agg_mann_whitney": "events",
+    "agg_ks_test": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
