@@ -657,3 +657,51 @@ def sql_surface_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@query(
+    "fn_collation_group",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 1 THEN UPPER(c_mktsegment)
+                  ELSE LOWER(c_mktsegment) END AS seg_raw
+      FROM customer
+    )
+    SELECT LOWER(seg_raw) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT seg_raw) AS BIGINT) AS n_surface_forms
+    FROM mixed
+    GROUP BY LOWER(seg_raw)
+    ORDER BY segment
+    """,
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: grouping under UTF8_LCASE merges
+    case-variant strings ENGINE-SIDE — no lower() scattered through
+    every expression, and on a cluster the collation-aware hash means
+    case variants of one key land in one shuffle partition instead of
+    splitting across reducers and re-merging. The fixture mixes case
+    deterministically (odd custkeys upper, even lower); the group key
+    is `collate(seg, 'UTF8_LCASE')`, the surface-form count keeps the
+    default binary collation to PROVE two spellings merged into each
+    group. The oracle expresses the same semantics portably with
+    LOWER() — collation names are engine lore, case-insensitive
+    equality is not."""
+    c = load(spark, sf_dir, "customer")
+    seg_raw = F.when(
+        F.col("c_custkey") % 2 == 1, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    return (
+        c.select(seg_raw.alias("seg_raw"))
+        .groupBy(F.collate("seg_raw", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.collate("seg_raw", "UTF8_BINARY")).alias(
+                "n_surface_forms"
+            ),
+        )
+        .select(
+            F.lower(F.col("k")).alias("segment"), "n", "n_surface_forms"
+        )
+        .orderBy("segment")
+    )

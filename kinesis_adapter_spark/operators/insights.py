@@ -884,3 +884,141 @@ def user_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, COUNT(*) * 1.0 AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+             AS global_clustering
+    FROM (SELECT 1)
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts sharing an order) — the community-density
+    primitive behind spam/fraud graph features and recommendation
+    neighborhoods.
+
+    The Spark side uses DEGREE ORIENTATION — every edge points from
+    its lower-(degree, id) endpoint to the higher one, so each
+    triangle is generated exactly once, from its unique minimal apex —
+    which bounds the wedge-join fan-out per node by O(sqrt(m)) on any
+    graph (the standard MapReduce triangle algorithm) instead of
+    hot-node degree²: the difference between a survivable join and a
+    celebrity-node explosion at 100 TB. The DuckDB oracle is the
+    naive e1⋈e2⋈e3 closure, proving orientation changes cost, not the
+    count. Wedge totals (Σ deg·(deg-1)/2) come from one tiny
+    aggregate; clustering = 3T / wedges. Edge generation is bounded by
+    order size (≤13 parts here); production caps pathological baskets
+    the same way the shingle df cap bounds hot shingles."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return triangle_stats(e)
+
+
+def triangle_stats(e: DataFrame) -> DataFrame:
+    """Degree-oriented triangle statistics over a canonical (u < v)
+    distinct edge frame — factored out so the hypothesis property test
+    can drive it with arbitrary random graphs (same pattern as the CC
+    equivalence test).
+
+    The edge frame is materialized ONCE (localCheckpoint, the
+    cc_stars/signature-table pattern) for its three consumers (deg,
+    orientation, intersection probe). Triangles are counted by SORTED
+    ADJACENCY INTERSECTION, not wedge materialization: for each
+    oriented edge (u,v), |N+(u) ∩ N+(v)| — each triangle counted
+    exactly once at its unique out-degree-2 apex. The wedge set is
+    NEVER enumerated as rows (the first cut materialized 328M wedge
+    rows at 8× sf0.1 and ran 1.7× over the linear bound from shuffle
+    spill); the same information rides as per-node sorted arrays
+    (bounded O(√m) by the orientation), joined by plain equi-joins and
+    intersected map-side. Wedge totals come closed-form from degrees."""
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # orient: src = endpoint with smaller (deg, id); ties break on id
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    adj = o.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    au = adj.select(F.col("src"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+    tri = (
+        o.join(au, "src")
+        .join(av, "dst", "left")  # sinks have no adjacency row
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("nu"), F.coalesce(F.col("nv"), F.array())
+                )
+            ).alias("c")
+        )
+        .agg(F.sum("c").alias("t"))
+        .select(F.coalesce(F.col("t"), F.lit(0)).alias("t"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedge_total"),
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("ne"))
+    return (
+        stats.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("nv").cast("bigint").alias("n_vertices"),
+            F.col("ne").cast("bigint").alias("n_edges"),
+            F.col("wedge_total").cast("bigint").alias("n_wedges"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+            # guard: a wedge-free graph (isolated edges only) has
+            # clustering 0, not a divide-by-zero — found by the
+            # random-graph property test, unreachable on the fixture
+            F.when(
+                F.col("wedge_total") > 0,
+                F.round(3 * F.col("t") / F.col("wedge_total"), 6),
+            ).otherwise(F.lit(0.0)).alias("global_clustering"),
+        )
+    )

@@ -282,3 +282,49 @@ def test_weighted_stats_match_numpy(spark, data):
         var = np.average((x - mu) ** 2, weights=w)
         assert abs(got[g][0] - mu) < 1e-6 * max(1.0, abs(mu))
         assert abs(got[g][1] - var) < 1e-5 * max(1.0, abs(var))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_stats_match_bruteforce(spark, edges):
+    """Degree-oriented triangle counting must agree with itertools
+    brute force on arbitrary random graphs — the orientation argument
+    (each triangle generated from its unique minimal apex) holds for
+    every degree distribution, not just the fixture's."""
+    from itertools import combinations
+
+    from kinesis_adapter_spark.operators.insights import triangle_stats
+
+    canon = {(min(u, v), max(u, v)) for u, v in edges}
+    if not canon:
+        return
+    eset = set(canon)
+    nodes = {n for e in canon for n in e}
+    tri_ref = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    deg = {}
+    for u, v in canon:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    wedge_ref = sum(d * (d - 1) // 2 for d in deg.values())
+    e_df = spark.createDataFrame(sorted(canon), "u long, v long")
+    [r] = triangle_stats(e_df).collect()
+    assert r["n_vertices"] == len(nodes)
+    assert r["n_edges"] == len(canon)
+    assert r["n_wedges"] == wedge_ref
+    assert r["n_triangles"] == tri_ref, (sorted(canon), r["n_triangles"], tri_ref)

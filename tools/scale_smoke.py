@@ -69,6 +69,7 @@ SMOKE_OPS = {
     # frame, so runtime should grow far slower than the data
     "agg_mann_whitney": "events",
     "agg_ks_test": "events",
+    "graph_triangle_count": "lineitem",
 }
 
 # (table, id columns to offset, per-replica offset)
@@ -81,6 +82,16 @@ _REPLICATE = {
     # instead of fanning out across copies
     "customer": (("c_custkey", 1_000_000),),
     "orders": (("o_orderkey", 100_000_000), ("o_custkey", 1_000_000)),
+    # l_orderkey shares orders' offset (order⋈lineitem joins replicate
+    # per copy); l_partkey/l_suppkey offset too so the co-purchase
+    # graph replicates as DISJOINT copies — shared parts across
+    # replicas would densify the graph and conflate harness combinatorics
+    # with operator scaling (same lesson as the c_name collision)
+    "lineitem": (
+        ("l_orderkey", 100_000_000),
+        ("l_partkey", 10_000_000),
+        ("l_suppkey", 1_000_000),
+    ),
 }
 
 
@@ -90,7 +101,7 @@ def _base_fingerprint() -> str:
     regenerated (the DERIVED_VERSION drift class in sources/scans.py),
     the cached replica is invalid and must rebuild — a bare _SUCCESS
     marker would silently measure stale data (ADVICE r4)."""
-    parts = []
+    parts = [f"replicate:{sorted(_REPLICATE.items())!r}"]
     for p in sorted(Path(BASE_SF).glob("*.parquet")):
         st = p.stat()
         parts.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
