@@ -208,9 +208,11 @@ def capped_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_ORACLE = f"""
-WITH docs AS ({MUTATED_SQL}),
-shing0 AS (
+# One source of truth for the oracle-side capped-shingle CTE chain
+# (mirrors capped_shingles above): both the self-join near-dup oracle
+# and the cross-set contamination oracle splice this in, so the cap
+# formula cannot fork between them (same rule as stop_shingle_cap).
+CAPPED_SHINGLE_CTES = f"""shing0 AS (
   SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
   FROM (
     SELECT doc_id, tk, unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
@@ -223,7 +225,11 @@ shing AS (
   FROM (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shing0), nd
   WHERE df <= GREATEST({STOP_SHINGLE_ABS}, LEAST(CEIL(n_docs * {STOP_SHINGLE_FRAC}), {STOP_SHINGLE_MAX}))
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id)"""
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH docs AS ({MUTATED_SQL}),
+{CAPPED_SHINGLE_CTES},
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
   FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -327,6 +333,28 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def banded_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band keys, derived map-only from a
+    signature frame's h-columns. The ONE derivation every probe uses
+    (index self-join, contamination cross-probe): band keys must stay
+    bit-identical across all consumers of the signature artifact or a
+    probe silently generates zero candidates — same never-fork rule as
+    stop_shingle_cap (r5 review finding)."""
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
 @query("dedup_near_minhash", NGRAM_JACCARD_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact Jaccard verify — the
@@ -349,20 +377,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe plan contains zero shingle computations and reads only the
     staged parquet."""
     sig = spark.read.parquet(minhash_signature_table(spark, sf_dir))
-    rows_per_band = N_HASHES // N_BANDS
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(N_BANDS)
-    ]
-    banded = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    )
+    banded = banded_signatures(sig)
     sets = sig.select("doc_id", "sh")
     cand = (
         banded.alias("x")
@@ -1234,20 +1249,7 @@ def pii_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 # definition, no doc_a < doc_b — membership decides the join sides.
 CONTAMINATION_MINHASH_ORACLE = f"""
 WITH docs AS ({MUTATED_SQL}),
-shing0 AS (
-  SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
-  FROM (
-    SELECT doc_id, tk, unnest(generate_series(1, GREATEST(len(tk) - 2, 0))) AS i
-    FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM docs)
-  )
-),
-nd AS (SELECT COUNT(*) AS n_docs FROM docs),
-shing AS (
-  SELECT doc_id, s
-  FROM (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shing0), nd
-  WHERE df <= GREATEST({STOP_SHINGLE_ABS}, LEAST(CEIL(n_docs * {STOP_SHINGLE_FRAC}), {STOP_SHINGLE_MAX}))
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+{CAPPED_SHINGLE_CTES},
 inter AS (
   SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS c
   FROM shing a JOIN shing b ON a.s = b.s
@@ -1285,26 +1287,7 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's ~0.9 twin similarity), so the verified output equals the
     brute-force cross-set oracle."""
     sig = spark.read.parquet(minhash_signature_table(spark, sf_dir))
-    rows_per_band = N_HASHES // N_BANDS
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(N_BANDS)
-    ]
-
-    def banded(side: DataFrame) -> DataFrame:
-        return side.select(
-            "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-        ).select(
-            "doc_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.sig").alias("sig"),
-        )
-
+    banded = banded_signatures
     corpus = sig.filter(F.col("doc_id") < 2_000_000)
     bench = sig.filter(F.col("doc_id") >= 2_000_000)
     cand = (

@@ -170,6 +170,12 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(name)
             )
     o = spark.table(names["orders"]).filter(F.col("o_orderstatus") == "O")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     li = spark.table(names["lineitem"])
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
@@ -486,8 +492,11 @@ def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = f"{sf_tag}_{os.getpid()}"
     db_dir = tempfile.gettempdir() + f"/kas_cbo_{sf_tag}"
     spark.conf.set("spark.sql.legacy.createHiveTableByDefault", "false")
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    # CBO confs are scoped to THIS query's optimization only: set,
+    # eagerly pin the optimized plan, then restore (the
+    # join_bloom_runtime_filter save/restore discipline) — leaving
+    # cost-based reorder on session-wide would silently change every
+    # later query's plan in shared-session runs (r5 review finding).
     # o_orderdate is deliberately NOT analyzed: TIMESTAMP column stats
     # trip an INTERNAL_ERROR inside CostBasedJoinReorder on Spark
     # 4.1.2 (probed in this environment — the rule crashes during
@@ -512,6 +521,12 @@ def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"ANALYZE TABLE {name} COMPUTE STATISTICS "
                 f"FOR COLUMNS {stats_cols[tbl]}"
             )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     li = spark.table(names["lineitem"])
     o = spark.table(names["orders"]).filter(
         F.col("o_orderdate") < F.lit("1995-06-01 00:00:00").cast("timestamp")
@@ -519,18 +534,29 @@ def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.table(names["customer"]).filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+    try:
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue"),
+            )
+            .orderBy("c_nationkey")
         )
-        .orderBy("c_nationkey")
-    )
+        # Materialize the memoized optimization phases while CBO is on.
+        out._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
 
 
 @query(
@@ -583,7 +609,7 @@ def scan_rowgroup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-group statistics pruning — the IO tier BELOW partition
     pruning: the staged copy of events is SORTED by value and written
     with small parquet row groups, so each row group's min/max stats
-    cover a narrow value band and the pushed `value >= 900` predicate
+    cover a narrow value band and the pushed `value >= 150` predicate
     lets the reader skip whole row groups without decoding them (the
     threshold is ~p95 of value, so ~5% of rows qualify). The
     plan test executes the scan and asserts its output-row metric is a

@@ -27,6 +27,37 @@ def plan_of(spark, key: str, executed: bool = False) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def walk_plan(node):
+    """Yield every physical node, descending through AQE wrappers
+    (AdaptiveSparkPlan / *QueryStage / ReusedExchange). ONE copy for
+    every metric-reading test: the wrapper set changes across Spark
+    versions, and two divergent copies meant only one got fixed (r5
+    review finding)."""
+    yield node
+    for i in range(node.children().size()):
+        yield from walk_plan(node.children().apply(i))
+    nm = node.nodeName()
+    if nm == "AdaptiveSparkPlan":
+        yield from walk_plan(node.executedPlan())
+    elif "QueryStage" in nm:
+        yield from walk_plan(node.plan())
+    elif nm == "ReusedExchange":
+        yield from walk_plan(node.child())
+
+
+def scan_metric_values(executed_plan, metric: str) -> list:
+    """Values of ``metric`` across every scan node of an EXECUTED plan."""
+    vals = []
+    for n in walk_plan(executed_plan):
+        if "Scan" in n.nodeName():
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == metric:
+                    vals.append(kv._2().value())
+    return vals
+
+
 def test_filter_pushdown_reaches_scan(spark):
     plan = plan_of(spark, "agg_sum_group")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
@@ -326,26 +357,7 @@ def test_ivf_probe_reads_only_nprobe_partitions(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1) and "IN" in m.group(1).upper(), plan[:3000]
 
-    def walk(node):  # descend through AQE / query-stage wrappers
-        yield node
-        for i in range(node.children().size()):
-            yield from walk(node.children().apply(i))
-        nm = node.nodeName()
-        if nm == "AdaptiveSparkPlan":
-            yield from walk(node.executedPlan())
-        elif "QueryStage" in nm:
-            yield from walk(node.plan())
-        elif nm == "ReusedExchange":
-            yield from walk(node.child())
-
-    parts_read = []
-    for n in walk(ep):
-        if "Scan" in n.nodeName():
-            it = n.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                if kv._1() == "numPartitions":
-                    parts_read.append(kv._2().value())
+    parts_read = scan_metric_values(ep, "numPartitions")
     assert 4 in parts_read, (parts_read, plan[:3000])
 
 
@@ -612,7 +624,13 @@ def test_scalar_subqueries_decorrelate_to_joins(spark):
     after decorrelation the plan is straight-line joins."""
     plan = plan_of(spark, "sql_surface_scalar_subquery")
     assert len(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)) >= 3, plan[:4000]
-    assert "ScalarSubquery" not in plan, plan[:4000]
+    # Spark renders surviving subquery nodes as 'scalar-subquery#N' /
+    # 'Subquery:N' — match the substring case-insensitively (the r5
+    # review caught the original 'ScalarSubquery' spelling matching
+    # neither, i.e. a vacuous guard). A fully decorrelated plan
+    # contains no 'subquery' text at all (verified against an
+    # uncorrelated control query, whose plan does).
+    assert "subquery" not in plan.lower(), plan[:4000]
 
 
 def test_entropy_heavy_shuffle_is_distinct_combos_only(spark):
@@ -684,25 +702,5 @@ def test_rowgroup_stats_pruning_skips_data(spark):
     df = QUERIES["scan_rowgroup_prune"](spark, SF_TEST)
     df.collect()
     ep = df._jdf.queryExecution().executedPlan()
-
-    def walk(node):
-        yield node
-        for i in range(node.children().size()):
-            yield from walk(node.children().apply(i))
-        nm = node.nodeName()
-        if nm == "AdaptiveSparkPlan":
-            yield from walk(node.executedPlan())
-        elif "QueryStage" in nm:
-            yield from walk(node.plan())
-        elif nm == "ReusedExchange":
-            yield from walk(node.child())
-
-    scan_rows = []
-    for n in walk(ep):
-        if "Scan" in n.nodeName():
-            it = n.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                if kv._1() == "numOutputRows":
-                    scan_rows.append(kv._2().value())
+    scan_rows = scan_metric_values(ep, "numOutputRows")
     assert scan_rows and min(scan_rows) <= 2000, scan_rows
