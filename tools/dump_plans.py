@@ -156,6 +156,15 @@ SHOWCASE = {
         "ReusedExchange: top and bottom branches consume ONE "
         "aggregation — a single events scan feeds both"
     ),
+    "graph_triangle_count": (
+        "degree-oriented adjacency intersection: equi-joins on src/dst "
+        "with map-side array_intersect — no wedge-row materialization, "
+        "no cartesian anywhere"
+    ),
+    "contamination_minhash": (
+        "benchmark side broadcast into both the band join and the "
+        "exact-Jaccard verify; probe reads only the signature artifact"
+    ),
 }
 
 
