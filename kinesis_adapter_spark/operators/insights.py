@@ -1022,3 +1022,143 @@ def triangle_stats(e: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("global_clustering"),
         )
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY event_type, hour_idx
+    ), c AS (
+      SELECT event_type, hour_idx,
+             SUM(v - mu) OVER (PARTITION BY event_type ORDER BY hour_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cusum
+      FROM (SELECT *, AVG(v) OVER (PARTITION BY event_type) AS mu
+            FROM hourly)
+    ), ranked AS (
+      SELECT event_type, hour_idx, cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cusum) DESC, hour_idx) AS rn
+      FROM c
+    )
+    SELECT event_type, hour_idx AS change_hour,
+           ROUND(ABS(cusum), 6) AS cusum_max
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator per metric series: the hour where the
+    running sum of deviations-from-mean peaks in magnitude — the
+    classic single-changepoint estimate (a mean shift at hour k makes
+    |CUSUM| peak at k). Monitoring uses this to answer WHEN a drifting
+    metric broke, after ts_anomaly_zscore says THAT it did.
+
+    Same two-tier shape as ts_anomaly_zscore: hourly partial-agg
+    rollup (the only row-proportional pass), then mean / running-sum /
+    argmax windows over the rolled-up grid sharing one event_type
+    partitioning. Hourly means are rounded before CUSUM so both
+    engines accumulate identical values; the argmax tie-break is
+    earliest hour."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    mu = hourly.withColumn(
+        "mu", F.avg("v").over(Window.partitionBy("event_type"))
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = mu.withColumn("cusum", F.sum(F.col("v") - F.col("mu")).over(run))
+    rank = Window.partitionBy("event_type").orderBy(
+        F.abs("cusum").desc(), "hour_idx"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour_idx").alias("change_hour"),
+            F.round(F.abs("cusum"), 6).alias("cusum_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_autocorr_lag1",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY event_type, hour_idx
+    ), lagged AS (
+      SELECT event_type, v AS x,
+             LAG(v) OVER (PARTITION BY event_type ORDER BY hour_idx) AS y
+      FROM hourly
+    ), m AS (
+      SELECT event_type,
+             COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM lagged WHERE y IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS autocorr_lag1
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each metric's hourly series — the
+    is-this-series-noise-or-signal diagnostic (near 0: hourly means
+    are independent; positive: momentum/level shifts; negative:
+    oscillation). Monitoring uses it to pick forecast models and to
+    sanity-check that a 'trend' alarm isn't white noise.
+
+    Shape: hourly rollup (row-proportional partial agg), one lag
+    window over the rolled-up grid, then Pearson r from six power
+    sums expanded identically on both engines (the
+    agg_weighted_stats/agg_ttest_welch float-path discipline) — the
+    ordered pass never touches raw events."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    lw = Window.partitionBy("event_type").orderBy("hour_idx")
+    lagged = hourly.select(
+        "event_type",
+        F.col("v").alias("x"),
+        F.lag("v").over(lw).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("autocorr_lag1"),
+    ).orderBy("event_type")

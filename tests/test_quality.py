@@ -443,3 +443,32 @@ def test_ks_test_matches_reference(spark):
     assert abs(r["d_stat"] - d) < 1e-6, (r["d_stat"], d)
     lam = d * (len(a) * len(b) / (len(a) + len(b))) ** 0.5
     assert abs(r["ks_lambda"] - lam) < 1e-4
+
+
+def test_autocorr_matches_reference(spark):
+    """Recompute lag-1 Pearson r from the rounded hourly means in
+    plain Python; the power-sum expansion must agree to 1e-6, and
+    every r must be a valid correlation (|r| <= 1)."""
+    import duckdb
+    import statistics
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["ts_autocorr_lag1"](spark, SF_TEST).collect()
+    }
+    con = duckdb.connect()
+    hourly = con.execute(
+        "SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,"
+        " ROUND(AVG(value), 6) FROM read_parquet("
+        f"'{SF_TEST}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for t, _, v in hourly:
+        series.setdefault(t, []).append(v)
+    for t, vs in series.items():
+        x, y = vs[1:], vs[:-1]
+        r_ref = statistics.correlation(x, y)
+        r = rows[t]
+        assert r["n_pairs"] == len(x)
+        assert abs(r["autocorr_lag1"]) <= 1.0 + 1e-9
+        assert abs(r["autocorr_lag1"] - r_ref) < 1e-6, (t, r["autocorr_lag1"], r_ref)
