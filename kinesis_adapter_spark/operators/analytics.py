@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_adapter_spark.catalog import load
+from kinesis_adapter_spark.catalog import NS_PER_HOUR, load, ts_bucket
 from kinesis_adapter_spark.plans.registry import query
 
 def _revenue():
@@ -1023,4 +1023,131 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hot_rank",
         )
         .orderBy("hot_rank")
+    )
+
+
+@query(
+    "pareto_concentration",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev,
+             NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile,
+             SUM(rev) OVER () AS total
+      FROM per_cust
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(rev), 2) AS revenue,
+           ROUND(SUM(rev) / MAX(total), 6) AS rev_share,
+           ROUND(SUM(SUM(rev) / MAX(total))
+                 OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS cum_share
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/Lorenz) report: customers ranked
+    into spend deciles, each decile's revenue share and the cumulative
+    share — the 'do 20% of customers drive 80% of revenue' question
+    every BI deck asks, and the skew diagnosis for account-keyed
+    partitioning (a cum_share knee near decile 1 predicts hot keys).
+
+    Per-customer rollup is the only row-proportional pass; NTILE and
+    the Lorenz cumulative run over the rolled-up per-customer frame,
+    and the final cumulative window is over exactly 10 rows. NTILE
+    ties are broken by o_custkey so both engines bucket identically.
+    At 100 TB the per-customer tier is the reusable aggregate (same
+    tier skew_key_report reads); everything after it is negligible."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    ranked = per_cust.select(
+        "rev",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
+        .alias("decile"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    cum = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = F.sum("rev") / F.max("total")
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.round(share, 6).alias("rev_share"),
+            share.alias("_share"),
+        )
+        .select(
+            "decile",
+            "n_custs",
+            "revenue",
+            "rev_share",
+            F.round(F.sum("_share").over(cum), 6).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "win_drawdown_max",
+    """
+    WITH hourly AS (
+      SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_idx,
+             ROUND(SUM(value), 6) AS v
+      FROM events WHERE user_id < 20 GROUP BY user_id, hour_idx
+    ), equity AS (
+      SELECT user_id, hour_idx,
+             SUM(v) OVER (PARTITION BY user_id ORDER BY hour_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS bal
+      FROM hourly
+    ), dd AS (
+      SELECT user_id,
+             MAX(bal) OVER (PARTITION BY user_id ORDER BY hour_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - bal AS drawdown
+      FROM equity
+    )
+    SELECT user_id, ROUND(MAX(drawdown), 6) AS max_drawdown
+    FROM dd GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per entity: largest drop of a cumulative
+    series below its running peak — the risk metric for any
+    balance/score/quota series (how far did this account fall from
+    its best before recovering?). Three stacked windows (cumulative
+    sum, running max, final max) all share ONE user_id partitioning
+    and one sort — a single shuffle, the same discipline as
+    user_streak_days. Hourly sums are rounded before accumulation so
+    both engines stack identical values."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = (
+        ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
+        .groupBy("user_id", "hour_idx")
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    equity = hourly.withColumn("bal", F.sum("v").over(run))
+    dd = equity.withColumn(
+        "drawdown", F.max("bal").over(run) - F.col("bal")
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(F.round(F.max("drawdown"), 6).alias("max_drawdown"))
+        .orderBy("user_id")
     )

@@ -704,3 +704,22 @@ def test_rowgroup_stats_pruning_skips_data(spark):
     ep = df._jdf.queryExecution().executedPlan()
     scan_rows = scan_metric_values(ep, "numOutputRows")
     assert scan_rows and min(scan_rows) <= 2000, scan_rows
+
+
+def test_drawdown_single_user_partitioning(spark):
+    """Cumulative-sum, running-max, and final-max windows must all
+    share the user_id partitioning — one key exchange (plus the hourly
+    rollup's (user_id, hour) exchange), nothing keyed off-entity."""
+    plan = plan_of(spark, "win_drawdown_max")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith("user_id") for k in keys), keys
+
+
+def test_pareto_heavy_pass_is_per_customer_rollup(spark):
+    """The per-customer revenue rollup is the only row-proportional
+    aggregation (partial+final around one o_custkey exchange); NTILE
+    and the Lorenz cumulative run over the rolled-up frame
+    (SinglePartition exchanges of bounded rows)."""
+    plan = plan_of(spark, "pareto_concentration")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
