@@ -1162,3 +1162,93 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("autocorr_lag1"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_runs_test",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY event_type, hour_idx
+    ), signed AS (
+      SELECT event_type, hour_idx,
+             CASE WHEN v > AVG(v) OVER (PARTITION BY event_type)
+                  THEN 1 ELSE 0 END AS s
+      FROM hourly
+    ), flips AS (
+      SELECT event_type, s,
+             CASE WHEN s != LAG(s) OVER (PARTITION BY event_type
+                                         ORDER BY hour_idx)
+                  THEN 1 ELSE 0 END AS flip
+      FROM signed
+    ), m AS (
+      SELECT event_type,
+             COUNT(*) * 1.0 AS n,
+             SUM(s) * 1.0 AS n1,
+             COUNT(*) * 1.0 - SUM(s) AS n2,
+             1 + SUM(flip) AS runs
+      FROM flips GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           ROUND((runs - (1 + 2 * n1 * n2 / n))
+                 / SQRT(2 * n1 * n2 * (2 * n1 * n2 - n)
+                        / (n * n * (n - 1))), 6) AS z_stat
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per metric series: are the
+    above-/below-mean signs randomly ordered, or does the series
+    cluster (too few runs → regime shifts / level drift; too many →
+    oscillation)? The third leg of the series-diagnostics family —
+    ts_autocorr_lag1 measures linear dependence, CUSUM locates the
+    break, the runs test is the distribution-free randomness check.
+
+    Same rolled-up-grid discipline: hourly partial agg, then mean /
+    lag / count windows all sharing the event_type partitioning; the
+    normal-approximation z uses the exact run-count moments. Hourly
+    means are rounded before the sign so both engines flip at the
+    same hours."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("hour_idx")
+    signed = hourly.select(
+        "event_type",
+        "hour_idx",
+        F.when(F.col("v") > F.avg("v").over(wp), 1).otherwise(0).alias("s"),
+    )
+    flips = signed.select(
+        "event_type",
+        "s",
+        F.when(F.col("s") != F.lag("s").over(wo), 1).otherwise(0).alias(
+            "flip"
+        ),
+    )
+    m = flips.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("s").cast("double").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("double").alias("n2"),
+        (1 + F.sum("flip")).cast("double").alias("runs"),
+    )
+    n, n1, n2, runs = (F.col(c) for c in ("n", "n1", "n2", "runs"))
+    mean_r = 1 + 2 * n1 * n2 / n
+    var_r = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_hours"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        runs.cast("bigint").alias("n_runs"),
+        F.round((runs - mean_r) / F.sqrt(var_r), 6).alias("z_stat"),
+    ).orderBy("event_type")

@@ -508,3 +508,38 @@ def test_benford_shares_form_distribution(spark):
     assert abs(sum(r["obs_share"] for r in rows) - 1) < 1e-4
     assert abs(sum(r["benford_share"] for r in rows) - 1) < 1e-4
     assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_runs_test_matches_reference(spark):
+    """Recompute run counts and the z statistic from the rounded
+    hourly means in plain Python; exact integers must match and z
+    must agree to 1e-6."""
+    import duckdb
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["agg_runs_test"](spark, SF_TEST).collect()
+    }
+    con = duckdb.connect()
+    hourly = con.execute(
+        "SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,"
+        " ROUND(AVG(value), 6) FROM read_parquet("
+        f"'{SF_TEST}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for t, _, v in hourly:
+        series.setdefault(t, []).append(v)
+    for t, vs in series.items():
+        mu = sum(vs) / len(vs)
+        s = [1 if v > mu else 0 for v in vs]
+        runs = 1 + sum(a != b for a, b in zip(s, s[1:]))
+        n, n1 = len(s), sum(s)
+        n2 = n - n1
+        mean_r = 1 + 2 * n1 * n2 / n
+        var_r = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        z = (runs - mean_r) / var_r**0.5
+        r = rows[t]
+        assert (r["n_hours"], r["n_above"], r["n_below"], r["n_runs"]) == (
+            n, n1, n2, runs,
+        ), t
+        assert abs(r["z_stat"] - z) < 1e-6, (t, r["z_stat"], z)
