@@ -1314,3 +1314,112 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_id", "bench_id")
     )
+
+
+@query(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(str_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tok2 AS (
+      SELECT lang, token FROM tok WHERE token <> ''
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 200
+      )
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE token NOT IN
+                                 (SELECT token FROM vocab)) AS BIGINT)
+             AS n_oov,
+           ROUND(COUNT(*) FILTER (WHERE token NOT IN
+                                  (SELECT token FROM vocab)) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM tok2
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus's own
+    top-200 vocabulary — the tokenizer-coverage report that decides
+    whether a vocab size starves low-resource languages (exactly the
+    number a mixture planner reads next to mixture_epoch_plan's
+    weights).
+
+    Two-tier: token counts build the top-K vocab (one token-scale
+    shuffle, shared shape with vocab_topk), then the token stream
+    joins against the BROADCAST vocab (bounded at K rows by
+    construction) with a left anti-ish membership flag — at 100 TB
+    the vocab stays a broadcast regardless of corpus size, so the
+    second pass is map-side. Tie-break on (count desc, token) keeps
+    the vocab identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(200)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            F.round(F.sum(oov) / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "feature_hashing_trick",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+      FROM documents WHERE doc_id < 40
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64
+               AS bucket
+      FROM tok WHERE token <> ''
+    )
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM h GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens → fixed 64-bucket feature space via a
+    stable content hash — the no-vocabulary featurizer for linear
+    models and sketch-based similarity at corpus scale (no vocab
+    build pass, no driver-side dictionary, new tokens land
+    deterministically). md5-prefix bucketing keeps the hash identical
+    across engines (xxhash64 is Spark lore); one map-side explode +
+    hash, one (doc, bucket) partial-aggregated shuffle bounded by
+    64·docs rows. Sampled to doc_id < 40 to keep the oracle frame
+    reviewable; the plan is row-linear at any corpus size."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "bucket")
+    )
