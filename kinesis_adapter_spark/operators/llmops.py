@@ -1423,3 +1423,84 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("doc_id", "bucket")
     )
+
+
+@query(
+    "vocab_zipf_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) * 1.0 AS cnt
+      FROM tok WHERE token <> '' GROUP BY token
+    ), ranked AS (
+      SELECT ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)) AS x,
+             ln(cnt) AS y
+      FROM counts
+      ORDER BY cnt DESC, token LIMIT 200
+    ), m AS (
+      SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-200 vocabulary: slope of
+    ln(freq) on ln(rank) with r² — natural language sits near slope −1
+    with high r²; templated/synthetic/boilerplate corpora deviate, so
+    this is the one-number corpus-naturalness check next to the
+    entropy and repetition screens (and it honestly reports that this
+    synthetic vocabulary is NOT Zipfian).
+
+    One token-scale count shuffle (the same tier vocab_topk /
+    vocab_oov_rate build), a rank window over the 200-row head, then
+    the least-squares moments expanded identically on both engines
+    (the agg_linear_trend discipline)."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    ranked = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(200)
+        .select(
+            F.log(
+                F.row_number().over(
+                    Window.orderBy(F.col("cnt").desc(), "token")
+                ).cast("double")
+            ).alias("x"),
+            F.log("cnt").alias("y"),
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
