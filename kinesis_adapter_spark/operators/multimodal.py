@@ -2,8 +2,13 @@
 video as opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample over Arrow-batched Pandas UDFs).
 
-No media libraries exist in this container, so the DECODE step is a
-deterministic stub (``_fake_decode``) clearly marked as such — the
+No media libraries exist in this container, so IMAGE payloads are
+staged as **real binary P6 PPM rasters** (the uncompressed
+netpbm format: ``P6\\n<w> <h>\\n255\\n`` + interleaved RGB bytes) that
+``mm_resize`` genuinely decodes — header parse, pixel reshape, 2×2
+box-filter downsample — in numpy inside mapInPandas. Audio/video
+payloads stay deterministic pseudo-bytes (no codec exists to decode
+them honestly); their decode hooks are exercised shape-only. The
 Spark-side plumbing (binary schema, Arrow transport into mapInPandas,
 batch shapes, partition behavior, typed-metadata pruning) is real and
 oracled:
@@ -41,10 +46,48 @@ MEDIA_TYPES = ("image", "audio", "video")
 
 
 def _payload(doc_id: int, n_chars: int) -> bytes:
-    """Deterministic pseudo-media bytes for one document."""
+    """Deterministic pseudo-media bytes for one document (audio/video
+    modalities — no codec in this container to decode them honestly)."""
     seed = hashlib.sha256(f"media-{doc_id}".encode()).digest()
     length = 256 + (n_chars % 1024)
     return (seed * (length // len(seed) + 1))[:length]
+
+
+def _ppm_header(w: int, h: int) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h)
+
+
+def _image_payload(media_id: int, w: int, h: int) -> bytes:
+    """Real P6 PPM raster: pixel (y, x, c) = (media_id + 31y + 7x
+    + 11c) mod 256 — deterministic, codec-free, and rich enough that a
+    resize bug anywhere (header parse, stride, channel order, pooling)
+    changes the output checksum."""
+    import numpy as np
+
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    pix = ((media_id + 31 * y + 7 * x + 11 * c) % 256).astype(np.uint8)
+    return _ppm_header(w, h) + pix.tobytes()
+
+
+def _gt_resized_ppm(ppm: bytes) -> bytes:
+    """Fixture-build ground-truth resize: decode the P6 payload and
+    2×2-box-downsample (mean of each 2×2 block, floor division; odd
+    edge rows/cols cropped). Implemented with STRIDED SLICES — the
+    Spark-side decoder uses a reshape/sum decomposition instead, so the
+    two paths share only the math, not the code, and a bug in either
+    shows up as an oracle checksum mismatch (plus the hand-computed
+    vector in tests/test_multimodal.py anchors the math itself)."""
+    import numpy as np
+
+    hdr_end = ppm.index(b"255\n") + 4
+    w, h = (int(t) for t in ppm[3 : ppm.index(b"\n", 3)].split())
+    pix = np.frombuffer(ppm[hdr_end:], dtype=np.uint8).reshape(h, w, 3)
+    h2, w2 = h // 2, w // 2
+    p = pix[: 2 * h2, : 2 * w2].astype(np.uint16)
+    out = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) // 4
+    return _ppm_header(w2, h2) + out.astype(np.uint8).tobytes()
 
 
 def ensure_media_parquet(sf_dir: str) -> Path:
@@ -72,16 +115,37 @@ def ensure_media_parquet(sf_dir: str) -> Path:
         "gt_n_bytes": [],
         "gt_byte_mean": [],
         "gt_sha256_16": [],
+        # resize ground truth (image rows only; plain-numpy strided-
+        # slice path at build time — mm_resize recomputes from the raw
+        # payload via an independent reshape/sum decomposition)
+        "gt_rs_width": [],
+        "gt_rs_height": [],
+        "gt_rs_n_bytes": [],
+        "gt_rs_sha16": [],
     }
     for doc_id, n_chars in zip(docs["doc_id"], docs["n_chars"]):
         doc_id, n_chars = int(doc_id), int(n_chars)
         mt = MEDIA_TYPES[doc_id % 3]
-        p = _payload(doc_id, n_chars)
+        w = 64 + doc_id % 64 if mt == "image" else None
+        h = 48 + doc_id % 48 if mt == "image" else None
+        if mt == "image":
+            p = _image_payload(doc_id, w, h)
+            rs = _gt_resized_ppm(p)
+            rows["gt_rs_width"].append(w // 2)
+            rows["gt_rs_height"].append(h // 2)
+            rows["gt_rs_n_bytes"].append(len(rs))
+            rows["gt_rs_sha16"].append(hashlib.sha256(rs).hexdigest()[:16])
+        else:
+            p = _payload(doc_id, n_chars)
+            rows["gt_rs_width"].append(None)
+            rows["gt_rs_height"].append(None)
+            rows["gt_rs_n_bytes"].append(None)
+            rows["gt_rs_sha16"].append(None)
         rows["media_id"].append(doc_id)
         rows["media_type"].append(mt)
         rows["payload"].append(p)
-        rows["width"].append(64 + doc_id % 64 if mt == "image" else None)
-        rows["height"].append(48 + doc_id % 48 if mt == "image" else None)
+        rows["width"].append(w)
+        rows["height"].append(h)
         rows["sample_rate"].append(8000 if mt == "audio" else None)
         rows["n_frames"].append(24 + doc_id % 96 if mt == "video" else None)
         rows["fps"].append(12 if mt == "video" else None)
@@ -101,6 +165,10 @@ def ensure_media_parquet(sf_dir: str) -> Path:
             ("gt_n_bytes", pa.int64()),
             ("gt_byte_mean", pa.float64()),
             ("gt_sha256_16", pa.string()),
+            ("gt_rs_width", pa.int32()),
+            ("gt_rs_height", pa.int32()),
+            ("gt_rs_n_bytes", pa.int64()),
+            ("gt_rs_sha16", pa.string()),
         ]
     )
     tmp = out.with_suffix(".tmp")
@@ -261,34 +329,79 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_resize_stub")  # T3: stubbed decoder — shape/determinism in pytest
-def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image 'resize' with the decode step STUBBED: a real deployment
-    replaces ``_fake_decode`` with PIL/libvips inside the same
-    mapInPandas signature. The fake path is deterministic (keep every
-    2nd byte; halve dims) so the plumbing — binary in, binary out,
-    metadata transform, Arrow batching — is fully testable."""
+@query(
+    "mm_resize",
+    f"""
+    SELECT media_id,
+           gt_rs_n_bytes AS n_bytes,
+           gt_rs_width AS width,
+           gt_rs_height AS height,
+           gt_rs_sha16 AS sha256_16
+    FROM read_parquet('{_MEDIA_ORACLE_PATH}')
+    WHERE media_type = 'image'
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over mapInPandas (replaced r5's
+    ``mm_resize_stub`` — no simulated semantics left): each image
+    payload is a genuine P6 PPM raster; the worker parses the header
+    FROM THE BYTES (never trusting the metadata columns), reshapes the
+    RGB buffer, 2×2-box-downsamples it (mean per block, floor
+    division, odd edges cropped — bilinear at exactly 0.5 scale), and
+    re-encodes P6. The emitted dims + sha256 of the resized bytes
+    hash-match ground truth the fixture builder computed with an
+    independent strided-slice implementation, so the oracle proves the
+    whole decode→resample→encode path bit-exact through Arrow.
+
+    At 100 TB this is the canonical multimodal transform shape: the
+    modality filter prunes the media_type partition, the scan reads
+    only (media_id, payload), and decode cost scales per Arrow batch
+    across however many tasks ``maxPartitionBytes`` yields — no
+    shuffle anywhere in the plan."""
+    import numpy as np
     import pandas as pd
 
-    def _fake_decode(payload: bytes) -> bytes:
-        # STUB: stands in for image decode+resample. Deterministic.
-        return payload[::2]
+    def _resize_one(b: bytes) -> bytes:
+        if b[:3] != b"P6\n":
+            raise ValueError("payload is not a P6 PPM raster")
+        hdr_end = b.index(b"255\n") + 4
+        w, h = (int(t) for t in b[3 : b.index(b"\n", 3)].split())
+        pix = np.frombuffer(b, dtype=np.uint8, offset=hdr_end).reshape(h, w, 3)
+        h2, w2 = h // 2, w // 2
+        blocks = (
+            pix[: 2 * h2, : 2 * w2]
+            .astype(np.uint16)
+            .reshape(h2, 2, w2, 2, 3)
+        )
+        out = (blocks.sum(axis=(1, 3)) // 4).astype(np.uint8)
+        return _ppm_header(w2, h2) + out.tobytes()
 
     def resize(batches):
         for pdf in batches:
-            out = pd.DataFrame(
+            resized = pdf["payload"].map(_resize_one)
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"].map(_fake_decode),
-                    "width": (pdf["width"] // 2).astype("int32"),
-                    "height": (pdf["height"] // 2).astype("int32"),
+                    "n_bytes": resized.map(len).astype("int64"),
+                    "width": resized.map(
+                        lambda r: int(r[3 : r.index(b"\n", 3)].split()[0])
+                    ).astype("int32"),
+                    "height": resized.map(
+                        lambda r: int(r[3 : r.index(b"\n", 3)].split()[1])
+                    ).astype("int32"),
+                    "sha256_16": resized.map(
+                        lambda r: hashlib.sha256(r).hexdigest()[:16]
+                    ),
                 }
             )
-            yield out
 
     return (
         _media(spark, sf_dir)
         .filter(F.col("media_type") == "image")
-        .mapInPandas(resize, "media_id bigint, payload binary, width int, height int")
-        .select("media_id", F.length("payload").alias("n_bytes"), "width", "height")
+        .select("media_id", "payload")
+        .mapInPandas(
+            resize,
+            "media_id bigint, n_bytes bigint, width int, height int, "
+            "sha256_16 string",
+        )
     )

@@ -170,12 +170,6 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(name)
             )
     o = spark.table(names["orders"]).filter(F.col("o_orderstatus") == "O")
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
-    }
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     li = spark.table(names["lineitem"])
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
@@ -527,14 +521,18 @@ def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    li = spark.table(names["lineitem"])
-    o = spark.table(names["orders"]).filter(
-        F.col("o_orderdate") < F.lit("1995-06-01 00:00:00").cast("timestamp")
-    )
-    c = spark.table(names["customer"]).filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
+    # Everything after the conf.set calls sits inside the try so ANY
+    # failure (even building the DataFrames) restores the session confs
+    # — leaking CBO on is exactly the order-dependent plan-drift bug
+    # the r5 advice flagged.
     try:
+        li = spark.table(names["lineitem"])
+        o = spark.table(names["orders"]).filter(
+            F.col("o_orderdate") < F.lit("1995-06-01 00:00:00").cast("timestamp")
+        )
+        c = spark.table(names["customer"]).filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
         out = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)

@@ -30,7 +30,10 @@ from kinesis_adapter_spark.sources import aws
 # new directory would silently serve stale data to later runs.
 # v2: fixtures changed events.ts to timestamp[us] — ts_ns derivation
 # fixed accordingly; v1 dirs may hold data staged from ns-era files.
-DERIVED_VERSION = "v2"
+# v3: media.parquet image payloads became real P6 PPM rasters with
+# resize ground-truth columns (mm_resize replaced mm_resize_stub);
+# v2 dirs hold the old pseudo-byte image payloads.
+DERIVED_VERSION = "v3"
 DERIVED_ROOT = Path("/tmp/kas_derived") / DERIVED_VERSION
 
 

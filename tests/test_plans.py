@@ -682,6 +682,28 @@ def test_cbo_stats_reach_optimizer(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
 
 
+def test_cbo_confs_do_not_leak(spark):
+    """r5 advice (high): join_bucket_colocated used to enable CBO and
+    never restore it, so every query planned AFTERWARDS in the shared
+    session picked up CostBasedJoinReorder (order-dependent plan drift
+    + the Spark 4.1.2 timestamp-stats crash). Pin: after building (and
+    materializing the optimized plan of) both CBO-adjacent keys, the
+    session confs are back to their defaults."""
+    before = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    for key in ("join_bucket_colocated", "join_cbo_reorder"):
+        df = QUERIES[key](spark, SF_TEST)
+        df._jdf.queryExecution().optimizedPlan()
+    after = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    assert after == before, (before, after)
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+
+
 def test_reuse_exchange_single_scan(spark):
     """Both branches (top and bottom event type) must consume ONE
     aggregation: the executed plan contains a ReusedExchange and

@@ -290,6 +290,79 @@ def test_ann_range_threshold_off_rounding_boundary(spark):
     )
 
 
+def test_contamination_lsh_recall_complete_on_fixture(spark):
+    """ADVICE r5: contamination_minhash's oracle equality rests on LSH
+    recall being ~1 for every true pair; at exactly j=0.6 a 16-band ×
+    2-row family misses with p ≈ 8e-4, so a regenerated fixture with a
+    borderline pair could diverge from the oracle with no code change.
+
+    Rather than a probability argument, verify recall DIRECTLY (the
+    advice's alternative): the banded candidate set must be a superset
+    of the brute-force true-pair set on the current fixture. If
+    regenerated fixtures ever produce a pair the band family misses,
+    THIS test fails with the pair named instead of surfacing as an
+    opaque driver hash mismatch. False positives can't occur (every
+    candidate is verified with exact Jaccard before emission), so
+    superset-recall here + the exact filter = oracle equality.
+
+    Also documents the current margin: min true-pair Jaccard is ~0.70
+    (miss p ≈ 0.51¹⁶ ≈ 2e-5/pair) — comfortably recallable but worth
+    tracking, hence the ≥ 0.65 floor."""
+    from kinesis_adapter_spark.operators.llmops import (
+        CAPPED_SHINGLE_CTES,
+        MUTATED_SQL,
+        banded_signatures,
+        minhash_signature_table,
+    )
+    from tests.oracle import duck_connect
+
+    con = duck_connect(SF_TEST)
+    try:
+        true_rows = con.execute(
+            f"""
+            WITH docs AS ({MUTATED_SQL}),
+            {CAPPED_SHINGLE_CTES},
+            inter AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS c
+              FROM shing a JOIN shing b ON a.s = b.s
+              WHERE a.doc_id < 2000000 AND b.doc_id >= 2000000
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.doc_id, i.bench_id,
+                   CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS j
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_id
+            JOIN sizes sb ON sb.doc_id = i.bench_id
+            WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.6
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    assert true_rows, "fixture no longer produces any true contamination pair"
+    min_true_j = min(r[2] for r in true_rows)
+    assert min_true_j >= 0.65, (
+        f"a true pair sits at Jaccard {min_true_j} — too close to the "
+        "0.6 LSH recall cliff; raise the band count or fix the fixture"
+    )
+
+    sig = spark.read.parquet(minhash_signature_table(spark, SF_TEST))
+    cand = (
+        banded_signatures(sig.filter(F.col("doc_id") < 2_000_000))
+        .join(
+            banded_signatures(sig.filter(F.col("doc_id") >= 2_000_000)).select(
+                F.col("doc_id").alias("bench_id"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .select("doc_id", "bench_id")
+        .distinct()
+        .collect()
+    )
+    cand_set = {(r.doc_id, r.bench_id) for r in cand}
+    missed = [(a, b, j) for a, b, j in true_rows if (a, b) not in cand_set]
+    assert not missed, f"LSH missed true pairs: {missed}"
+
+
 def test_quantile_gate_keeps_singleton_language(spark):
     """r5 review: percent_rank of a 1-row partition is 0, which would
     silently delete any language with a single document — the exact
