@@ -69,6 +69,13 @@ EXTRAS = {
     # late-r5: benchmark decontamination probe over the shared minhash
     # signature artifact (broadcast benchmark side)
     "contamination_lsh": "contamination_minhash",
+    # round-6 additions (VERDICT r5 item #2): the repo's two most
+    # expensive operators, previously only in the scale smoke — without
+    # a bench anchor a regression in them was invisible to
+    # ratio_vs_anchor. Their r6 idle medians are the anchors
+    # (BASELINE.md), same adoption rule as r2/r4/r5.
+    "triangle_count": "graph_triangle_count",
+    "fuzzy_names": "fuzzy_match_names",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -107,6 +114,10 @@ ANCHORS = {
     "quality_gate": 0.6154,
     "streak_days": 0.5959,
     "contamination_lsh": 1.04,
+    # round-6 additions, anchored at their r6 idle medians (mean of two
+    # idle runs' medians-of-5, BASELINE.md "Round-6 anchor adoption")
+    "triangle_count": 4.035,
+    "fuzzy_names": 3.875,
 }
 
 
