@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.plans.registry import query
 from kinesis_adapter_spark.sources import aws
-from kinesis_adapter_spark.sources.scans import EVENTS_JSON_SCHEMA, ensure_events_ndjson
+from kinesis_adapter_spark.sources.scans import (
+    EVENTS_JSON_SCHEMA,
+    derived_dir,
+    ensure_events_ndjson,
+    fresh_staging,
+)
 from kinesis_adapter_spark.streaming.kinesis_sink import KinesisForeachBatchSink
 
 
@@ -323,6 +328,126 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "click_id")
     name, _ = _run_to_memory(joined, "append")
     return spark.table(name)
+
+
+def _events_ndjson_with_flush(sf_dir: str) -> Path:
+    """events NDJSON plus two far-future sentinel rows (negative
+    event_id, user_id 0, ts 2031-01-01; one per join side): they PASS
+    the join-side filters — deliberately, because Catalyst pushes
+    non-event-time filters BELOW the EventTimeWatermark node, so a
+    sentinel that a filter drops never advances the watermark (probed:
+    a 'flush' event_type left the final hour of unmatched purchases
+    stuck in state) — advance both sides' watermarks past every real
+    event, and are removed from the OUTPUT by their negative id. With
+    state fully drained, the streaming result equals the batch LEFT
+    JOIN twin. Production equivalent: per-partition heartbeat records
+    draining outer-join/window state on quiet streams."""
+    import shutil
+
+    src = ensure_events_ndjson(sf_dir)
+    # dir name carries the sentinel-format version: fresh_staging keys
+    # on the SOURCE fingerprint only, so a sentinel-format change at
+    # the same source must change the directory to avoid serving the
+    # old staged layout (the stale-staging drift class, ADVICE r4)
+    out = derived_dir(sf_dir) / "events_ndjson_flush_s2"
+    staging = fresh_staging(out, Path(sf_dir) / "events.parquet")
+    if staging is not None:
+        done, fp = staging
+        for f in sorted(src.glob("events-*.json")):
+            shutil.copy(f, out / f.name)
+        flush_ns = 1_925_078_400_000_000_000  # 2031-01-01T00:00:00 UTC
+        lines = [
+            json.dumps(
+                {
+                    "event_id": eid,
+                    "ts_iso": "2031-01-01T00:00:00.000000",
+                    "ts_ns": flush_ns,
+                    "user_id": 0,
+                    "event_type": et,
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+            for eid, et in ((-1, "purchase"), (-2, "click"))
+        ]
+        (out / "events-99991231-flush.json").write_text(
+            "\n".join(lines) + "\n"
+        )
+        done.write_text(fp)
+    return out
+
+
+@query(
+    "stream_stream_join_outer",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'purchase' AND user_id < 30),
+         c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'click' AND user_id < 30)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND p.t >= c.t AND p.t - c.t <= 600000000000
+    """,
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (VERDICT r5 item #3): purchases
+    enriched with clicks by the same user within the preceding 10
+    minutes; purchases with NO qualifying click are emitted null-padded
+    once the watermark closes their join window — the enrichment shape
+    streaming users reach for right after the inner form.
+
+    Differences from ``stream_stream_join`` that make the outer
+    semantics exact:
+    - the staged stream carries one far-future flush sentinel PER JOIN
+      SIDE (negative event_id, dropped from the output post-join);
+      they advance both watermarks past every real event and drain ALL
+      unmatched state — without them, unmatched purchases inside the
+      final watermark delay would stay in state forever and the result
+      would depend on fixture time ranges;
+    - state for a purchase at time t expires when the click watermark
+      passes t (Spark derives the eviction bound from the range
+      condition), so at 100 TB state size is bounded by the 10-minute
+      window × per-user arrival rate, not by stream length."""
+    src = str(_events_ndjson_with_flush(sf_dir))
+
+    def _side(event_type: str):
+        return (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 10)
+            .json(src)
+            .withWatermark("ts_iso", "1 hour")
+            .filter(
+                (F.col("event_type") == event_type) & (F.col("user_id") < 30)
+            )
+        )
+
+    purchases = _side("purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_iso").alias("p_ts"),
+    )
+    clicks = _side("click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_iso").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+    name, _ = _run_to_memory(joined, "append")
+    # Drop the flush sentinels (negative ids) on the BATCH side, after
+    # materialization: filtering inside the streaming plan does not
+    # work — Catalyst pushes the non-event-time predicate below the
+    # left side's EventTimeWatermark node, which deletes the sentinel
+    # before it can advance the watermark and re-strands the final
+    # hour's unmatched purchases in state (probed; same pushdown that
+    # rules out an event_type-based sentinel).
+    return spark.table(name).filter(F.col("purchase_id") >= 0)
 
 
 @query(

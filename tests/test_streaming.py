@@ -276,3 +276,91 @@ def test_histogram_tier_replay_dedup(spark, tmp_path):
         .collect()
     }
     assert merged == {("click", 0): 5, ("click", 1): 3, ("view", 0): 2}, merged
+
+
+def test_outer_join_emits_unmatched_and_no_dup_on_resume(spark, tmp_path):
+    """VERDICT r5 item #3's integration gate for
+    stream_stream_join_outer's topology: two availableNow runs against
+    ONE checkpoint must (run 1) emit a matched pair AND a null-padded
+    unmatched purchase once the watermark closes its window, then
+    (run 2, after staging LATE files) neither retract nor duplicate the
+    already-emitted rows — a late matching click lands beyond the
+    watermark and is dropped — while a new purchase staged in run 2
+    still flows through and emits unmatched."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id BIGINT, ts_iso TIMESTAMP, user_id BIGINT, event_type STRING"
+
+    def ev(eid, iso, uid, et):
+        return {"event_id": eid, "ts_iso": iso, "user_id": uid, "event_type": et}
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .withWatermark("ts_iso", "10 minutes")
+        )
+        p = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_iso").alias("p_ts"),
+        )
+        c = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_iso").alias("c_ts"),
+        )
+        q = (
+            p.join(
+                c,
+                (F.col("p_user") == F.col("c_user"))
+                & (F.col("p_ts") >= F.col("c_ts"))
+                & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+                "leftOuter",
+            )
+            .select("purchase_id", "click_id")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: matched pair (1,100), unmatched purchase 2, then a flush
+    # pair far enough ahead to close both join windows
+    _write_ndjson(src / "a.json", [
+        ev(100, "2024-01-01T00:00:00", 1, "click"),
+        ev(1, "2024-01-01T00:05:00", 1, "purchase"),
+        ev(2, "2024-01-01T00:06:00", 2, "purchase"),  # no matching click
+    ])
+    _write_ndjson(src / "b_flush.json", [
+        ev(-1, "2024-01-01T02:00:00", 99, "purchase"),
+        ev(-2, "2024-01-01T02:00:00", 99, "click"),
+    ])
+    run_once()
+    got1 = {(r.purchase_id, r.click_id)
+            for r in spark.read.parquet(out).filter("purchase_id >= 0").collect()}
+    assert got1 == {(1, 100), (2, None)}, got1
+
+    # run 2 (resume): a LATE click that WOULD match purchase 2 but sits
+    # far behind the watermark (02:00 - 10min), plus a fresh unmatched
+    # purchase and a further flush
+    _write_ndjson(src / "c_late.json", [
+        ev(200, "2024-01-01T00:05:30", 2, "click"),      # late -> dropped
+        ev(3, "2024-01-01T02:01:00", 3, "purchase"),     # new, unmatched
+    ])
+    _write_ndjson(src / "d_flush.json", [
+        ev(-3, "2024-01-01T04:00:00", 99, "purchase"),
+        ev(-4, "2024-01-01T04:00:00", 99, "click"),
+    ])
+    run_once()
+    rows2 = [(r.purchase_id, r.click_id)
+             for r in spark.read.parquet(out).filter("purchase_id >= 0").collect()]
+    assert sorted(rows2) == [(1, 100), (2, None), (3, None)], rows2
+    # exactly-once: no duplicate emission of run-1 rows after resume,
+    # and the late click neither created (2, 200) nor retracted (2, None)
+    assert len(rows2) == len(set(rows2))
