@@ -447,6 +447,48 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deletion_variants(c: DataFrame) -> DataFrame:
+    """(id, v) deletion-neighborhood blocking table for a roster of
+    (id, name): each name emits itself plus every single-character
+    deletion, ``array_distinct``-collapsed per name BEFORE the explode
+    — a repeated-character run (the zeros in Customer#000000016)
+    yields one variant, not one per deleted position, which is the
+    invariant that keeps bucket df (and therefore candidate pairs)
+    from going quadratic in run length. Pinned adversarially in
+    tests/test_quality.py."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("name")),
+        lambda i: F.concat(
+            F.col("name").substr(F.lit(1), i - 1),
+            F.col("name").substr(i + 1, F.length("name")),
+        ),
+    )
+    return c.select(
+        "id",
+        F.explode(
+            F.array_distinct(F.array_prepend(dels, F.col("name")))
+        ).alias("v"),
+    )
+
+
+def variant_candidate_pairs(variants: DataFrame) -> DataFrame:
+    """Distinct candidate id-pairs from the variant equi-self-join.
+    Carries ONLY (id_a, id_b) through the hot bucket shuffle and
+    dedupes before any name bytes or levenshtein work: two names
+    sharing k variants must still produce exactly one candidate row,
+    so downstream verify cost is |distinct pairs|, never inflated by
+    per-bucket multiplicity. Pinned adversarially in
+    tests/test_quality.py."""
+    a = variants.select(F.col("id").alias("id_a"), "v")
+    b = variants.select(F.col("id").alias("id_b"), "v")
+    return (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 @query(
     "fuzzy_match_names",
     """
@@ -495,27 +537,7 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length("name")),
-        lambda i: F.concat(
-            F.col("name").substr(F.lit(1), i - 1),
-            F.col("name").substr(i + 1, F.length("name")),
-        ),
-    )
-    variants = c.select(
-        "id",
-        F.explode(
-            F.array_distinct(F.array_prepend(dels, F.col("name")))
-        ).alias("v"),
-    )
-    a = variants.select(F.col("id").alias("id_a"), "v")
-    b = variants.select(F.col("id").alias("id_b"), "v")
-    pairs = (
-        a.join(b, "v")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = variant_candidate_pairs(deletion_variants(c))
     na = c.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
     nb = c.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
     return (

@@ -1134,6 +1134,23 @@ def stream_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_partials(batch_df: DataFrame, batch_id: int) -> DataFrame:
+    """One micro-batch → per-(event_type, bin) partial counts tagged
+    with the batch id. The single source of truth for the histogram
+    tier's write side — stream_histogram_rollup's foreachBatch and the
+    kill/resume integration test both call this, so the binning can't
+    fork between pipeline and test."""
+    return (
+        batch_df.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+
+
 @query(
     "stream_histogram_rollup",
     """
@@ -1193,17 +1210,7 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = tempfile.mkdtemp(prefix="kas_histroll_") + "/hist"
 
     def hist_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.filter(F.col("value").isNotNull())
-            .groupBy(
-                "event_type",
-                F.floor(F.col("value") / 25).cast("long").alias("bin"),
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(sink)
-        )
+        _hist_partials(batch_df, batch_id).write.mode("append").parquet(sink)
 
     q = (
         _events_stream(spark, sf_dir, max_files=4)
