@@ -1504,3 +1504,78 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "text_dup_kgram_fraction",
+    f"""
+    WITH docs AS ({MUTATED_SQL}),
+    tok AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS g
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, GREATEST(len(tk) - 4, 0))) AS i
+        FROM tok
+      )
+    ),
+    df AS (SELECT g, COUNT(*) AS d FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE d > 1) AS BIGINT) AS n_dup_grams,
+           ROUND(COUNT(*) FILTER (WHERE d > 1) * 1.0 / COUNT(*), 6)
+             AS dup_fraction
+    FROM grams JOIN df USING (g)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_dup_kgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus duplication fraction at 5-token-gram
+    resolution — the window-level diagnostic behind exact-substring
+    training-data dedup: a doc whose token windows mostly appear in
+    OTHER docs is boilerplate/near-copy even when no whole-doc dedup
+    key fires, and the dup_fraction histogram is the first number a
+    dedup campaign reports. Run over the mutated fixture so truncated
+    twins produce real high-duplication rows.
+
+    Scale shape: distinct (doc, gram) explode → per-gram document
+    frequency (ONE shuffle keyed on the gram) → per-doc aggregation
+    (second shuffle on doc_id carrying one row per distinct gram). No
+    pair materialization at all — unlike the pairwise dedup ops this
+    stays linear in corpus grams even when everything duplicates
+    everything, which is what makes it the safe first pass at 100 TB.
+    In production gram strings would be 16-byte hashes; kept raw here
+    so the DuckDB oracle shares the exact key."""
+    d = mutated_documents(spark, sf_dir)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
+                    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                    " element_at(split(text, ' '), i+1),"
+                    " element_at(split(text, ' '), i+2),"
+                    " element_at(split(text, ' '), i+3),"
+                    " element_at(split(text, ' '), i+4)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df_per_gram = grams.withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return (
+        df_per_gram.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("d") > 1).cast("bigint")).alias("n_dup_grams"),
+            F.round(
+                F.sum((F.col("d") > 1).cast("double")) / F.count(F.lit(1)), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

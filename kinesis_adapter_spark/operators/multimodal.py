@@ -57,18 +57,61 @@ def _ppm_header(w: int, h: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h)
 
 
-def _image_payload(media_id: int, w: int, h: int) -> bytes:
+def _image_payload(media_id: int, w: int, h: int, shift: int = 0) -> bytes:
     """Real P6 PPM raster: pixel (y, x, c) = (media_id + 31y + 7x
-    + 11c) mod 256 — deterministic, codec-free, and rich enough that a
-    resize bug anywhere (header parse, stride, channel order, pooling)
-    changes the output checksum."""
+    + 11c) mod 200 + shift — deterministic, codec-free, and rich
+    enough that a resize bug anywhere (header parse, stride, channel
+    order, pooling) changes the output checksum. The mod-200 base
+    leaves headroom so a small brightness ``shift`` never clamps —
+    which makes the shifted near-dup copies EXACT perceptual-hash
+    twins of their source (every pHash cell sum and the global sum
+    move by the same constant, so no bit flips; see _phash_gt)."""
     import numpy as np
 
     y = np.arange(h, dtype=np.int64)[:, None, None]
     x = np.arange(w, dtype=np.int64)[None, :, None]
     c = np.arange(3, dtype=np.int64)[None, None, :]
-    pix = ((media_id + 31 * y + 7 * x + 11 * c) % 256).astype(np.uint8)
+    pix = ((media_id + 31 * y + 7 * x + 11 * c) % 200 + shift).astype(np.uint8)
     return _ppm_header(w, h) + pix.tobytes()
+
+
+PHASH_GRID = 8
+NEAR_DUP_SHIFT = 10
+NEAR_DUP_ID_OFFSET = 5_000_000
+
+
+def _phash_gt(ppm: bytes) -> str:
+    """Fixture-build ground-truth perceptual hash: crop to the largest
+    8×8-divisible region, sum raw RGB values per grid cell (equal-size
+    cells, INTEGER math only), set bit (cy, cx) iff cell_sum * 64 >
+    total_sum, pack row-major into 16 hex chars. Integer comparison
+    means the engine's vectorized recomputation is bit-exact by
+    construction — no float-mean boundary can flip a bit between the
+    two implementations. Implemented with per-cell PYTHON LOOPS so the
+    engine's reshape/sum decomposition is independent code (same
+    discipline as _gt_resized_ppm)."""
+    import numpy as np
+
+    hdr_end = ppm.index(b"255\n") + 4
+    w, h = (int(t) for t in ppm[3 : ppm.index(b"\n", 3)].split())
+    pix = np.frombuffer(ppm[hdr_end:], dtype=np.uint8).reshape(h, w, 3)
+    g = PHASH_GRID
+    bh, bw = h // g, w // g
+    cells = []
+    for cy in range(g):
+        for cx in range(g):
+            cells.append(
+                int(
+                    pix[cy * bh : (cy + 1) * bh, cx * bw : (cx + 1) * bw]
+                    .astype(np.int64)
+                    .sum()
+                )
+            )
+    total = sum(cells)
+    bits = 0
+    for s in cells:
+        bits = (bits << 1) | (1 if s * g * g > total else 0)
+    return f"{bits:016x}"
 
 
 def _gt_resized_ppm(ppm: bytes) -> bytes:
@@ -122,7 +165,37 @@ def ensure_media_parquet(sf_dir: str) -> Path:
         "gt_rs_height": [],
         "gt_rs_n_bytes": [],
         "gt_rs_sha16": [],
+        # perceptual hash ground truth (image rows only; loop-based
+        # build impl — dedup_image_phash recomputes from the bytes)
+        "gt_phash": [],
     }
+
+    def _append(media_id: int, mt: str, p: bytes, w, h, src_id: int) -> None:
+        if mt == "image":
+            rs = _gt_resized_ppm(p)
+            rows["gt_rs_width"].append(w // 2)
+            rows["gt_rs_height"].append(h // 2)
+            rows["gt_rs_n_bytes"].append(len(rs))
+            rows["gt_rs_sha16"].append(hashlib.sha256(rs).hexdigest()[:16])
+            rows["gt_phash"].append(_phash_gt(p))
+        else:
+            rows["gt_rs_width"].append(None)
+            rows["gt_rs_height"].append(None)
+            rows["gt_rs_n_bytes"].append(None)
+            rows["gt_rs_sha16"].append(None)
+            rows["gt_phash"].append(None)
+        rows["media_id"].append(media_id)
+        rows["media_type"].append(mt)
+        rows["payload"].append(p)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["sample_rate"].append(8000 if mt == "audio" else None)
+        rows["n_frames"].append(24 + src_id % 96 if mt == "video" else None)
+        rows["fps"].append(12 if mt == "video" else None)
+        rows["gt_n_bytes"].append(len(p))
+        rows["gt_byte_mean"].append(round(sum(p) / len(p), 6))
+        rows["gt_sha256_16"].append(hashlib.sha256(p).hexdigest()[:16])
+
     for doc_id, n_chars in zip(docs["doc_id"], docs["n_chars"]):
         doc_id, n_chars = int(doc_id), int(n_chars)
         mt = MEDIA_TYPES[doc_id % 3]
@@ -130,28 +203,16 @@ def ensure_media_parquet(sf_dir: str) -> Path:
         h = 48 + doc_id % 48 if mt == "image" else None
         if mt == "image":
             p = _image_payload(doc_id, w, h)
-            rs = _gt_resized_ppm(p)
-            rows["gt_rs_width"].append(w // 2)
-            rows["gt_rs_height"].append(h // 2)
-            rows["gt_rs_n_bytes"].append(len(rs))
-            rows["gt_rs_sha16"].append(hashlib.sha256(rs).hexdigest()[:16])
         else:
             p = _payload(doc_id, n_chars)
-            rows["gt_rs_width"].append(None)
-            rows["gt_rs_height"].append(None)
-            rows["gt_rs_n_bytes"].append(None)
-            rows["gt_rs_sha16"].append(None)
-        rows["media_id"].append(doc_id)
-        rows["media_type"].append(mt)
-        rows["payload"].append(p)
-        rows["width"].append(w)
-        rows["height"].append(h)
-        rows["sample_rate"].append(8000 if mt == "audio" else None)
-        rows["n_frames"].append(24 + doc_id % 96 if mt == "video" else None)
-        rows["fps"].append(12 if mt == "video" else None)
-        rows["gt_n_bytes"].append(len(p))
-        rows["gt_byte_mean"].append(round(sum(p) / len(p), 6))
-        rows["gt_sha256_16"].append(hashlib.sha256(p).hexdigest()[:16])
+        _append(doc_id, mt, p, w, h, doc_id)
+        # every 5th image gets a brightness-shifted near-dup twin: the
+        # raw bytes differ everywhere (different sha256) but the
+        # perceptual hash is provably identical — the recall fixture
+        # for dedup_image_phash
+        if mt == "image" and doc_id % 5 == 0:
+            twin = _image_payload(doc_id, w, h, shift=NEAR_DUP_SHIFT)
+            _append(doc_id + NEAR_DUP_ID_OFFSET, mt, twin, w, h, doc_id)
     schema = pa.schema(
         [
             ("media_id", pa.int64()),
@@ -169,6 +230,7 @@ def ensure_media_parquet(sf_dir: str) -> Path:
             ("gt_rs_height", pa.int32()),
             ("gt_rs_n_bytes", pa.int64()),
             ("gt_rs_sha16", pa.string()),
+            ("gt_phash", pa.string()),
         ]
     )
     tmp = out.with_suffix(".tmp")
@@ -404,4 +466,86 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id bigint, n_bytes bigint, width int, height int, "
             "sha256_16 string",
         )
+    )
+
+
+def _phash_one(b: bytes) -> str:
+    """Engine-side perceptual hash of a P6 payload — the vectorized
+    twin of the fixture builder's loop-based ``_phash_gt``: crop to
+    the largest 8×8-divisible region, integer RGB sum per grid cell
+    via reshape, bit (cy, cx) = cell_sum * 64 > total. Integer-only
+    comparisons make the two implementations bit-identical with no
+    float boundary."""
+    import numpy as np
+
+    hdr_end = b.index(b"255\n") + 4
+    w, h = (int(t) for t in b[3 : b.index(b"\n", 3)].split())
+    pix = np.frombuffer(b, dtype=np.uint8, offset=hdr_end).reshape(h, w, 3)
+    g = PHASH_GRID
+    bh, bw = h // g, w // g
+    cells = (
+        pix[: g * bh, : g * bw]
+        .astype(np.int64)
+        .reshape(g, bh, g, bw, 3)
+        .sum(axis=(1, 3, 4))
+    )
+    total = int(cells.sum())
+    bits = 0
+    for s in cells.ravel():
+        bits = (bits << 1) | (1 if int(s) * g * g > total else 0)
+    return f"{bits:016x}"
+
+
+@query(
+    "dedup_image_phash",
+    f"""
+    SELECT a.media_id AS id_a, b.media_id AS id_b, a.gt_phash AS phash
+    FROM read_parquet('{_MEDIA_ORACLE_PATH}') a
+    JOIN read_parquet('{_MEDIA_ORACLE_PATH}') b
+      ON a.gt_phash = b.gt_phash AND a.media_id < b.media_id
+    WHERE a.media_type = 'image' AND b.media_type = 'image'
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection on REAL image rasters —
+    the multimodal member of the dedup family: a brightness-shifted
+    re-encode of an image has different bytes (sha256 dedup misses it)
+    but the identical 64-bit block-mean perceptual hash, because every
+    cell sum and the global sum shift by the same constant. The
+    fixture plants such twins (media_id + 5M, every 5th image); the
+    oracle's ground-truth hashes come from an independent loop-based
+    implementation at build time, so a match proves the whole
+    decode→hash path.
+
+    100 TB shape: the hash is computed in one mapInPandas pass over
+    the payload column (map-only, no shuffle), and candidate pairs
+    come from an equi-self-join on the 16-char hash — exact-hash
+    blocking, the same bounded-bucket discipline as dedup_exact, never
+    an all-pairs image comparison. Hamming-radius>0 matching would
+    bucket by hash BANDS exactly like dedup_simhash does for text."""
+    hashed = (
+        _media(spark, sf_dir)
+        .filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(
+            lambda batches: (
+                __import__("pandas").DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "phash": pdf["payload"].map(_phash_one),
+                    }
+                )
+                for pdf in batches
+            ),
+            "media_id bigint, phash string",
+        )
+    )
+    a = hashed.select(F.col("media_id").alias("id_a"), "phash")
+    b = hashed.select(F.col("media_id").alias("id_b"), "phash")
+    return (
+        a.join(b, "phash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "phash")
+        .orderBy("id_a", "id_b")
     )

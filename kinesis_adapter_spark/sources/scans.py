@@ -33,7 +33,10 @@ from kinesis_adapter_spark.sources import aws
 # v3: media.parquet image payloads became real P6 PPM rasters with
 # resize ground-truth columns (mm_resize replaced mm_resize_stub);
 # v2 dirs hold the old pseudo-byte image payloads.
-DERIVED_VERSION = "v3"
+# v4: image pixel base became mod-200 (headroom for brightness-shifted
+# near-dup twin rows, media_id + 5M) and gt_phash joined the media
+# fixture for dedup_image_phash; v3 dirs lack the twins.
+DERIVED_VERSION = "v4"
 DERIVED_ROOT = Path("/tmp/kas_derived") / DERIVED_VERSION
 
 
@@ -543,4 +546,73 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rows", "250")
         .load()
         .orderBy("gid")
+    )
+
+
+def ensure_media_files(sf_dir: str) -> Path:
+    """Stage each IMAGE payload as its own .ppm file — the
+    object-per-file layout multimodal corpora actually arrive in
+    (S3 bucket of images), as opposed to media.parquet's
+    blobs-in-columns layout. Source of truth is the media fixture, so
+    fingerprint invalidation chains through documents.parquet."""
+    from kinesis_adapter_spark.operators.multimodal import ensure_media_parquet
+
+    media = ensure_media_parquet(sf_dir)
+    out = derived_dir(sf_dir) / "media_files"
+    staging = fresh_staging(out, Path(sf_dir) / "documents.parquet")
+    if staging is not None:
+        done, fp = staging
+        tbl = pq.read_table(
+            str(media), columns=["media_id", "media_type", "payload"]
+        )
+        for mid, mt, payload in zip(
+            tbl.column("media_id").to_pylist(),
+            tbl.column("media_type").to_pylist(),
+            tbl.column("payload").to_pylist(),
+        ):
+            if mt == "image":
+                (out / f"media_{mid}.ppm").write_bytes(payload)
+        done.write_text(fp)
+    return out
+
+
+@query(
+    "source_binaryfile",
+    f"""
+    SELECT media_id, gt_n_bytes AS n_bytes, gt_sha256_16 AS sha256_16
+    FROM read_parquet('{DERIVED_ROOT / "sf0.01" / "media.parquet"}')
+    WHERE media_type = 'image'
+    ORDER BY media_id
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source over an object-per-file media
+    directory — the ingest path for raw image/audio buckets (each S3
+    object one blob): scan yields (path, modificationTime, length,
+    content); the id parses from the file name and the digest is
+    computed JVM-side with sha2 over the binary column — no Python in
+    the loop. The oracle reads the fixture's independently-computed
+    ground truth, so the hash match proves the file write + binaryFile
+    read round-trip is lossless.
+
+    100 TB notes: binaryFile parallelizes by file; selecting only
+    (path, length) prunes ``content`` from the scan entirely
+    (metadata-only listing), and ``pathGlobFilter`` prunes non-matching
+    objects before any read."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "media_*.ppm")
+        .load(str(ensure_media_files(sf_dir)))
+    )
+    return (
+        df.select(
+            F.regexp_extract(
+                F.col("path"), r"media_(\d+)\.ppm$", 1
+            ).cast("bigint").alias("media_id"),
+            F.col("length").alias("n_bytes"),
+            F.lower(F.substring(F.sha2("content", 256), 1, 16)).alias(
+                "sha256_16"
+            ),
+        )
+        .orderBy("media_id")
     )

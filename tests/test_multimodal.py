@@ -128,3 +128,75 @@ def test_decode_features_batch_plumbing(spark):
     n_src = spark.read.parquet(str(ensure_media_parquet(SF_TEST))).count()
     assert out.count() == n_src
     assert out.select("media_id").distinct().count() == n_src
+
+
+def test_phash_hand_computed_vector_and_shift_invariance():
+    """Anchor the pHash math on a hand-computable case and pin the
+    brightness-shift invariance the near-dup fixture relies on.
+
+    8×8 image (one pixel per grid cell, bh=bw=1): cell (cy, cx) has
+    RGB sum 3*(10*cy + cx) + 3 (channels contribute +0,+1,+2). Total
+    = sum over all 64 cells; bit set iff cell_sum*64 > total. With
+    values 0..77 the top-left half (cell sums below the mean) is 0 and
+    the rest 1 — computed by hand below."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.multimodal import (
+        _phash_gt,
+        _phash_one,
+        _ppm_header,
+    )
+
+    cy = np.arange(8)[:, None, None]
+    cx = np.arange(8)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    pix = (10 * cy + cx + ch).astype(np.uint8)  # max 79, no wrap
+    src = _ppm_header(8, 8) + pix.tobytes()
+
+    # hand computation: cell_sum(cy,cx) = 3*(10cy + cx) + 3;
+    # total = 3*(10*28*8 + 28*8 + 64) = 3*(2240+224+64) = 7584;
+    # bit = 64*(30cy+3cx+3) > 7584  <=>  10cy + cx > 38.5
+    expected_bits = 0
+    for y in range(8):
+        for x in range(8):
+            expected_bits = (expected_bits << 1) | (1 if 10 * y + x > 38.5 else 0)
+    expected = f"{expected_bits:016x}"
+    assert _phash_gt(src) == expected
+    assert _phash_one(src) == expected
+
+    # brightness shift: +10 everywhere (no clamp) must not change any bit
+    shifted = _ppm_header(8, 8) + (pix + 10).astype(np.uint8).tobytes()
+    assert _phash_one(shifted) == expected
+    assert _phash_gt(shifted) == expected
+
+
+def test_phash_dedup_finds_every_planted_twin(spark):
+    """Every brightness-shifted twin (media_id + 5M, planted for every
+    5th image) must pair with its source — sha256 dedup provably CAN'T
+    find these (the bytes differ everywhere), which is the point of
+    the perceptual hash."""
+    from kinesis_adapter_spark.operators.multimodal import NEAR_DUP_ID_OFFSET
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_image_phash"](spark, SF_TEST).collect()
+    }
+    media = spark.read.parquet(str(ensure_media_parquet(SF_TEST)))
+    twins = [
+        r.media_id
+        for r in media.filter(
+            F.col("media_id") >= NEAR_DUP_ID_OFFSET
+        ).collect()
+    ]
+    assert twins, "fixture must plant near-dup twins"
+    for t in twins:
+        assert (t - NEAR_DUP_ID_OFFSET, t) in pairs, f"twin pair for {t} missed"
+    # and byte-identity dedup indeed misses them: distinct sha256 everywhere
+    n_payload_dups = (
+        media.filter(F.col("media_type") == "image")
+        .groupBy("gt_sha256_16")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert n_payload_dups == 0

@@ -745,3 +745,18 @@ def test_pareto_heavy_pass_is_per_customer_rollup(spark):
     plan = plan_of(spark, "pareto_concentration")
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
     assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_binaryfile_prunes_content_for_metadata_query(spark):
+    """A metadata-only projection over the binaryFile source must not
+    carry the content column into the scan — listing a 100 TB image
+    bucket for sizes must never read the blobs."""
+    from kinesis_adapter_spark.sources.scans import ensure_media_files
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(str(ensure_media_files(SF_TEST)))
+        .select("path", "length")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan, plan[:2000]
