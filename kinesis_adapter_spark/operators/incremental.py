@@ -214,3 +214,114 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type"),
         F.coalesce("o_orderkey", "n_key").alias("o_orderkey"),
     ).orderBy("change_type", "o_orderkey")
+
+
+# Change-set WITH the join key (o_custkey) — the MV maintenance delta.
+_UPDATES_FK_SQL = """
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+def _mv_join_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per source generation) the denormalized join
+    view orders ⋈ customer as a parquet artifact — the thing a real
+    pipeline maintains instead of re-deriving. Spark writes into a
+    data/ subdir so its own empty _SUCCESS cannot collide with the
+    fingerprint marker."""
+    from kinesis_adapter_spark.sources.scans import derived_dir, fresh_staging
+    from pathlib import Path
+
+    out = derived_dir(sf_dir) / "mv_orders_customer"
+    staging = fresh_staging(out, Path(sf_dir))
+    data = out / "data"
+    if staging is not None:
+        done, fp = staging
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .drop("c_custkey")
+            .write.mode("overwrite")
+            .parquet(str(data))
+        )
+        done.write_text(fp)
+    return str(data)
+
+
+@query(
+    "incremental_mv_join",
+    f"""
+    WITH upd AS ({_UPDATES_FK_SQL}),
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM upd
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT m.o_orderkey, m.o_custkey, m.o_orderstatus,
+           ROUND(m.o_totalprice, 2) AS o_totalprice,
+           c.c_name, c.c_mktsegment
+    FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
+    """,
+)
+def incremental_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized JOIN view (delta-join
+    IVM): the denormalized orders ⋈ customer view exists as a staged
+    parquet artifact; a change-set against the fact side is applied as
+    ΔV = Δorders ⋈ customer, merged into the artifact by key — the
+    view-maintenance identity V' = (ΔA ⋈ B) ∪ (V ∖ keys(ΔA)) that
+    every IVM engine (Delta MV, Materialize, DBSP) executes for
+    foreign-key joins when the dim side is unchanged.
+
+    The oracle recomputes the whole view from scratch on the merged
+    fact table, so the hash match proves the incremental path produces
+    EXACTLY the full recompute — the IVM correctness contract.
+
+    Scale shape: maintenance cost is |Δ| · broadcast(dim) for the
+    delta join plus one anti-join of the view against the broadcast
+    Δ-key set — the 100 TB view is read map-side (no shuffle; pinned
+    in test_plans.py) and in a real table format only key-overlapping
+    files rewrite. A full recompute would re-shuffle the entire fact
+    table every refresh."""
+    mv_old = spark.read.parquet(_mv_join_table(spark, sf_dir))
+    o = load(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    delta = upd.unionByName(ins)
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    delta_v = delta.join(F.broadcast(c), delta.o_custkey == c.c_custkey).drop(
+        "c_custkey"
+    )
+    kept = mv_old.join(
+        F.broadcast(delta.select("o_orderkey")), "o_orderkey", "left_anti"
+    )
+    return delta_v.unionByName(kept).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_name",
+        "c_mktsegment",
+    )

@@ -448,6 +448,88 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events
+    ), ord AS (
+      SELECT o_custkey, epoch_ns(o_orderdate) AS ots, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey, epoch_ns(o_orderdate) ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS next_orderkey, o.o_totalprice AS next_totalprice
+    FROM ev e
+    ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts <= o.ots
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each event, that user's EARLIEST order
+    at/after the event time — the look-ahead direction (time-to-next-
+    conversion, next scheduled maintenance, label-after-feature joins
+    in training-data assembly, where looking backward would leak).
+
+    Mirror of join_asof's union+window technique with the window
+    reversed: sort by (key, t, is_event DESC) so an order at the same
+    instant as an event is visible to it, then carry the nearest order
+    BACKWARD with first(ignorenulls) over [current row, unbounded
+    following]. Still ONE shuffle on the key — the direction flip is
+    free, where a range-join formulation would pay the same O(n·m)
+    blowup in either direction."""
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    w_dedup = Window.partitionBy("key", "ots").orderBy(F.col("o_orderkey").desc())
+    ords = (
+        o.select(
+            F.col("o_custkey").alias("key"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias(
+                "ots"
+            ),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ord_side = ords.select(
+        "key",
+        F.col("ots").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("ts"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )
+    ev_side = ev.withColumn("ts", ts_us_trunc()).select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("next_orderkey"),
+        F.lit(None).cast("double").alias("next_totalprice"),
+    )
+    # Events sort before orders at equal t (is_event desc) => "at/after".
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", F.col("is_event").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = ord_side.unionByName(ev_side).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        "ts",
+        "is_event",
+        F.first("next_orderkey", ignorenulls=True).over(w).alias("next_orderkey"),
+        F.first("next_totalprice", ignorenulls=True).over(w).alias("next_totalprice"),
+    )
+    return merged.filter(F.col("is_event") == 1).drop("is_event")
+
+
+@query(
     "join_null_safe",
     """
     WITH a AS (

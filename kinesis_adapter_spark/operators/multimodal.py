@@ -496,17 +496,19 @@ def _phash_one(b: bytes) -> str:
     return f"{bits:016x}"
 
 
-@query(
-    "dedup_image_phash",
-    f"""
+# Shared by dedup_image_phash and its streaming maintenance twin
+# (stream_phash_maintain): both must equal the ground-truth pair set.
+PHASH_PAIRS_ORACLE = f"""
     SELECT a.media_id AS id_a, b.media_id AS id_b, a.gt_phash AS phash
     FROM read_parquet('{_MEDIA_ORACLE_PATH}') a
     JOIN read_parquet('{_MEDIA_ORACLE_PATH}') b
       ON a.gt_phash = b.gt_phash AND a.media_id < b.media_id
     WHERE a.media_type = 'image' AND b.media_type = 'image'
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@query("dedup_image_phash", PHASH_PAIRS_ORACLE)
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection on REAL image rasters —
     the multimodal member of the dedup family: a brightness-shifted

@@ -1247,3 +1247,112 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _phash_maintain_oracle() -> str:
+    from kinesis_adapter_spark.operators.multimodal import PHASH_PAIRS_ORACLE
+
+    return PHASH_PAIRS_ORACLE
+
+
+@query("stream_phash_maintain", _phash_maintain_oracle())
+def stream_phash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL perceptual-hash index maintenance — the multimodal
+    sibling of stream_minhash_maintain: image blobs ARRIVE in parquet
+    micro-batches (binary column through the streaming file source);
+    foreachBatch computes each NEW image's 64-bit block-mean pHash —
+    a pure per-image function of its own bytes, so old images are
+    never re-decoded — and APPENDS (media_id, phash) rows to the index
+    parquet. The dedup query then runs on the maintained artifact
+    alone: an equi-self-join on the hash, identical to the batch
+    dedup_image_phash, and shares its ground-truth oracle verbatim.
+
+    At 100 TB this is how an image-dedup index actually runs: decode
+    cost is paid once per blob at ingest, the index is ~25 bytes/image
+    (vs ~25 KB of pixels), candidate lookups never touch payload
+    bytes, and a replayed micro-batch appends duplicate (id, hash)
+    rows that the query-side distinct collapses — append-only
+    replay-safety without coordination."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from kinesis_adapter_spark.operators.multimodal import (
+        _phash_one,
+        ensure_media_parquet,
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="kas_phstream_"))
+    src = work / "src"
+    src.mkdir()
+    idx_path = str(work / "phash_index")
+
+    tbl = papq.read_table(
+        str(ensure_media_parquet(sf_dir)),
+        columns=["media_id", "media_type", "payload"],
+    )
+    imgs = [
+        (mid, payload)
+        for mid, mt, payload in zip(
+            tbl.column("media_id").to_pylist(),
+            tbl.column("media_type").to_pylist(),
+            tbl.column("payload").to_pylist(),
+        )
+        if mt == "image"
+    ]
+    for b in range(3):
+        part = [(m, p) for m, p in imgs if m % 3 == b]
+        papq.write_table(
+            pa.table(
+                {
+                    "media_id": [m for m, _ in part],
+                    "payload": [p for _, p in part],
+                },
+                schema=pa.schema(
+                    [("media_id", pa.int64()), ("payload", pa.binary())]
+                ),
+            ),
+            src / f"arrivals_{b}.parquet",
+        )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        (
+            batch_df.mapInPandas(
+                lambda batches: (
+                    pd.DataFrame(
+                        {
+                            "media_id": pdf["media_id"],
+                            "phash": pdf["payload"].map(_phash_one),
+                        }
+                    )
+                    for pdf in batches
+                ),
+                "media_id bigint, phash string",
+            )
+            .write.mode("append")
+            .parquet(idx_path)
+        )
+
+    stream = (
+        spark.readStream.schema("media_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 180)
+
+    idx = spark.read.parquet(idx_path).distinct()  # replay-safe collapse
+    a = idx.select(F.col("media_id").alias("id_a"), "phash")
+    b = idx.select(F.col("media_id").alias("id_b"), "phash")
+    return (
+        a.join(b, "phash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "phash")
+        .orderBy("id_a", "id_b")
+    )

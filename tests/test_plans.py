@@ -760,3 +760,15 @@ def test_binaryfile_prunes_content_for_metadata_query(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan, plan[:2000]
+
+
+def test_incremental_mv_maintenance_never_shuffles_the_view(spark):
+    """IVM's whole value is that maintenance cost scales with the
+    delta, not the view: the delta join broadcasts the dim, the keep
+    side anti-joins against the BROADCAST delta-key set, so the staged
+    view (the 100 TB side) must flow map-side — zero hash-partitioning
+    exchanges anywhere in the plan."""
+    plan = plan_of(spark, "incremental_mv_join", executed=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in final, final[:3000]
+    assert final.count("BroadcastHashJoin") >= 2, final[:3000]
