@@ -2,16 +2,22 @@
 video as opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample over Arrow-batched Pandas UDFs).
 
-No media libraries exist in this container, so IMAGE payloads are
-staged as **real binary P6 PPM rasters** (the uncompressed
-netpbm format: ``P6\\n<w> <h>\\n255\\n`` + interleaved RGB bytes) that
-``mm_resize`` genuinely decodes — header parse, pixel reshape, 2×2
-box-filter downsample — in numpy inside mapInPandas. Audio/video
-payloads stay deterministic pseudo-bytes (no codec exists to decode
-them honestly); their decode hooks are exercised shape-only. The
-Spark-side plumbing (binary schema, Arrow transport into mapInPandas,
-batch shapes, partition behavior, typed-metadata pruning) is real and
-oracled:
+No media LIBRARIES exist in this container, but no compressed codecs
+are needed for the semantics to be real: every modality is staged in
+a genuine uncompressed container format and genuinely decoded —
+- IMAGE: binary P6 PPM rasters (netpbm: ``P6\\n<w> <h>\\n255\\n`` +
+  interleaved RGB bytes); ``mm_resize`` parses the header, reshapes,
+  2×2-box-downsamples; ``dedup_image_phash`` block-mean-hashes.
+- AUDIO: RIFF/WAVE PCM16LE mono (the standard .wav layout — fmt and
+  data chunks, 16-bit little-endian samples); ``mm_audio_features``
+  walks the chunk structure and computes integer-exact sample stats.
+- VIDEO: a netpbm P6 STREAM (concatenated full PPM frames — the
+  actual output format of ``ffmpeg -f image2pipe``);
+  ``mm_video_frame_extract`` splits frames by parsing each header and
+  digests every fps-th frame.
+The Spark-side plumbing (binary schema, Arrow transport into
+mapInPandas, batch shapes, partition behavior, typed-metadata pruning)
+is equally real and oracled:
 
 - the derived ``media.parquet`` fixture stores, next to each payload,
   ground-truth feature columns computed by PLAIN PYTHON at fixture
@@ -45,12 +51,117 @@ from kinesis_adapter_spark.sources.scans import DERIVED_ROOT, derived_dir
 MEDIA_TYPES = ("image", "audio", "video")
 
 
-def _payload(doc_id: int, n_chars: int) -> bytes:
-    """Deterministic pseudo-media bytes for one document (audio/video
-    modalities — no codec in this container to decode them honestly)."""
-    seed = hashlib.sha256(f"media-{doc_id}".encode()).digest()
-    length = 256 + (n_chars % 1024)
-    return (seed * (length // len(seed) + 1))[:length]
+AUDIO_SR = 8000
+VIDEO_FRAME_W, VIDEO_FRAME_H = 16, 12
+VIDEO_FPS = 12
+
+
+def _audio_n_samples(media_id: int) -> int:
+    return 2000 + media_id % 4000  # 0.25–0.75 s at 8 kHz
+
+
+def _wav_payload(media_id: int) -> bytes:
+    """Real RIFF/WAVE container, PCM16LE mono @ 8 kHz: canonical 44-byte
+    header (RIFF size, fmt chunk with audio_format=1, data chunk) +
+    samples s[i] = ((media_id*31 + i*7) mod 4001) - 2000 — deterministic,
+    sign-alternating-ish int16 audio any .wav reader plays."""
+    import struct
+
+    import numpy as np
+
+    n = _audio_n_samples(media_id)
+    i = np.arange(n, dtype=np.int64)
+    samples = ((media_id * 31 + i * 7) % 4001 - 2000).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = AUDIO_SR * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_SR, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def _audio_gt(wav: bytes) -> tuple[int, int, int, int]:
+    """Build-time ground truth for a PCM16 WAV: (n_samples,
+    duration_ms, sum of squared samples, zero crossings) — ALL integer,
+    so the engine's numpy recomputation is bit-exact. Implemented with
+    plain struct iteration (sample-by-sample python loop) so the
+    engine's vectorized path is independent code. Zero crossing :=
+    sign bit of (s >= 0) flips between consecutive samples."""
+    import struct
+
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    # walk chunks to find fmt and data (never assume the 44-byte form)
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(wav):
+        cid = wav[pos : pos + 4]
+        (sz,) = struct.unpack("<I", wav[pos + 4 : pos + 8])
+        body = wav[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            assert (fmt, ch, bits) == (1, 1, 16), "PCM16 mono expected"
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    n = len(data) // 2
+    sum_sq = 0
+    zc = 0
+    prev_nonneg = None
+    for k in range(n):
+        (s,) = struct.unpack_from("<h", data, 2 * k)
+        sum_sq += s * s
+        nonneg = s >= 0
+        if prev_nonneg is not None and nonneg != prev_nonneg:
+            zc += 1
+        prev_nonneg = nonneg
+    return n, n * 1000 // sr, sum_sq, zc
+
+
+def _video_frame(media_id: int, f: int):
+    import numpy as np
+
+    y = np.arange(VIDEO_FRAME_H, dtype=np.int64)[:, None, None]
+    x = np.arange(VIDEO_FRAME_W, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((media_id + 97 * f + 31 * y + 7 * x + 11 * c) % 256).astype(
+        np.uint8
+    )
+
+
+def _video_payload(media_id: int, n_frames: int) -> bytes:
+    """Real netpbm P6 STREAM: ``n_frames`` complete PPM documents
+    back-to-back — the exact byte layout ``ffmpeg -f image2pipe
+    -vcodec ppm`` emits, decodable by walking headers frame by frame."""
+    parts = []
+    for f in range(n_frames):
+        parts.append(
+            _ppm_header(VIDEO_FRAME_W, VIDEO_FRAME_H)
+            + _video_frame(media_id, f).tobytes()
+        )
+    return b"".join(parts)
+
+
+def _video_frames_gt(payload: bytes) -> list[bytes]:
+    """Build-time re-parse of a P6 stream into frame byte strings —
+    walks the stream with plain index arithmetic (header regex-free),
+    independent of both the builder loop above and the engine's
+    decoder."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        assert payload[pos : pos + 3] == b"P6\n", "not at a frame boundary"
+        hdr_end = payload.index(b"255\n", pos) + 4
+        dims = payload[pos + 3 : payload.index(b"\n", pos + 3)].split()
+        w, h = int(dims[0]), int(dims[1])
+        end = hdr_end + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
 
 
 def _ppm_header(w: int, h: int) -> bytes:
@@ -135,9 +246,12 @@ def _gt_resized_ppm(ppm: bytes) -> bytes:
 
 def ensure_media_parquet(sf_dir: str) -> Path:
     """Derive media.parquet from documents: binary payload + typed
-    metadata + plain-Python ground-truth feature columns."""
+    metadata + plain-Python ground-truth feature columns. Also stages
+    media_frames.parquet (per-sampled-frame ground truth for the video
+    stream decoder) in the same pass."""
     out = derived_dir(sf_dir) / "media.parquet"
-    if out.exists():
+    frames_out = derived_dir(sf_dir) / "media_frames.parquet"
+    if out.exists() and frames_out.exists():
         return out
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -168,9 +282,35 @@ def ensure_media_parquet(sf_dir: str) -> Path:
         # perceptual hash ground truth (image rows only; loop-based
         # build impl — dedup_image_phash recomputes from the bytes)
         "gt_phash": [],
+        # audio ground truth (audio rows only; struct-loop build impl —
+        # mm_audio_features recomputes from the WAV bytes; all-integer)
+        "gt_au_n_samples": [],
+        "gt_au_duration_ms": [],
+        "gt_au_sumsq": [],
+        "gt_au_zero_cross": [],
     }
+    frame_rows = {"media_id": [], "frame_id": [], "gt_frame_sha16": []}
 
     def _append(media_id: int, mt: str, p: bytes, w, h, src_id: int) -> None:
+        if mt == "audio":
+            n, dur, ssq, zc = _audio_gt(p)
+            rows["gt_au_n_samples"].append(n)
+            rows["gt_au_duration_ms"].append(dur)
+            rows["gt_au_sumsq"].append(ssq)
+            rows["gt_au_zero_cross"].append(zc)
+        else:
+            rows["gt_au_n_samples"].append(None)
+            rows["gt_au_duration_ms"].append(None)
+            rows["gt_au_sumsq"].append(None)
+            rows["gt_au_zero_cross"].append(None)
+        if mt == "video":
+            frames = _video_frames_gt(p)
+            for fid in range(0, len(frames), VIDEO_FPS):
+                frame_rows["media_id"].append(media_id)
+                frame_rows["frame_id"].append(fid)
+                frame_rows["gt_frame_sha16"].append(
+                    hashlib.sha256(frames[fid]).hexdigest()[:16]
+                )
         if mt == "image":
             rs = _gt_resized_ppm(p)
             rows["gt_rs_width"].append(w // 2)
@@ -191,7 +331,7 @@ def ensure_media_parquet(sf_dir: str) -> Path:
         rows["height"].append(h)
         rows["sample_rate"].append(8000 if mt == "audio" else None)
         rows["n_frames"].append(24 + src_id % 96 if mt == "video" else None)
-        rows["fps"].append(12 if mt == "video" else None)
+        rows["fps"].append(VIDEO_FPS if mt == "video" else None)
         rows["gt_n_bytes"].append(len(p))
         rows["gt_byte_mean"].append(round(sum(p) / len(p), 6))
         rows["gt_sha256_16"].append(hashlib.sha256(p).hexdigest()[:16])
@@ -203,8 +343,10 @@ def ensure_media_parquet(sf_dir: str) -> Path:
         h = 48 + doc_id % 48 if mt == "image" else None
         if mt == "image":
             p = _image_payload(doc_id, w, h)
+        elif mt == "audio":
+            p = _wav_payload(doc_id)
         else:
-            p = _payload(doc_id, n_chars)
+            p = _video_payload(doc_id, 24 + doc_id % 96)
         _append(doc_id, mt, p, w, h, doc_id)
         # every 5th image gets a brightness-shifted near-dup twin: the
         # raw bytes differ everywhere (different sha256) but the
@@ -231,8 +373,27 @@ def ensure_media_parquet(sf_dir: str) -> Path:
             ("gt_rs_n_bytes", pa.int64()),
             ("gt_rs_sha16", pa.string()),
             ("gt_phash", pa.string()),
+            ("gt_au_n_samples", pa.int64()),
+            ("gt_au_duration_ms", pa.int64()),
+            ("gt_au_sumsq", pa.int64()),
+            ("gt_au_zero_cross", pa.int64()),
         ]
     )
+    ftmp = frames_out.with_suffix(".tmp")
+    pq.write_table(
+        pa.table(
+            frame_rows,
+            schema=pa.schema(
+                [
+                    ("media_id", pa.int64()),
+                    ("frame_id", pa.int64()),
+                    ("gt_frame_sha16", pa.string()),
+                ]
+            ),
+        ),
+        ftmp,
+    )
+    os.replace(ftmp, frames_out)
     tmp = out.with_suffix(".tmp")
     pq.write_table(pa.table(rows, schema=schema), tmp)
     os.replace(tmp, out)
@@ -246,6 +407,9 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle path constant: tracks DERIVED_ROOT so a staged-fixture version
 # bump can never strand the oracles on a stale directory.
 _MEDIA_ORACLE_PATH = str(DERIVED_ROOT / "sf0.01" / "media.parquet")
+_MEDIA_FRAMES_ORACLE_PATH = str(
+    DERIVED_ROOT / "sf0.01" / "media_frames.parquet"
+)
 
 # NOTE: oracle SQL paths point at the sf0.01 staging dir — the scale
 # the driver (and the local parity gate) oracles at. The Spark side of
@@ -334,10 +498,13 @@ def mm_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling for video rows: one output row per sampled frame
-    (every fps-th index, i.e. ~1/sec) — pure JVM sequence+explode on
-    metadata; the per-frame DECODE would hang off this skeleton as a
-    mapInPandas stage (stubbed here — no codecs in this container)."""
+    """Frame sampling PLAN for video rows: one output row per sampled
+    frame (every fps-th index, i.e. ~1/sec) — pure JVM sequence+explode
+    on metadata, zero payload bytes read; ``mm_video_frame_extract`` is
+    the companion that actually decodes those frames from the P6
+    stream. Splitting plan from decode matters at 100 TB: the sampling
+    schedule (which frames, how many rows) is computable from metadata
+    alone for admission control before any blob is touched."""
     v = _media(spark, sf_dir).filter(F.col("media_type") == "video")
     return v.select(
         "media_id",
@@ -550,4 +717,155 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "phash")
         .orderBy("id_a", "id_b")
+    )
+
+
+def _wav_features_one(b: bytes) -> tuple[int, int, int, int]:
+    """Engine-side PCM16 WAV feature extraction — the vectorized twin
+    of the fixture builder's struct-loop ``_audio_gt``: walk the RIFF
+    chunks, then numpy over the sample buffer. All-integer outputs, so
+    the two implementations are bit-identical by construction."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("payload is not a RIFF/WAVE container")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt, ch, sr, _, _, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError("PCM16 mono expected")
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    nonneg = s >= 0
+    return (
+        int(s.size),
+        int(s.size) * 1000 // sr,
+        int((s * s).sum()),
+        int((nonneg[1:] != nonneg[:-1]).sum()),
+    )
+
+
+@query(
+    "mm_audio_features",
+    f"""
+    SELECT media_id,
+           gt_au_n_samples AS n_samples,
+           gt_au_duration_ms AS duration_ms,
+           gt_au_sumsq AS sum_sq,
+           gt_au_zero_cross AS zero_crossings
+    FROM read_parquet('{_MEDIA_ORACLE_PATH}')
+    WHERE media_type = 'audio'
+    ORDER BY media_id
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction over mapInPandas: each audio
+    payload is a genuine RIFF/WAVE PCM16 file; the worker walks the
+    chunk structure (never assuming the canonical 44-byte layout),
+    decodes the int16 samples with numpy, and emits sample count,
+    duration, energy (sum of squares) and zero-crossing count — the
+    classic cheap speech/music discriminators a corpus-curation
+    pipeline gates on. All outputs are integers, so the oracle match
+    against the struct-loop build-time ground truth is exact, not
+    tolerance-based.
+
+    Same 100 TB shape as mm_resize: modality partition pruned, scan
+    reads (media_id, payload) only, decode is map-only per Arrow
+    batch — no shuffle in the plan."""
+    import pandas as pd
+
+    def feats(batches):
+        for pdf in batches:
+            vals = pdf["payload"].map(_wav_features_one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": vals.map(lambda t: t[0]).astype("int64"),
+                    "duration_ms": vals.map(lambda t: t[1]).astype("int64"),
+                    "sum_sq": vals.map(lambda t: t[2]).astype("int64"),
+                    "zero_crossings": vals.map(lambda t: t[3]).astype("int64"),
+                }
+            )
+
+    return (
+        _media(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(
+            feats,
+            "media_id bigint, n_samples bigint, duration_ms bigint, "
+            "sum_sq bigint, zero_crossings bigint",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_video_frame_extract",
+    f"""
+    SELECT media_id, frame_id, gt_frame_sha16 AS frame_sha16
+    FROM read_parquet('{_MEDIA_FRAMES_ORACLE_PATH}')
+    ORDER BY media_id, frame_id
+    """,
+)
+def mm_video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction: each video payload is a netpbm P6
+    STREAM (concatenated PPM frames — ffmpeg's image2pipe format); the
+    worker walks the stream header-by-header, slices out every fps-th
+    frame, and emits its digest. One input row fans out to ~n_frames/
+    fps output rows through mapInPandas — the row-explosion shape that
+    distinguishes frame extraction from per-blob featurization, and
+    the reason the 100 TB version partitions by media_id BEFORE
+    sampling (downstream per-frame models consume co-located frames).
+
+    The oracle reads media_frames.parquet, built by an independent
+    stream re-parse at fixture time, so a hash match proves frame
+    boundaries, sampling stride, and byte slicing all agree."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            out_mid, out_fid, out_sha = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                pos, fid = 0, 0
+                while pos < len(b):
+                    if b[pos : pos + 3] != b"P6\n":
+                        raise ValueError(f"bad frame boundary at {pos}")
+                    hdr_end = b.index(b"255\n", pos) + 4
+                    dims = b[pos + 3 : b.index(b"\n", pos + 3)].split()
+                    end = hdr_end + int(dims[0]) * int(dims[1]) * 3
+                    if fid % VIDEO_FPS == 0:
+                        out_mid.append(mid)
+                        out_fid.append(fid)
+                        out_sha.append(
+                            hashlib.sha256(b[pos:end]).hexdigest()[:16]
+                        )
+                    pos = end
+                    fid += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_mid, dtype="int64"),
+                    "frame_id": pd.Series(out_fid, dtype="int64"),
+                    "frame_sha16": pd.Series(out_sha, dtype="object"),
+                }
+            )
+
+    return (
+        _media(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            extract, "media_id bigint, frame_id bigint, frame_sha16 string"
+        )
+        .orderBy("media_id", "frame_id")
     )

@@ -36,7 +36,11 @@ from kinesis_adapter_spark.sources import aws
 # v4: image pixel base became mod-200 (headroom for brightness-shifted
 # near-dup twin rows, media_id + 5M) and gt_phash joined the media
 # fixture for dedup_image_phash; v3 dirs lack the twins.
-DERIVED_VERSION = "v4"
+# v5: audio payloads became real RIFF/WAVE PCM16 and video payloads
+# real netpbm P6 streams, with gt_au_* columns and a
+# media_frames.parquet ground-truth table; v4 dirs hold pseudo-bytes
+# for those modalities.
+DERIVED_VERSION = "v5"
 DERIVED_ROOT = Path("/tmp/kas_derived") / DERIVED_VERSION
 
 

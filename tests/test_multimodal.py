@@ -200,3 +200,92 @@ def test_phash_dedup_finds_every_planted_twin(spark):
         .count()
     )
     assert n_payload_dups == 0
+
+
+def test_wav_features_hand_computed_vector():
+    """Anchor the WAV parse + feature math on a hand-computed case:
+    4 samples [100, -200, 300, 0] → sum_sq = 10000+40000+90000+0 =
+    140000; zero crossings with sign := (s >= 0): +,-,+,+ → flips at
+    i=1 and i=2 → 2; duration = 4*1000//8000 = 0 ms."""
+    import struct
+
+    from kinesis_adapter_spark.operators.multimodal import (
+        AUDIO_SR,
+        _audio_gt,
+        _wav_features_one,
+    )
+
+    samples = struct.pack("<4h", 100, -200, 300, 0)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(samples))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_SR, AUDIO_SR * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+    expected = (4, 0, 140000, 2)
+    assert _audio_gt(wav) == expected
+    assert _wav_features_one(wav) == expected
+
+
+def test_video_stream_parse_hand_computed():
+    """A hand-built 2-frame P6 stream must split at exactly the frame
+    boundaries in BOTH the build-time re-parser and an engine-style
+    walk, and a corrupted boundary must raise, not resync silently."""
+    import pytest as _pytest
+
+    from kinesis_adapter_spark.operators.multimodal import (
+        _ppm_header,
+        _video_frames_gt,
+    )
+
+    f0 = _ppm_header(2, 1) + bytes([1, 2, 3, 4, 5, 6])
+    f1 = _ppm_header(1, 2) + bytes([9, 8, 7, 6, 5, 4])
+    frames = _video_frames_gt(f0 + f1)
+    assert frames == [f0, f1]
+    with _pytest.raises(AssertionError):
+        _video_frames_gt(f0[:-1] + f1)  # truncated frame shifts boundary
+
+
+def test_audio_video_match_ground_truth_bit_exact(spark):
+    """Every audio row's recomputed features and every sampled frame
+    digest must equal the fixture's independently-built ground truth —
+    fails with the media_id named (the oracle gate hashes the same
+    values but anonymously)."""
+    media = spark.read.parquet(str(ensure_media_parquet(SF_TEST)))
+    au = {
+        r["media_id"]: (r["n_samples"], r["duration_ms"], r["sum_sq"],
+                        r["zero_crossings"])
+        for r in QUERIES["mm_audio_features"](spark, SF_TEST).collect()
+    }
+    gt = {
+        r["media_id"]: (r["gt_au_n_samples"], r["gt_au_duration_ms"],
+                        r["gt_au_sumsq"], r["gt_au_zero_cross"])
+        for r in media.filter(F.col("media_type") == "audio").collect()
+    }
+    assert au == gt
+    frames = {
+        (r["media_id"], r["frame_id"]): r["frame_sha16"]
+        for r in QUERIES["mm_video_frame_extract"](spark, SF_TEST).collect()
+    }
+    from kinesis_adapter_spark.sources.scans import derived_dir
+
+    gt_frames = {
+        (r["media_id"], r["frame_id"]): r["gt_frame_sha16"]
+        for r in spark.read.parquet(
+            str(derived_dir(SF_TEST) / "media_frames.parquet")
+        ).collect()
+    }
+    assert frames == gt_frames
+    # sanity: sampling stride — every video has ceil(n_frames/12) rows
+    vids = {
+        r["media_id"]: r["n_frames"]
+        for r in media.filter(F.col("media_type") == "video").collect()
+    }
+    from collections import Counter
+
+    per_vid = Counter(mid for mid, _ in frames)
+    assert per_vid == {m: (n + 11) // 12 for m, n in vids.items()}
