@@ -1373,3 +1373,60 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_lambda"
         ),
     )
+
+
+@query(
+    "agg_mutual_information",
+    """
+    WITH b AS (
+      SELECT event_type AS x, CAST(FLOOR(value / 50) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS n FROM b),
+    j AS (SELECT x, y, COUNT(*) AS cxy FROM b GROUP BY x, y),
+    mx AS (SELECT x, COUNT(*) AS cx FROM b GROUP BY x),
+    my AS (SELECT y, COUNT(*) AS cy FROM b GROUP BY y)
+    SELECT CAST(n.n AS BIGINT) AS n,
+           ROUND(SUM((cxy * 1.0 / n.n)
+                     * ln(cxy * 1.0 * n.n / (cx * 1.0 * cy))), 6) AS mi_nats
+    FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    GROUP BY n.n
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between event type and the value's
+    50-unit bin (plug-in estimator, nats) — the dependence screen a
+    feature-selection pass runs over every (categorical, binned-
+    numeric) column pair; 0 means the histogram of values is the same
+    whatever the event type. Completes the association toolkit next to
+    agg_chi2_independence (NHST) and agg_entropy_gini (marginal
+    concentration).
+
+    One shuffle on (x, y) builds the joint table; the marginals derive
+    from re-aggregating the JOINT counts (cardinality |X|·|Y|, tiny),
+    not by re-scanning the events — at 100 TB the fact table is read
+    once and everything after is metadata-sized, with the marginal
+    joins broadcast."""
+    b = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("x"),
+            F.floor(F.col("value") / 50).cast("long").alias("y"),
+        )
+    )
+    j = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    mx = j.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = j.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    n = j.agg(F.sum("cxy").alias("n"))
+    term = (F.col("cxy") / F.col("n")) * F.log(
+        F.col("cxy") * F.col("n") / (F.col("cx") * F.col("cy"))
+    )
+    return (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(F.round(F.sum(term), 6).alias("mi_nats"))
+        .select(F.col("n").cast("bigint").alias("n"), "mi_nats")
+    )

@@ -1579,3 +1579,80 @@ def text_dup_kgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, GREATEST(len(tk) - 1, 0))) AS i
+        FROM tok
+      )
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT t) AS vs
+          FROM (SELECT unnest(tk) AS t FROM tok))
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((c2 + 1.0) / (c1 + vs))), 6) AS avg_logprob
+    FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus's
+    own add-1-smoothed bigram LM — one modeling order above
+    text_unigram_logprob: a doc of common words in IMPLAUSIBLE order
+    (shuffled text, keyword-stuffed spam) scores near the unigram op
+    but craters here, which is why fluency gates use conditional
+    probabilities. ln((c(w1,w2)+1)/(c(w1)+V)), averaged per doc.
+
+    Scale shape: the bigram explode is the corpus-size pass; counts
+    shuffle on (w1, w2) — 2-token keys, never text bodies; the
+    probe join re-shuffles the bigram stream once against the counts;
+    V is a 1-row broadcast. At 100 TB the LM tables are the artifact
+    to materialize once (same pattern as the minhash signature table)
+    and the probe becomes broadcast after a top-k vocab cut."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("tk"),
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tk) - 1, 0)),"
+                " i -> struct(element_at(tk, i) AS w1,"
+                " element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.select(F.explode("tk").alias("t")).agg(
+        F.countDistinct("t").alias("vs")
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vs")))),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

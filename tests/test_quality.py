@@ -697,3 +697,33 @@ def test_fuzzy_blocking_bounded_on_duplicate_name_group(spark):
     n_pairs = pairs.count()
     assert pairs.distinct().count() == n_pairs
     assert n_pairs <= n_true + 1000, f"tail collisions unbounded: {n_pairs}"
+
+
+def test_mutual_information_within_entropy_bounds(spark):
+    """Information-theoretic sanity: 0 <= I(X;Y) <= min(H(X), H(Y)),
+    with the entropies computed independently here from the same
+    binning — a sign error or marginal/joint mixup violates one of the
+    bounds immediately."""
+    import math
+
+    mi = QUERIES["agg_mutual_information"](spark, SF_TEST).first()["mi_nats"]
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("x"),
+            F.floor(F.col("value") / 50).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    n = len(rows)
+
+    def entropy(vals):
+        c = Counter(vals)
+        return -sum((k / n) * math.log(k / n) for k in c.values())
+
+    hx = entropy([r.x for r in rows])
+    hy = entropy([r.y for r in rows])
+    assert -1e-9 <= mi <= min(hx, hy) + 1e-9, (mi, hx, hy)

@@ -86,6 +86,8 @@ SMOKE_OPS = {
     "stream_stream_join_outer": "events",
     "incremental_mv_join": "orders+customer",
     "join_asof_forward": "events+orders",
+    "mm_audio_features": "documents(media)",
+    "mm_video_frame_extract": "documents(media)",
 }
 
 # (table, id columns to offset, per-replica offset)
