@@ -1402,11 +1402,14 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_chi2_independence (NHST) and agg_entropy_gini (marginal
     concentration).
 
-    One shuffle on (x, y) builds the joint table; the marginals derive
-    from re-aggregating the JOINT counts (cardinality |X|·|Y|, tiny),
-    not by re-scanning the events — at 100 TB the fact table is read
-    once and everything after is metadata-sized, with the marginal
-    joins broadcast."""
+    One shuffle on (x, y) builds the joint table; the marginals are
+    WINDOWS over the joint counts (cardinality |X|·|Y|, metadata-
+    sized), so the fact table is scanned exactly ONCE — the first cut
+    re-aggregated the joint per marginal and Spark re-ran the whole
+    lineage each time (4 fact scans, measured); windows over the tiny
+    frame cost nothing and keep the plan single-pass at 100 TB."""
+    from pyspark.sql import Window
+
     b = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -1416,17 +1419,17 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
-    mx = j.groupBy("x").agg(F.sum("cxy").alias("cx"))
-    my = j.groupBy("y").agg(F.sum("cxy").alias("cy"))
-    n = j.agg(F.sum("cxy").alias("n"))
+    j = j.select(
+        "cxy",
+        F.sum("cxy").over(Window.partitionBy("x")).alias("cx"),
+        F.sum("cxy").over(Window.partitionBy("y")).alias("cy"),
+        F.sum("cxy").over(Window.partitionBy()).alias("n"),
+    )
     term = (F.col("cxy") / F.col("n")) * F.log(
         F.col("cxy") * F.col("n") / (F.col("cx") * F.col("cy"))
     )
     return (
-        j.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "y")
-        .crossJoin(F.broadcast(n))
-        .groupBy("n")
+        j.groupBy("n")
         .agg(F.round(F.sum(term), 6).alias("mi_nats"))
         .select(F.col("n").cast("bigint").alias("n"), "mi_nats")
     )

@@ -1596,14 +1596,16 @@ def text_dup_kgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok
       )
     ),
-    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
-    uc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
-    v AS (SELECT COUNT(DISTINCT t) AS vs
-          FROM (SELECT unnest(tk) AS t FROM tok))
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c2,
+             SUM(COUNT(*)) OVER (PARTITION BY w1) AS c1
+      FROM big GROUP BY w1, w2
+    ),
+    v AS (SELECT COUNT(DISTINCT w2) AS vs FROM bc)
     SELECT b.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            ROUND(AVG(ln((c2 + 1.0) / (c1 + vs))), 6) AS avg_logprob
-    FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    FROM big b JOIN bc USING (w1, w2) CROSS JOIN v
     GROUP BY b.doc_id
     ORDER BY b.doc_id
     """,
@@ -1615,13 +1617,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffled text, keyword-stuffed spam) scores near the unigram op
     but craters here, which is why fluency gates use conditional
     probabilities. ln((c(w1,w2)+1)/(c(w1)+V)), averaged per doc.
+    Vocabulary := distinct NEXT-tokens (w2 support) — the support of
+    the distribution being smoothed, derivable from the bigram-type
+    table alone on both engines.
 
     Scale shape: the bigram explode is the corpus-size pass; counts
-    shuffle on (w1, w2) — 2-token keys, never text bodies; the
-    probe join re-shuffles the bigram stream once against the counts;
-    V is a 1-row broadcast. At 100 TB the LM tables are the artifact
-    to materialize once (same pattern as the minhash signature table)
-    and the probe becomes broadcast after a top-k vocab cut."""
+    shuffle on (w1, w2) — 2-token keys, never text bodies. The
+    context totals c(w1) ride the SAME aggregation as c(w1,w2) via a
+    window over the types table (no second aggregation, no uc join —
+    the first cut's per-derived-table consumers cost 4 fact scans,
+    measured), and V is one scalar off the types table. In-flight
+    that leaves 3 scans (probe, types, V — AQE reuses the types
+    exchange); at 100 TB the LM tables are the artifact to
+    materialize ONCE (same pattern as the minhash signature table),
+    making the probe the only corpus pass, broadcast after a top-k
+    vocab cut."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1637,14 +1647,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = toks.select(F.explode("tk").alias("t")).agg(
-        F.countDistinct("t").alias("vs")
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
     )
+    v = bc.agg(F.countDistinct("w2").alias("vs"))
     return (
         big.join(bc, ["w1", "w2"])
-        .join(uc, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(

@@ -52,3 +52,49 @@ class RangeFeedDataSource(DataSource):
 
     def reader(self, schema) -> RangeFeedReader:
         return RangeFeedReader(self.options)
+
+
+class RangeFeedStreamReader:
+    """SimpleDataSourceStreamReader over the same deterministic feed:
+    offsets are plain row counts; each micro-batch serves at most
+    ``batch_rows`` rows and the feed is BOUNDED at ``total_rows`` (so
+    availableNow/processAllAvailable terminates). readBetweenOffsets
+    replays any committed range exactly — the recoverability contract
+    a streaming source must meet for checkpoint resume."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", "100"))
+        self.total_rows = int(options.get("total_rows", "1000"))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    @staticmethod
+    def _rows(start: int, end: int):
+        # iter over a prebuilt LIST: the runner's prefetch cache calls
+        # next() on the return value (so a bare list fails) but then
+        # pickles the drained rows (so a generator fails too)
+        return iter([(gid, (gid * 7 % 1000) / 4.0) for gid in range(start, end)])
+
+    def read(self, start):
+        s = start["offset"]
+        e = min(s + self.batch_rows, self.total_rows)
+        return (self._rows(s, e), {"offset": e})
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["offset"], end["offset"])
+
+    def commit(self, end):
+        pass  # offsets are recomputable; nothing external to ack
+
+
+class RangeFeedStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kas_feed_stream"
+
+    def schema(self) -> str:
+        return "gid int, val double"
+
+    def simpleStreamReader(self, schema) -> RangeFeedStreamReader:
+        return RangeFeedStreamReader(self.options)
