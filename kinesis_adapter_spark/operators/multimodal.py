@@ -869,3 +869,81 @@ def mm_video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_id")
     )
+
+
+@query(
+    "pipeline_image_curation",
+    f"""
+    WITH img AS (
+      SELECT media_id, gt_phash, gt_n_bytes
+      FROM read_parquet('{_MEDIA_ORACLE_PATH}')
+      WHERE media_type = 'image'
+    ),
+    kept AS (
+      SELECT * FROM img
+      QUALIFY row_number() OVER (PARTITION BY gt_phash ORDER BY media_id) = 1
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(k.gt_n_bytes) AS BIGINT) AS total_bytes
+    FROM kept k JOIN documents d ON k.media_id = d.doc_id
+    WHERE d.n_chars >= 100
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def pipeline_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE curation composite, one Catalyst plan: decode
+    every raster to its perceptual hash (mapInPandas, map-only) →
+    near-dup collapse keeping the lowest media_id per hash (the
+    brightness-shifted twins lose to their originals by id order) →
+    join surviving images to their documents' text-quality gate
+    (n_chars ≥ 100) → per-language byte accounting. This is the
+    multimodal sibling of pipeline_text_curation — the report a
+    vision-language training-set build reads before packing.
+
+    At 100 TB: the decode pass is map-only over the payload column,
+    the dedup shuffles 16-char hashes (never pixels), the documents
+    join broadcasts the metadata side after its filter, and the final
+    agg is map-side combined — pixels are touched exactly once."""
+    from kinesis_adapter_spark.catalog import load as _load
+    from pyspark.sql import Window
+
+    hashed = (
+        _media(spark, sf_dir)
+        .filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(
+            lambda batches: (
+                __import__("pandas").DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "phash": pdf["payload"].map(_phash_one),
+                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    }
+                )
+                for pdf in batches
+            ),
+            "media_id bigint, phash string, n_bytes bigint",
+        )
+    )
+    w = Window.partitionBy("phash").orderBy("media_id")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    d = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 100)
+        .select("doc_id", "lang")
+    )
+    return (
+        kept.join(F.broadcast(d), kept.media_id == d.doc_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("lang")
+    )

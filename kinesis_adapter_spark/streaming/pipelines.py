@@ -1356,3 +1356,65 @@ def stream_phash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "phash")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "stream_stream_join_full",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'purchase' AND user_id < 30),
+         c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'click' AND user_id < 30)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM p FULL JOIN c
+      ON p.user_id = c.user_id
+     AND p.t >= c.t AND p.t - c.t <= 600000000000
+    """,
+)
+def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — completes the join-type matrix
+    over streams (inner: stream_stream_join; left: _outer): unmatched
+    rows from BOTH sides emit null-padded on watermark close, the
+    audit shape ("every purchase AND every click accounted for") that
+    reconciliation pipelines need. Same per-side flush sentinels as
+    the left-outer form — they match each other (same user/instant)
+    and the single sentinel pair row is dropped post-materialization
+    by its negative ids; state expiry is symmetric, bounded by the
+    10-minute range condition on both sides."""
+    src = str(_events_ndjson_with_flush(sf_dir))
+
+    def _side(event_type: str):
+        return (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 10)
+            .json(src)
+            .withWatermark("ts_iso", "1 hour")
+            .filter(
+                (F.col("event_type") == event_type) & (F.col("user_id") < 30)
+            )
+        )
+
+    purchases = _side("purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_iso").alias("p_ts"),
+    )
+    clicks = _side("click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_iso").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "fullOuter",
+    ).select("purchase_id", "click_id")
+    name, _ = _run_to_memory(joined, "append")
+    # batch-side sentinel drop (in-plan filtering would push below the
+    # watermark node — see stream_stream_join_outer)
+    return spark.table(name).filter(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+    )
