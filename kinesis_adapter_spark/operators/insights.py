@@ -1252,3 +1252,202 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         runs.cast("bigint").alias("n_runs"),
         F.round((runs - mean_r) / F.sqrt(var_r), 6).alias("z_stat"),
     ).orderBy("event_type")
+
+
+@query(
+    "survival_km",
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_ns(ts) AS t, event_id,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, t,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sid,
+             CAST((MAX(t) - MIN(t)) // 60000000000 AS BIGINT) AS dur_m,
+             MAX(t) > (SELECT MAX(epoch_ns(ts)) FROM events)
+                       - 3600000000000 AS censored
+      FROM sess GROUP BY user_id, sid
+    ),
+    grp AS (
+      SELECT dur_m,
+             CAST(COUNT(*) FILTER (WHERE NOT censored) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM per_sess GROUP BY dur_m
+    ),
+    risk AS (
+      SELECT dur_m, d,
+             CAST(SUM(leaving) OVER (ORDER BY dur_m DESC) AS BIGINT)
+               AS n_risk
+      FROM grp
+    )
+    SELECT dur_m, n_risk, d,
+           ROUND(CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                           OVER (ORDER BY dur_m) = 1
+                      THEN 0.0
+                      ELSE EXP(SUM(CASE WHEN d < n_risk
+                                        THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY dur_m)) END, 6) AS survival
+    FROM risk
+    WHERE d > 0
+    ORDER BY dur_m
+    """,
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over SESSION durations: subjects
+    are 30-min-gap sessions, duration = minutes from first to last
+    event of the session, right-CENSORED when the session is still
+    open at the log edge (last event within the final hour). S(t) =
+    Π_{t'≤t} (1 − d_t'/n_t') with d = sessions ending at duration t
+    and n = sessions still at risk — the engagement-duration curve
+    with censoring handled correctly instead of the naive "cut off at
+    the edge = ended" bias. (User-lifetime KM is the same query with
+    per_user in place of per_sess; this fixture's users all survive
+    to the log edge, which would make that curve empty.)
+
+    All-relational: the sessionization shuffle (shared shape with
+    sessionize_gap), one tiny per-duration frame; the risk set is a
+    reverse-cumulative window and the product runs as exp∘sum∘ln over
+    the ordered duration frame (distinct durations ≪ sessions, so the
+    ordered windows cost nothing at 100 TB)."""
+    ev = load(spark, sf_dir, "events").withColumn("t", ts_us_trunc())
+    w_user = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap_new = F.when(
+        F.lag("t").over(w_user).isNull()
+        | (F.col("t") - F.lag("t").over(w_user) > F.lit(1_800_000_000_000)),
+        1,
+    ).otherwise(0)
+    flagged = ev.withColumn("is_new", gap_new)
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    horizon = ev.agg(
+        (F.max("t") - F.lit(3_600_000_000_000)).alias("cutoff")
+    )
+    per_sess = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            # integer floor division on BOTH engines (DuckDB's float
+            # `/` + CAST rounds half-even; that flipped bucket counts)
+            F.expr("(max(t) - min(t)) div 60000000000").alias("dur_m"),
+            F.max("t").alias("last_t"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .withColumn("censored", F.col("last_t") > F.col("cutoff"))
+    )
+    grp = per_sess.groupBy("dur_m").agg(
+        F.sum((~F.col("censored")).cast("bigint")).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur_m").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy("dur_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grp.withColumn("n_risk", F.sum("leaving").over(w_desc))
+    # S(t) hits exact 0 when d == n_risk (everyone at risk ends at t);
+    # ln(0) is an error in DuckDB and -inf in Spark, so the zero factor
+    # is carried as a flag and the remaining factors sum in log space
+    factor = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_asc)
+    return (
+        risk.withColumn(
+            "survival",
+            F.round(
+                F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                    F.exp(F.sum(factor).over(w_asc))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select("dur_m", "n_risk", "d", "survival")
+        .orderBy("dur_m")
+    )
+
+
+@query(
+    "anonymize_dp_counts",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, true_n,
+             (CAST(('0x' || substr(md5('dp-seed-' || event_type), 1, 12))
+                   AS BIGINT) + 0.5) / 281474976710656.0 AS u
+      FROM c
+    )
+    SELECT event_type, true_n,
+           ROUND(true_n + CASE WHEN u < 0.5
+                               THEN 2.0 * ln(2.0 * u)
+                               ELSE -2.0 * ln(2.0 * (1.0 - u)) END,
+                 6) AS dp_n
+    FROM u
+    ORDER BY event_type
+    """,
+)
+def anonymize_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts: per-event-type totals +
+    Laplace(b=2) noise (ε=0.5 at sensitivity 1) drawn by INVERSE-CDF
+    from a seeded md5-uniform — the reproducible-noise variant every
+    DP release pipeline with deterministic retries uses (a fresh
+    random draw per retry would burn privacy budget per execution;
+    a keyed PRF draws ONCE per released statistic). u derives from a
+    12-hex md5 prefix (+0.5 to dodge ln(0)), identical across engines,
+    so the noisy outputs hash-match exactly.
+
+    Scale: the count is the only data-sized pass; noise is a per-group
+    map expression. (Deterministic-seed DP is ε-correct only if the
+    seed key is secret and the release set is fixed — noted, as the
+    privacy caveat a real deployment documents.)"""
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dp-seed-"), F.col("event_type"))), 1, 12),
+                16,
+                10,
+            ).cast("double")
+            + 0.5
+        )
+        / F.lit(281474976710656.0)
+    )
+    noise = F.when(u < 0.5, 2.0 * F.log(2.0 * u)).otherwise(
+        -2.0 * F.log(2.0 * (1.0 - u))
+    )
+    return (
+        c.select(
+            "event_type",
+            "true_n",
+            F.round(F.col("true_n") + noise, 6).alias("dp_n"),
+        )
+        .orderBy("event_type")
+    )

@@ -727,3 +727,40 @@ def test_mutual_information_within_entropy_bounds(spark):
     hx = entropy([r.x for r in rows])
     hy = entropy([r.y for r in rows])
     assert -1e-9 <= mi <= min(hx, hy) + 1e-9, (mi, hx, hy)
+
+
+def test_survival_km_invariants(spark):
+    """Kaplan-Meier structure over session durations: survival is in
+    [0, 1] and NON-INCREASING, the risk set is non-increasing in
+    duration, d ≥ 1 on every emitted row, the first risk set equals
+    the TOTAL subject count minus nothing (every session has duration
+    ≥ the smallest bucket), and S matches an independently-computed
+    product at every step."""
+    rows = QUERIES["survival_km"](spark, SF_TEST).collect()
+    assert rows
+    prev_s, prev_risk = 1.0 + 1e-9, float("inf")
+    s_running = 1.0
+    for r in rows:
+        assert r["n_risk"] <= prev_risk, r
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9, r
+        assert r["d"] >= 1
+        s_running *= 1.0 - r["d"] / r["n_risk"]
+        assert abs(r["survival"] - round(s_running, 6)) <= 2e-6, (
+            r,
+            s_running,
+        )
+        prev_s, prev_risk = r["survival"], r["n_risk"]
+
+
+def test_dp_counts_reproducible_and_noisy(spark):
+    """Seeded DP noise must be identical across executions (keyed PRF,
+    not rand()) while actually perturbing: at least one group's
+    released value differs from its true count."""
+    a = {r["event_type"]: r["dp_n"]
+         for r in QUERIES["anonymize_dp_counts"](spark, SF_TEST).collect()}
+    b = {r["event_type"]: r["dp_n"]
+         for r in QUERIES["anonymize_dp_counts"](spark, SF_TEST).collect()}
+    assert a == b, "noise must be deterministic per released statistic"
+    true = {r["event_type"]: r["true_n"]
+            for r in QUERIES["anonymize_dp_counts"](spark, SF_TEST).collect()}
+    assert any(abs(a[k] - true[k]) > 1e-9 for k in a)
