@@ -706,3 +706,97 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.3)
         .orderBy("qid", "vec_id")
     )
+
+
+@query("emb_pca_project")  # T3: eigendecomposition is not SQL-expressible;
+# orthonormality / variance-order / reference-equality gates in pytest
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to its top-8 principal
+    components — the dimensionality reduction an ANN/clustering stage
+    runs before indexing (64→8 cuts index bytes 8× while keeping the
+    top of the spectrum).
+
+    100 TB shape (why this is NOT numpy-on-the-driver-over-the-data):
+    the only corpus-sized passes are (1) one mapInPandas over the
+    vectors computing per-partition PARTIAL moments — count, Σx,
+    Σxxᵀ — each partial a fixed 1+64+64² floats regardless of rows,
+    and (2) the map-only projection join. Partials collect to the
+    driver (numPartitions × ~33 KB), combine IN SORTED PARTITION
+    ORDER (floating-point addition isn't associative; unordered
+    combination would make the components run-dependent), eigh runs
+    on the 64×64 covariance in microseconds, and the component
+    matrix broadcasts back. Eigenvector sign is fixed by making each
+    component's largest-|coordinate| entry positive — the standard
+    determinism convention."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    d = 64
+
+    def partial_moments(batches):
+        pid_seen = {}
+        cnt, s, ss = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if len(m):
+                cnt += len(m)
+                s += m.sum(axis=0)
+                ss += m.T @ m
+        yield pd.DataFrame(
+            {
+                "cnt": [cnt],
+                "s": [s.tolist()],
+                "ss": [ss.ravel().tolist()],
+            }
+        )
+
+    parts = (
+        e.select("embedding")
+        .withColumn("pid", F.spark_partition_id())
+        .repartition(8, "pid")  # stable partial count
+        .select("embedding")
+        .mapInPandas(
+            partial_moments, "cnt long, s array<double>, ss array<double>"
+        )
+        .collect()
+    )
+    parts = sorted(parts, key=lambda r: (r["cnt"], str(r["s"][:2])))
+    n = sum(r["cnt"] for r in parts)
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in parts:
+        s += np.array(r["s"])
+        ss += np.array(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :8]  # top-8 columns
+    # deterministic sign: largest-|entry| coordinate positive
+    for j in range(comps.shape[1]):
+        k = int(np.abs(comps[:, j]).argmax())
+        if comps[k, j] < 0:
+            comps[:, j] = -comps[:, j]
+    b_mean = mean.tolist()
+    b_comps = comps.T.tolist()  # 8 × 64
+
+    def project(batches):
+        m_mean = np.array(b_mean)
+        m_comps = np.array(b_comps)  # (8, 64)
+        for pdf in batches:
+            m = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            proj = (m - m_mean) @ m_comps.T if len(m) else np.zeros((0, 8))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj": [np.round(row, 6).tolist() for row in proj],
+                }
+            )
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(project, "vec_id bigint, proj array<double>")
+        .orderBy("vec_id")
+    )

@@ -288,3 +288,76 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         bucketize, "doc_id long, n_chars long, bucket long"
     ).orderBy("doc_id")
+
+
+@query(
+    "udtf_table_arg",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_ns(ts) AS t, event_id
+      FROM events WHERE user_id < 50
+    ),
+    g AS (
+      SELECT user_id,
+             t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS gap
+      FROM ev
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(MAX(gap) // 60000000000, 0) AS BIGINT)
+             AS max_gap_min
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument (Spark 4):
+    ``gap_summary(TABLE(...) PARTITION BY user_id ORDER BY t)`` — the
+    engine feeds each UDTF INSTANCE one ordered partition and
+    ``terminate`` emits its summary row, the structured-stream-free
+    way to run sequential per-key Python logic (state machines,
+    sessionizers, protocol decoders) inside SQL. Max inter-event gap
+    per user here; the window-function oracle proves the partition
+    feed is complete and correctly ordered.
+
+    At 100 TB this shape shuffles once on the PARTITION BY key and
+    streams each group through Python via Arrow — same cost model as
+    applyInPandas but callable from SQL and composable with lateral
+    joins."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_min bigint")
+    class GapSummary:
+        def __init__(self):
+            self._uid = None
+            self._n = 0
+            self._prev = None
+            self._max = 0
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            self._n += 1
+            t = row["t"]
+            if self._prev is not None and t - self._prev > self._max:
+                self._max = t - self._prev
+            self._prev = t
+
+        def terminate(self):
+            if self._uid is not None:
+                yield self._uid, self._n, self._max // 60_000_000_000
+
+    spark.udtf.register("kas_gap_summary", GapSummary)
+    (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", F.col("ts").alias("t"), "event_id")
+        .createOrReplaceTempView("events_for_tbludtf")
+    )
+    return spark.sql(
+        """
+        SELECT * FROM kas_gap_summary(
+          TABLE(events_for_tbludtf)
+          PARTITION BY user_id ORDER BY (t, event_id)
+        )
+        ORDER BY user_id
+        """
+    )

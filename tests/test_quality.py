@@ -764,3 +764,42 @@ def test_dp_counts_reproducible_and_noisy(spark):
     true = {r["event_type"]: r["true_n"]
             for r in QUERIES["anonymize_dp_counts"](spark, SF_TEST).collect()}
     assert any(abs(a[k] - true[k]) > 1e-9 for k in a)
+
+
+def test_pca_projection_matches_numpy_reference(spark):
+    """emb_pca_project (T3 — eigh isn't SQL) against a from-scratch
+    numpy PCA computed here on the collected corpus: projections must
+    agree to 1e-5 after the same sign convention, per-component
+    variances must be non-increasing (top of the spectrum first), and
+    two runs must be identical (sorted-partial combination makes the
+    float sums deterministic)."""
+    import numpy as np
+
+    out1 = {r["vec_id"]: r["proj"]
+            for r in QUERIES["emb_pca_project"](spark, SF_TEST).collect()}
+    out2 = {r["vec_id"]: r["proj"]
+            for r in QUERIES["emb_pca_project"](spark, SF_TEST).collect()}
+    assert out1 == out2, "PCA must be run-deterministic"
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Xc = X - X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(X.mean(axis=0), X.mean(axis=0))
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :8]
+    for j in range(8):
+        k = int(np.abs(comps[:, j]).argmax())
+        if comps[k, j] < 0:
+            comps[:, j] = -comps[:, j]
+    ref = Xc @ comps
+    got = np.array([out1[i] for i in ids])
+    assert np.abs(got - ref).max() < 1e-5, np.abs(got - ref).max()
+    # orthonormal components => projected covariance is diagonal with
+    # non-increasing variances
+    var = got.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7)), var
