@@ -1433,3 +1433,70 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("mi_nats"))
         .select(F.col("n").cast("bigint").alias("n"), "mi_nats")
     )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS x, l_quantity AS wt
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, x, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY x, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    )
+    SELECT l_returnflag,
+           MIN(x) FILTER (WHERE cw * 2 >= tw) AS weighted_median,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM cum
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower weighted-quantile convention: smallest x
+    whose cumulative weight reaches half the total) of extended price
+    weighted by quantity, per return flag — the robust center for
+    quantity-weighted price analysis where each row represents wt
+    units, not one observation. percentile()/median() can't express
+    per-row weights, so this is its own operator everywhere.
+
+    One shuffle on the group key serves both windows (cumulative and
+    total weight share the partitioning), then a map-side-combinable
+    min/count — same single-sort shape as the exact percentile key.
+    Ties on x are ordered (x, wt) identically on both engines so the
+    boundary row is deterministic."""
+    w = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("wt"),
+    )
+    wp = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "x",
+        F.sum("wt")
+        .over(
+            wp.orderBy("x", "wt").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw"),
+        F.sum("wt").over(wp).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("x"))).alias(
+                "weighted_median"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

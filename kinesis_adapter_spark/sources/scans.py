@@ -672,3 +672,24 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     return spark.table(name).orderBy("gid")
+
+
+@query(
+    "scan_text_lines",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ``text`` source + full-record from_json parse: each NDJSON
+    line arrives as one string row and the typed record is extracted
+    in a single from_json against the declared schema — the
+    lowest-level ingest path (upstream of the schema'd json reader)
+    and the one you reach for when lines need pre-cleaning before
+    parse. Oracled against the ORIGINAL parquet, so text-split,
+    JSON-parse, and numeric round-trip must all be lossless."""
+    lines = spark.read.text(str(ensure_events_ndjson(sf_dir)))
+    rec = F.from_json("value", EVENTS_JSON_SCHEMA)
+    return lines.select(rec.alias("r")).select(
+        "r.event_id", "r.user_id", "r.event_type", "r.value"
+    )
