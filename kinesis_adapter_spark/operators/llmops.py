@@ -1666,3 +1666,88 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_url_canonical",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://Example.COM/docs/' || (doc_id // 4)
+                           || '?utm_source=x&b=2&a=1'
+               WHEN 1 THEN 'https://example.com:443/docs/' || (doc_id // 4)
+                           || '?a=1&b=2&utm_campaign=y'
+               WHEN 2 THEN 'https://example.com/docs/' || (doc_id // 4)
+                           || '?b=2&a=1'
+               ELSE 'https://EXAMPLE.com/docs/' || (doc_id // 4)
+                           || '?a=1&utm_medium=z&b=2'
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             replace(lower(str_split(url, '?')[1]), ':443', '')
+             || '?' ||
+             array_to_string(
+               list_sort(list_filter(str_split(str_split(url, '?')[2], '&'),
+                                     p -> p NOT LIKE 'utm_%')), '&')
+               AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier/document-source
+    dedup every web-corpus pipeline runs before fetching or keeping
+    anything: case-fold scheme+host, strip the default :443 port, drop
+    utm_* tracking params, sort the surviving query params, group by
+    the canonical form. The fixture derives four raw variants of each
+    canonical URL from doc_id (mixed case, explicit default port,
+    shuffled params, tracking noise) and all four must collapse.
+
+    Pure JVM HOFs (split/filter/array_sort/concat) — no UDF in the
+    canonicalization — then one groupBy on the canonical string: the
+    shuffle carries canonical keys only, linear at crawl scale."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    url = F.expr(
+        """
+        CASE doc_id % 4
+          WHEN 0 THEN concat('https://Example.COM/docs/', doc_id div 4,
+                             '?utm_source=x&b=2&a=1')
+          WHEN 1 THEN concat('https://example.com:443/docs/', doc_id div 4,
+                             '?a=1&b=2&utm_campaign=y')
+          WHEN 2 THEN concat('https://example.com/docs/', doc_id div 4,
+                             '?b=2&a=1')
+          ELSE concat('https://EXAMPLE.com/docs/', doc_id div 4,
+                      '?a=1&utm_medium=z&b=2')
+        END
+        """
+    )
+    canon = F.expr(
+        """
+        concat(
+          replace(lower(split(url, '\\\\?')[0]), ':443', ''),
+          '?',
+          concat_ws('&',
+            array_sort(filter(split(split(url, '\\\\?')[1], '&'),
+                              p -> p NOT LIKE 'utm_%')))
+        )
+        """
+    )
+    return (
+        d.withColumn("url", url)
+        .withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("keep_doc_id")
+    )

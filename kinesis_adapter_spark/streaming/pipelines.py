@@ -1418,3 +1418,46 @@ def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
         & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
     )
+
+
+@query(
+    "stream_dedup_ttl",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) expires each key's
+    dedup state once the watermark passes its event time — the form
+    that survives 100 TB streams, where plain dropDuplicates grows
+    state forever (one entry per key ever seen; stream_dedup shows
+    that semantics). Correct whenever duplicate deliveries land within
+    the watermark delay of the original — true for re-read/retry dups,
+    which arrive seconds-to-minutes apart; the staged dir carries
+    every file twice and the restored counts must equal the batch
+    truth. Re-deliveries older than the watermark are dropped outright
+    (already delivered — late dup, not data loss)."""
+    base = ensure_events_ndjson(sf_dir)
+    duped = Path(tempfile.gettempdir()) / f"kas_dup_{Path(sf_dir).name}"
+    done = duped / "_STAGED"
+    if not done.exists():
+        duped.mkdir(parents=True, exist_ok=True)
+        for f in sorted(base.glob("events-*.json")):
+            (duped / f.name).write_bytes(f.read_bytes())
+            (duped / f"dup-{f.name}").write_bytes(f.read_bytes())
+        done.touch()
+    src = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(str(duped))
+    )
+    deduped = src.withWatermark("ts_iso", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name, _ = _run_to_memory(deduped, "append")
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
