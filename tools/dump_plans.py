@@ -24,6 +24,14 @@ SF = "/root/testdata/sf0.01"
 
 # key -> what to look for in the plan
 SHOWCASE = {
+    "incremental_mv_join": (
+        "IVM: zero Exchange hashpartitioning — the staged view flows "
+        "map-side; delta join and anti-join both broadcast"
+    ),
+    "dedup_image_phash": (
+        "map-only mapInPandas decode+hash, then an equi self-join on "
+        "the 16-char hash — pixels shuffle nowhere"
+    ),
     "q6_forecast_revenue": (
         "all predicates in PushedFilters; 4-column ReadSchema; "
         "partial+final HashAggregate around a single-row exchange"
