@@ -228,45 +228,57 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_range_bucketed",
     """
-    SELECT e.event_id, COUNT(*) AS n_orders
-    FROM events e
-    JOIN orders o
-      ON epoch_ns(o.o_orderdate) BETWEEN epoch_ns(e.ts) - 86400000000000
-                                     AND epoch_ns(e.ts)
-    GROUP BY e.event_id
+    WITH p AS (SELECT event_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, COUNT(*) AS n_clicks_24h
+    FROM p JOIN c
+      ON c.t BETWEEN p.t - 86400000000000 AND p.t
+    GROUP BY p.event_id
     """,
 )
 def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PURE range join (no equi key): orders placed within the 24 h
-    before each event. Naively this is a BroadcastNestedLoopJoin —
-    O(|events|·|orders|), dead at scale. The bucketed rewrite makes it
-    an EQUI join: each event explodes into its two candidate day
-    buckets (interval ≤ bucket width ⇒ exactly 2), orders carry their
+    """PURE range join (no equi key): for every purchase, the count of
+    ALL clicks (any user) in the preceding 24 h — the global-context
+    feature ("site-wide activity before this conversion") that has no
+    join key at all. Naively a BroadcastNestedLoopJoin —
+    O(|purchases|·|clicks|), dead at scale. The bucketed rewrite makes
+    it an EQUI join: each purchase explodes into its two candidate day
+    buckets (interval ≤ bucket width ⇒ exactly 2), clicks carry their
     day bucket, the join runs hash/SMJ on the bucket key, and the
     exact range predicate applies as a residual filter. Cost is
     corpus-linear + true-match-linear at any scale; DuckDB's native
-    IEJoin range optimizer is the oracle."""
+    IEJoin range optimizer is the oracle.
+
+    (r6: the original formulation ranged events against ORDERS, whose
+    date domain — 1995-2001 vs events' 2024 — never overlaps, so the
+    key had been vacuously green since r2; a zero-row oracle sweep
+    caught it. Both sides now live in the events time domain and the
+    result is non-empty at every sf.)"""
     day_ns = 86_400_000_000_000
     # integer `div` — double division loses exactness above 2^53 (ns
     # epochs are ~1.7e18) and a mis-floored bucket drops true matches
-    ev = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
-        F.col("ts").alias("ev_ns"),
+        F.col("ts").alias("p_ns"),
         F.expr(f"ts div {day_ns}").alias("d"),
     )
-    ev2 = ev.select(
-        "event_id", "ev_ns", F.explode(F.array(F.col("d") - 1, F.col("d"))).alias("b")
+    p2 = p.select(
+        "event_id", "p_ns", F.explode(F.array(F.col("d") - 1, F.col("d"))).alias("b")
     )
-    o = (
-        load(spark, sf_dir, "orders")
-        .select((F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias("o_ns"))
-        .select("o_ns", F.expr(f"o_ns div {day_ns}").alias("b"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ns"), F.expr(f"ts div {day_ns}").alias("b")
     )
     return (
-        ev2.join(o, "b")
-        .filter((F.col("o_ns") >= F.col("ev_ns") - day_ns) & (F.col("o_ns") <= F.col("ev_ns")))
+        p2.join(c, "b")
+        .filter(
+            (F.col("c_ns") >= F.col("p_ns") - day_ns)
+            & (F.col("c_ns") <= F.col("p_ns"))
+        )
         .groupBy("event_id")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_clicks_24h"))
     )
 
 
@@ -802,4 +814,80 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
         """
+    )
+
+
+@query(
+    "join_spatial_grid",
+    """
+    WITH pts AS (
+      SELECT event_id,
+             ((event_id * 7919) % 16000) / 1000.0 - 8.0 AS x,
+             ((event_id * 104729) % 16000) / 1000.0 - 8.0 AS y
+      FROM events
+    ),
+    a AS (SELECT * FROM pts WHERE event_id % 10 = 0),
+    b AS (SELECT * FROM pts WHERE event_id % 10 = 5)
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           ROUND((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9) AS dist2
+    FROM a JOIN b
+      ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.0025
+    ORDER BY id_a, id_b
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL radius join by grid-cell blocking — the planar sibling
+    of join_range_bucketed's temporal bucketing: each left point
+    explodes into its 3×3 neighborhood of 0.05-unit grid cells, the
+    right side carries its own cell, the join runs as an EQUI join on
+    the cell key, and the exact distance predicate filters residually.
+    Cell width = radius guarantees recall (any pair within r sits in
+    adjacent cells), so the naive O(|A|·|B|) cross-distance never
+    exists — candidates are bounded by local density × 9 cells, the
+    same contract a geohash/H3/S2 bucketing gives at planet scale.
+    Coordinates derive deterministically from event ids via PRIME
+    multipliers (a small multiplier sharing factors with the id stride
+    collapsed the points onto a 2-unit lattice and made the result
+    vacuously empty — caught by the non-empty plan test); Euclidean
+    distance on identically-derived doubles keeps both engines
+    bit-agreeing at the radius boundary (no trig)."""
+    cell = 0.05
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        (((F.col("event_id") * 7919) % 16000) / 1000.0 - 8.0).alias("x"),
+        (((F.col("event_id") * 104729) % 16000) / 1000.0 - 8.0).alias("y"),
+    )
+    a = pts.filter(F.col("event_id") % 10 == 0)
+    b = pts.filter(F.col("event_id") % 10 == 5)
+    gx = F.floor(F.col("x") / cell).cast("long")
+    gy = F.floor(F.col("y") / cell).cast("long")
+    a9 = (
+        a.withColumn("gx0", gx)
+        .withColumn("gy0", gy)
+        .withColumn("dgx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dgy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("gx0") + F.col("dgx")).alias("cgx"),
+            (F.col("gy0") + F.col("dgy")).alias("cgy"),
+        )
+    )
+    b1 = b.select(
+        F.col("event_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        gx.alias("cgx"),
+        gy.alias("cgy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a9.join(b1, ["cgx", "cgy"])
+        .filter(d2 <= cell * cell)
+        .select("id_a", "id_b", F.round(d2, 9).alias("dist2"))
+        .distinct()
+        .orderBy("id_a", "id_b")
     )

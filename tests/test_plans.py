@@ -772,3 +772,18 @@ def test_incremental_mv_maintenance_never_shuffles_the_view(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange hashpartitioning" not in final, final[:3000]
     assert final.count("BroadcastHashJoin") >= 2, final[:3000]
+
+
+def test_spatial_grid_join_is_equi_not_cartesian(spark):
+    """The radius join must run as a hash/SMJ equi-join on the grid
+    cell key with the distance predicate residual — a
+    BroadcastNestedLoopJoin or CartesianProduct here is the O(|A|·|B|)
+    shape grid blocking exists to prevent."""
+    df = QUERIES["join_spatial_grid"](spark, SF_TEST)
+    n = df.count()
+    assert n > 0, "fixture produced no near pairs — the check is vacuous"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final[:3000]
+    assert "BroadcastNestedLoopJoin" not in final, final[:3000]
+    assert "HashJoin" in final or "SortMergeJoin" in final, final[:3000]
