@@ -884,10 +884,12 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
+    # no distinct: b carries exactly ONE cell, so each (a, b) pair can
+    # meet in at most one cell — a distinct here would add a full
+    # extra shuffle for nothing (r6 review finding)
     return (
         a9.join(b1, ["cgx", "cgy"])
         .filter(d2 <= cell * cell)
         .select("id_a", "id_b", F.round(d2, 9).alias("dist2"))
-        .distinct()
         .orderBy("id_a", "id_b")
     )

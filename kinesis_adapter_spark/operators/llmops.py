@@ -1549,17 +1549,24 @@ def text_dup_kgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     In production gram strings would be 16-byte hashes; kept raw here
     so the DuckDB oracle shares the exact key."""
     d = mutated_documents(spark, sf_dir)
+    # tk is bound ONCE (Catalyst does not CSE inside HOF lambdas — the
+    # first cut re-split the text 5× per gram), and the window count is
+    # guarded with CASE: greatest(n-4, 0) does NOT guard, because
+    # sequence(1, 0) is the DESCENDING [1, 0] and element_at(tk, 0)
+    # raises under ANSI — a <5-token doc crashed Spark while the
+    # DuckDB oracle returned no grams (r6 review finding).
     grams = (
-        d.select(
+        d.select("doc_id", F.split("text", " ").alias("tk"))
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
-                    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-                    " element_at(split(text, ' '), i+1),"
-                    " element_at(split(text, ' '), i+2),"
-                    " element_at(split(text, ' '), i+3),"
-                    " element_at(split(text, ' '), i+4)))"
+                    "CASE WHEN size(tk) > 4"
+                    " THEN transform(sequence(1, size(tk) - 4),"
+                    " i -> concat_ws(' ', element_at(tk, i),"
+                    " element_at(tk, i+1), element_at(tk, i+2),"
+                    " element_at(tk, i+3), element_at(tk, i+4)))"
+                    " ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("g"),
         )
@@ -1641,9 +1648,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(tk) - 1, 0)),"
+                # CASE guard, not greatest(n-1, 0): sequence(1, 0) is
+                # the DESCENDING [1, 0] and element_at(tk, 0) raises
+                # under ANSI — a 1-token doc crashed Spark while the
+                # oracle returned no bigrams (r6 review finding)
+                "CASE WHEN size(tk) > 1"
+                " THEN transform(sequence(1, size(tk) - 1),"
                 " i -> struct(element_at(tk, i) AS w1,"
                 " element_at(tk, i + 1) AS w2))"
+                " ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))

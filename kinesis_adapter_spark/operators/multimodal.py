@@ -693,23 +693,40 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking, the same bounded-bucket discipline as dedup_exact, never
     an all-pairs image comparison. Hamming-radius>0 matching would
     bucket by hash BANDS exactly like dedup_simhash does for text."""
-    hashed = (
-        _media(spark, sf_dir)
-        .filter(F.col("media_type") == "image")
-        .select("media_id", "payload")
-        .mapInPandas(
-            lambda batches: (
-                __import__("pandas").DataFrame(
-                    {
-                        "media_id": pdf["media_id"],
-                        "phash": pdf["payload"].map(_phash_one),
-                    }
-                )
-                for pdf in batches
-            ),
-            "media_id bigint, phash string",
-        )
+    hashed = phash_frame(
+        _media(spark, sf_dir).filter(F.col("media_type") == "image")
+    ).drop("n_bytes")
+    return phash_pairs(hashed)
+
+
+def phash_frame(images: DataFrame) -> DataFrame:
+    """(media_id, phash, n_bytes) for an image DataFrame carrying
+    (media_id, payload) — THE single decode+hash mapInPandas; every
+    phash consumer (batch dedup, the curation pipeline, the streaming
+    index maintainer) maps this one function so the output contract
+    can't fork (r6 review finding: three inline copies)."""
+    import pandas as pd
+
+    def _hash(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(_phash_one),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return images.select("media_id", "payload").mapInPandas(
+        _hash, "media_id bigint, phash string, n_bytes bigint"
     )
+
+
+def phash_pairs(hashed: DataFrame) -> DataFrame:
+    """Distinct-free equi self-join on the hash: (id_a, id_b, phash)
+    with id_a < id_b — shared by dedup_image_phash and
+    stream_phash_maintain, whose oracle-sharing contract requires the
+    two joins to stay identical."""
     a = hashed.select(F.col("media_id").alias("id_a"), "phash")
     b = hashed.select(F.col("media_id").alias("id_b"), "phash")
     return (
@@ -909,23 +926,8 @@ def pipeline_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_adapter_spark.catalog import load as _load
     from pyspark.sql import Window
 
-    hashed = (
-        _media(spark, sf_dir)
-        .filter(F.col("media_type") == "image")
-        .select("media_id", "payload")
-        .mapInPandas(
-            lambda batches: (
-                __import__("pandas").DataFrame(
-                    {
-                        "media_id": pdf["media_id"],
-                        "phash": pdf["payload"].map(_phash_one),
-                        "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    }
-                )
-                for pdf in batches
-            ),
-            "media_id bigint, phash string, n_bytes bigint",
-        )
+    hashed = phash_frame(
+        _media(spark, sf_dir).filter(F.col("media_type") == "image")
     )
     w = Window.partitionBy("phash").orderBy("media_id")
     kept = (

@@ -212,6 +212,28 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ndjson_duped(sf_dir: str) -> Path:
+    """events NDJSON with every file staged TWICE (duplicate
+    deliveries — the reference's re-read failure mode). Shared by
+    stream_dedup and stream_dedup_ttl; fingerprinted via
+    fresh_staging so a regenerated events.parquet (or a
+    DERIVED_VERSION bump) restages instead of serving stale
+    duplicates — the r6 review caught the original bare-_STAGED /tmp
+    dir surviving fixture rebuilds (the ADVICE-r4 drift class)."""
+    import shutil
+
+    base = ensure_events_ndjson(sf_dir)
+    out = derived_dir(sf_dir) / "events_ndjson_duped"
+    staging = fresh_staging(out, Path(sf_dir) / "events.parquet")
+    if staging is not None:
+        done, fp = staging
+        for f in sorted(base.glob("events-*.json")):
+            shutil.copy(f, out / f.name)
+            shutil.copy(f, out / f"dup-{f.name}")
+        done.write_text(fp)
+    return out
+
+
 @query(
     "stream_dedup",
     """
@@ -225,19 +247,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every file TWICE (duplicate deliveries — the reference's re-read
     failure mode); dropDuplicates on event_id within the watermark
     restores exactly-once counts."""
-    base = ensure_events_ndjson(sf_dir)
-    duped = Path(tempfile.gettempdir()) / f"kas_dup_{Path(sf_dir).name}"
-    done = duped / "_STAGED"
-    if not done.exists():
-        duped.mkdir(parents=True, exist_ok=True)
-        for f in sorted(base.glob("events-*.json")):
-            (duped / f.name).write_bytes(f.read_bytes())
-            (duped / f"dup-{f.name}").write_bytes(f.read_bytes())
-        done.touch()
     src = (
         spark.readStream.schema(EVENTS_JSON_SCHEMA)
         .option("maxFilesPerTrigger", 16)
-        .json(str(duped))
+        .json(str(_events_ndjson_duped(sf_dir)))
     )
     deduped = src.withWatermark("ts_iso", "1 day").dropDuplicates(["event_id"])
     name, _ = _run_to_memory(deduped, "append")
@@ -377,6 +390,46 @@ def _events_ndjson_with_flush(sf_dir: str) -> Path:
     return out
 
 
+def _purchases_clicks_join(spark: SparkSession, sf_dir: str, how: str):
+    """Shared purchases⋈clicks stream-stream topology (watermarks both
+    sides, 10-minute range condition) parameterized by join type —
+    inner/left-outer/full-outer keys all build THE one topology so the
+    watermark delay, range bound, and user filter can't diverge
+    between them (r6 review finding: two 45-line copies)."""
+    src = str(_events_ndjson_with_flush(sf_dir))
+
+    def _side(event_type: str):
+        return (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", 10)
+            .json(src)
+            .withWatermark("ts_iso", "1 hour")
+            .filter(
+                (F.col("event_type") == event_type) & (F.col("user_id") < 30)
+            )
+        )
+
+    purchases = _side("purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_iso").alias("p_ts"),
+    )
+    clicks = _side("click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_iso").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        how,
+    ).select("purchase_id", "click_id")
+    name, _ = _run_to_memory(joined, "append")
+    return spark.table(name)
+
+
 @query(
     "stream_stream_join_outer",
     """
@@ -409,45 +462,16 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       passes t (Spark derives the eviction bound from the range
       condition), so at 100 TB state size is bounded by the 10-minute
       window × per-user arrival rate, not by stream length."""
-    src = str(_events_ndjson_with_flush(sf_dir))
-
-    def _side(event_type: str):
-        return (
-            spark.readStream.schema(EVENTS_JSON_SCHEMA)
-            .option("maxFilesPerTrigger", 10)
-            .json(src)
-            .withWatermark("ts_iso", "1 hour")
-            .filter(
-                (F.col("event_type") == event_type) & (F.col("user_id") < 30)
-            )
-        )
-
-    purchases = _side("purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts_iso").alias("p_ts"),
+    # Sentinels drop on the BATCH side, after materialization:
+    # filtering inside the streaming plan does not work — Catalyst
+    # pushes the non-event-time predicate below the left side's
+    # EventTimeWatermark node, which deletes the sentinel before it
+    # can advance the watermark and re-strands the final hour's
+    # unmatched purchases in state (probed; same pushdown that rules
+    # out an event_type-based sentinel).
+    return _purchases_clicks_join(spark, sf_dir, "leftOuter").filter(
+        F.col("purchase_id") >= 0
     )
-    clicks = _side("click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts_iso").alias("c_ts"),
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
-        "leftOuter",
-    ).select("purchase_id", "click_id")
-    name, _ = _run_to_memory(joined, "append")
-    # Drop the flush sentinels (negative ids) on the BATCH side, after
-    # materialization: filtering inside the streaming plan does not
-    # work — Catalyst pushes the non-event-time predicate below the
-    # left side's EventTimeWatermark node, which deletes the sentinel
-    # before it can advance the watermark and re-strands the final
-    # hour's unmatched purchases in state (probed; same pushdown that
-    # rules out an event_type-based sentinel).
-    return spark.table(name).filter(F.col("purchase_id") >= 0)
 
 
 @query(
@@ -1277,7 +1301,6 @@ def stream_phash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as papq
 
     from kinesis_adapter_spark.operators.multimodal import (
-        _phash_one,
         ensure_media_parquet,
     )
 
@@ -1315,23 +1338,10 @@ def stream_phash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def index_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import pandas as pd
+        from kinesis_adapter_spark.operators.multimodal import phash_frame
 
-        (
-            batch_df.mapInPandas(
-                lambda batches: (
-                    pd.DataFrame(
-                        {
-                            "media_id": pdf["media_id"],
-                            "phash": pdf["payload"].map(_phash_one),
-                        }
-                    )
-                    for pdf in batches
-                ),
-                "media_id bigint, phash string",
-            )
-            .write.mode("append")
-            .parquet(idx_path)
+        phash_frame(batch_df).drop("n_bytes").write.mode("append").parquet(
+            idx_path
         )
 
     stream = (
@@ -1347,15 +1357,10 @@ def stream_phash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_done(q, 180)
 
+    from kinesis_adapter_spark.operators.multimodal import phash_pairs
+
     idx = spark.read.parquet(idx_path).distinct()  # replay-safe collapse
-    a = idx.select(F.col("media_id").alias("id_a"), "phash")
-    b = idx.select(F.col("media_id").alias("id_b"), "phash")
-    return (
-        a.join(b, "phash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "phash")
-        .orderBy("id_a", "id_b")
-    )
+    return phash_pairs(idx)
 
 
 @query(
@@ -1381,40 +1386,9 @@ def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the single sentinel pair row is dropped post-materialization
     by its negative ids; state expiry is symmetric, bounded by the
     10-minute range condition on both sides."""
-    src = str(_events_ndjson_with_flush(sf_dir))
-
-    def _side(event_type: str):
-        return (
-            spark.readStream.schema(EVENTS_JSON_SCHEMA)
-            .option("maxFilesPerTrigger", 10)
-            .json(src)
-            .withWatermark("ts_iso", "1 hour")
-            .filter(
-                (F.col("event_type") == event_type) & (F.col("user_id") < 30)
-            )
-        )
-
-    purchases = _side("purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts_iso").alias("p_ts"),
-    )
-    clicks = _side("click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts_iso").alias("c_ts"),
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
-        "fullOuter",
-    ).select("purchase_id", "click_id")
-    name, _ = _run_to_memory(joined, "append")
     # batch-side sentinel drop (in-plan filtering would push below the
     # watermark node — see stream_stream_join_outer)
-    return spark.table(name).filter(
+    return _purchases_clicks_join(spark, sf_dir, "fullOuter").filter(
         (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
         & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
     )
@@ -1440,19 +1414,10 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     every file twice and the restored counts must equal the batch
     truth. Re-deliveries older than the watermark are dropped outright
     (already delivered — late dup, not data loss)."""
-    base = ensure_events_ndjson(sf_dir)
-    duped = Path(tempfile.gettempdir()) / f"kas_dup_{Path(sf_dir).name}"
-    done = duped / "_STAGED"
-    if not done.exists():
-        duped.mkdir(parents=True, exist_ok=True)
-        for f in sorted(base.glob("events-*.json")):
-            (duped / f.name).write_bytes(f.read_bytes())
-            (duped / f"dup-{f.name}").write_bytes(f.read_bytes())
-        done.touch()
     src = (
         spark.readStream.schema(EVENTS_JSON_SCHEMA)
         .option("maxFilesPerTrigger", 16)
-        .json(str(duped))
+        .json(str(_events_ndjson_duped(sf_dir)))
     )
     deduped = src.withWatermark("ts_iso", "1 day").dropDuplicatesWithinWatermark(
         ["event_id"]

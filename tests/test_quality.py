@@ -803,3 +803,42 @@ def test_pca_projection_matches_numpy_reference(spark):
     # non-increasing variances
     var = got.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7)), var
+
+
+def test_gram_ops_survive_short_documents(spark):
+    """r6 review: greatest(n-k, 0) does NOT guard Spark's sequence() —
+    sequence(1, 0) yields the DESCENDING [1, 0] and element_at(tk, 0)
+    raises under ANSI, so a document shorter than the gram width
+    crashed the engine while DuckDB returned zero grams. Drive the
+    exact expressions the two gram ops use over 0/1/4-token docs and
+    require zero grams, not an exception."""
+    short = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b c d"), (4, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    tk = short.select("doc_id", F.split("text", " ").alias("tk"))
+    kgrams = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) > 4"
+                " THEN transform(sequence(1, size(tk) - 4),"
+                " i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1),"
+                " element_at(tk, i+2), element_at(tk, i+3), element_at(tk, i+4)))"
+                " ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("g"),
+    ).collect()
+    assert {r.doc_id for r in kgrams} == {4}, kgrams
+    bigrams = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) > 1"
+                " THEN transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS w1, element_at(tk, i+1) AS w2))"
+                " ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+            )
+        ).alias("b"),
+    ).collect()
+    assert {r.doc_id for r in bigrams} == {3, 4}  # "" splits to [""] (size 1)
