@@ -88,6 +88,17 @@ SMOKE_OPS = {
     "join_asof_forward": "events+orders",
     "mm_audio_features": "documents(media)",
     "mm_video_frame_extract": "documents(media)",
+    "text_bigram_logprob": "documents",
+    "agg_weighted_median": "lineitem",
+    # NOTE join_spatial_grid: uniform replication multiplies point
+    # DENSITY in a fixed area, so true pair count grows with the
+    # SQUARE of the factor (measured 64x rows at 8x data; runtime
+    # 24x < output growth => per-pair cost constant). Real spatial
+    # corpora grow area, not uniform density — same output-linearity
+    # class as fuzzy_match_names; judge its ratio against the output
+    # count, not the data factor.
+    "join_spatial_grid": "events",
+    "survival_km": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
