@@ -1500,3 +1500,101 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Inverse CDF of Poisson(1) as nested CASE — deterministic bootstrap
+# weights from a keyed uniform, identical on both engines. Thresholds
+# are the Poisson(1) CDF at k = 0..4 (1/e, 2/e, 2.5/e, ...).
+_POIS1_SQL = (
+    "CASE WHEN {u} < 0.36787944117144233 THEN 0 "
+    "WHEN {u} < 0.7357588823428847 THEN 1 "
+    "WHEN {u} < 0.9196986029286058 THEN 2 "
+    "WHEN {u} < 0.9810118431238462 THEN 3 "
+    "WHEN {u} < 0.9963401531726563 THEN 4 ELSE 5 END"
+)
+
+
+@query(
+    "agg_bootstrap_ci",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    rep AS (
+      SELECT event_type, b,
+             SUM(w * value) / SUM(w) AS m
+      FROM (
+        SELECT e.event_type, e.value, r.b,
+               {_POIS1_SQL.format(u="(CAST(('0x' || substr(md5('boot-' || r.b || '-' || e.event_id), 1, 12)) AS BIGINT) + 0.5) / 281474976710656.0")} AS w
+        FROM e, (SELECT unnest(generate_series(0, 31)) AS b) r
+      )
+      GROUP BY event_type, b
+    )
+    SELECT event_type,
+           ROUND(AVG(m), 6) AS boot_mean,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM rep
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the per-type mean
+    value — distributional inference WITHOUT collecting data or a
+    second pass: each row contributes to all 32 bootstrap replicates
+    with an independent Poisson(1) weight drawn by inverse-CDF from a
+    keyed md5-uniform (the classic online/streaming bootstrap), so the
+    whole CI costs one explode(32) + one (type, replicate) aggregation
+    + a 32-value quantile per type. Deterministic: the weight is a PRF
+    of (replicate, event_id), so engines and retries agree exactly.
+
+    At 100 TB the explode factor is the only cost knob (32× row
+    amplification in the map stage, combiner-reduced immediately);
+    the alternative — collecting samples to the driver — does not
+    exist at that scale."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    rep = e.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("event_id"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("boot-"), F.col("b"), F.lit("-"), F.col("event_id"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(281474976710656.0)
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+    )
+    return (
+        means.groupBy("event_type")
+        .agg(
+            F.round(F.avg("m"), 6).alias("boot_mean"),
+            F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -842,3 +842,25 @@ def test_gram_ops_survive_short_documents(spark):
         ).alias("b"),
     ).collect()
     assert {r.doc_id for r in bigrams} == {3, 4}  # "" splits to [""] (size 1)
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    """The 95% bootstrap CI must bracket the true per-type mean (with
+    32 replicates over thousands of rows, a miss means the weighting
+    or replicate aggregation is wrong, not bad luck), be strictly
+    ordered lo < mean-ish < hi, and have nonzero width."""
+    rows = {r["event_type"]: r
+            for r in QUERIES["agg_bootstrap_ci"](spark, SF_TEST).collect()}
+    truth = {
+        r["event_type"]: r["m"]
+        for r in spark.read.parquet(f"{SF_TEST}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    assert rows.keys() == truth.keys()
+    for et, r in rows.items():
+        assert r["ci_lo"] < r["ci_hi"], r
+        assert r["ci_lo"] <= truth[et] <= r["ci_hi"], (r, truth[et])
+        assert abs(r["boot_mean"] - truth[et]) < (r["ci_hi"] - r["ci_lo"]), r
