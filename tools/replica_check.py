@@ -62,6 +62,21 @@ def main() -> int:
                 problems += arrow_type_problems(spark, key, args.sf_dir)
                 rec["status"] = "pass" if not problems else "fail"
                 rec["problems"] = problems
+                # row count via the (already parity-checked) oracle —
+                # recorded so a vacuously-empty result is auditable in
+                # the artifact (r6: join_range_bucketed sat at 0 rows,
+                # hash-matching an equally-empty oracle, for 4 rounds)
+                from tests.oracle import duck_connect
+
+                con = duck_connect(args.sf_dir)
+                try:
+                    rec["rows"] = len(
+                        con.execute(
+                            f"SELECT 1 FROM ({osql[key]})"
+                        ).fetchall()
+                    )
+                finally:
+                    con.close()
             else:
                 df = qs[key](spark, args.sf_dir)
                 rec["rows"] = df.count()
@@ -77,6 +92,9 @@ def main() -> int:
         n_fail += rec["status"] == "fail"
         print(f"{rec['status']:<9} {key} ({rec['sec']}s)", flush=True)
 
+    zero_rows = sorted(
+        k for k, r in results.items() if r.get("rows") == 0
+    )
     artifact = {
         "round": args.round,
         "sf_dir": args.sf_dir,
@@ -85,6 +103,7 @@ def main() -> int:
         "oracled": len(osql),
         "pass": n_pass,
         "rows_only": n_rows_only,
+        "zero_row_keys": zero_rows,
         "fail": n_fail,
         "wall_sec": round(time.time() - t0, 1),
         "keys": results,
