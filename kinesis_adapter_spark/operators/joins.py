@@ -887,9 +887,12 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no distinct: b carries exactly ONE cell, so each (a, b) pair can
     # meet in at most one cell — a distinct here would add a full
     # extra shuffle for nothing (r6 review finding)
+    # LITERAL radius² — cell * cell computes 0.0025000000000000005 (one
+    # ulp above the oracle's 0.0025 literal), a boundary-parity trap if
+    # the fixture ever produces a d2 in that gap (r6 review finding)
     return (
         a9.join(b1, ["cgx", "cgy"])
-        .filter(d2 <= cell * cell)
+        .filter(d2 <= 0.0025)
         .select("id_a", "id_b", F.round(d2, 9).alias("dist2"))
         .orderBy("id_a", "id_b")
     )

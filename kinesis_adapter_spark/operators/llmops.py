@@ -1506,6 +1506,28 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window-gram builders over a bound token array ``tk`` — CASE-guarded
+# because greatest(n-k, 0) does NOT guard Spark's sequence(): (1, 0)
+# is the DESCENDING [1, 0] and element_at(tk, 0) raises under ANSI.
+# Module-level so the production ops and the short-doc regression test
+# drive the IDENTICAL expression (r6 review finding).
+KGRAM5_WINDOW_EXPR = (
+    "CASE WHEN size(tk) > 4"
+    " THEN transform(sequence(1, size(tk) - 4),"
+    " i -> concat_ws(' ', element_at(tk, i),"
+    " element_at(tk, i+1), element_at(tk, i+2),"
+    " element_at(tk, i+3), element_at(tk, i+4)))"
+    " ELSE CAST(array() AS array<string>) END"
+)
+BIGRAM_WINDOW_EXPR = (
+    "CASE WHEN size(tk) > 1"
+    " THEN transform(sequence(1, size(tk) - 1),"
+    " i -> struct(element_at(tk, i) AS w1,"
+    " element_at(tk, i + 1) AS w2))"
+    " ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+)
+
+
 @query(
     "text_dup_kgram_fraction",
     f"""
@@ -1559,16 +1581,7 @@ def text_dup_kgram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.split("text", " ").alias("tk"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(tk) > 4"
-                    " THEN transform(sequence(1, size(tk) - 4),"
-                    " i -> concat_ws(' ', element_at(tk, i),"
-                    " element_at(tk, i+1), element_at(tk, i+2),"
-                    " element_at(tk, i+3), element_at(tk, i+4)))"
-                    " ELSE CAST(array() AS array<string>) END"
-                )
-            ).alias("g"),
+            F.explode(F.expr(KGRAM5_WINDOW_EXPR)).alias("g"),
         )
         .distinct()
     )
@@ -1646,19 +1659,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = toks.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                # CASE guard, not greatest(n-1, 0): sequence(1, 0) is
-                # the DESCENDING [1, 0] and element_at(tk, 0) raises
-                # under ANSI — a 1-token doc crashed Spark while the
-                # oracle returned no bigrams (r6 review finding)
-                "CASE WHEN size(tk) > 1"
-                " THEN transform(sequence(1, size(tk) - 1),"
-                " i -> struct(element_at(tk, i) AS w1,"
-                " element_at(tk, i + 1) AS w2))"
-                " ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
-            )
-        ).alias("b"),
+        F.explode(F.expr(BIGRAM_WINDOW_EXPR)).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     bc = (
         big.groupBy("w1", "w2")
@@ -1704,7 +1705,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              || '?' ||
              array_to_string(
                list_sort(list_filter(str_split(str_split(url, '?')[2], '&'),
-                                     p -> p NOT LIKE 'utm_%')), '&')
+                                     p -> NOT starts_with(p, 'utm_'))), '&')
                AS canonical_url
       FROM urls
     )

@@ -313,34 +313,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The µs-truncated ns timestamps keep the range arithmetic exact vs
     the oracle (SURVEY.md §5.3.3)."""
-    purchases = (
-        _events_stream(spark, sf_dir, max_files=10)
-        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts_iso").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
+    # Shares _purchases_clicks_join with the outer/full forms (r6
+    # review: the inner key kept its own copy of the topology, leaving
+    # the divergence class the helper exists to close half-open); the
+    # flush-sentinel pair joins to itself and drops with the filter.
+    return _purchases_clicks_join(spark, sf_dir, "inner").filter(
+        (F.col("purchase_id") >= 0) & (F.col("click_id") >= 0)
     )
-    clicks = (
-        _events_stream(spark, sf_dir, max_files=10)
-        .filter((F.col("event_type") == "click") & (F.col("user_id") < 30))
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts_iso").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
-    ).select("purchase_id", "click_id")
-    name, _ = _run_to_memory(joined, "append")
-    return spark.table(name)
 
 
 def _events_ndjson_with_flush(sf_dir: str) -> Path:

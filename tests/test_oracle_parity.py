@@ -107,9 +107,12 @@ def test_no_oracled_key_is_vacuously_empty():
             try:
                 rows = con.execute(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall()
             except duckdb.IOException:
-                # oracle reads a derived fixture not yet staged in this
-                # process ordering; the key's own parity test stages and
-                # covers it
+                # Only a derived-fixture oracle may be skipped (not yet
+                # staged under this process ordering; the replica
+                # artifact's zero_row_keys covers those every round) —
+                # an IOException from anything else must fail, or an
+                # unstaged AND vacuous key slips both nets (r6 review).
+                assert "kas_derived" in sql, f"{k}: unexpected IO failure"
                 continue
             if not rows:
                 empty.append(k)

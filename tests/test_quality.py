@@ -816,30 +816,18 @@ def test_gram_ops_survive_short_documents(spark):
         [(1, ""), (2, "one"), (3, "a b c d"), (4, "a b c d e f")],
         "doc_id long, text string",
     )
+    from kinesis_adapter_spark.operators.llmops import (
+        BIGRAM_WINDOW_EXPR,
+        KGRAM5_WINDOW_EXPR,
+    )
+
     tk = short.select("doc_id", F.split("text", " ").alias("tk"))
     kgrams = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(tk) > 4"
-                " THEN transform(sequence(1, size(tk) - 4),"
-                " i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1),"
-                " element_at(tk, i+2), element_at(tk, i+3), element_at(tk, i+4)))"
-                " ELSE CAST(array() AS array<string>) END"
-            )
-        ).alias("g"),
+        "doc_id", F.explode(F.expr(KGRAM5_WINDOW_EXPR)).alias("g")
     ).collect()
     assert {r.doc_id for r in kgrams} == {4}, kgrams
     bigrams = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(tk) > 1"
-                " THEN transform(sequence(1, size(tk) - 1),"
-                " i -> struct(element_at(tk, i) AS w1, element_at(tk, i+1) AS w2))"
-                " ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
-            )
-        ).alias("b"),
+        "doc_id", F.explode(F.expr(BIGRAM_WINDOW_EXPR)).alias("b")
     ).collect()
     assert {r.doc_id for r in bigrams} == {3, 4}  # "" splits to [""] (size 1)
 
