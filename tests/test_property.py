@@ -328,3 +328,101 @@ def test_triangle_stats_match_bruteforce(spark, edges):
     assert r["n_edges"] == len(canon)
     assert r["n_wedges"] == wedge_ref
     assert r["n_triangles"] == tri_ref, (sorted(canon), r["n_triangles"], tri_ref)
+
+
+# ------------------- multimodal codec-pair properties (pure functions)
+
+_img = st.tuples(
+    st.integers(8, 40),   # w
+    st.integers(8, 32),   # h
+    st.integers(0, 2**32),
+)
+
+
+@given(_img)
+@settings(max_examples=40, deadline=None)
+def test_phash_impls_agree_and_shift_invariant(t):
+    """On ARBITRARY rasters (not just the fixture's formula): the
+    loop-based ground-truth pHash and the vectorized engine pHash must
+    agree bit-for-bit, and a uniform brightness shift that doesn't
+    wrap must not flip any bit (the property the near-dup fixture
+    relies on)."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.multimodal import (
+        _phash_gt,
+        _phash_one,
+        _ppm_header,
+    )
+
+    w, h, seed = t
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+    ppm = _ppm_header(w, h) + pix.tobytes()
+    a, b = _phash_gt(ppm), _phash_one(ppm)
+    assert a == b
+    shifted = _ppm_header(w, h) + (pix + 10).astype(np.uint8).tobytes()
+    assert _phash_one(shifted) == a
+    assert _phash_gt(shifted) == a
+
+
+@given(_img)
+@settings(max_examples=40, deadline=None)
+def test_resize_impls_agree_on_random_rasters(t):
+    """Strided-slice ground truth vs reshape/sum engine resize must be
+    byte-identical on arbitrary rasters, including odd dimensions
+    (edge-crop path)."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.multimodal import (
+        _gt_resized_ppm,
+        _ppm_header,
+    )
+
+    w, h, seed = t
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ppm = _ppm_header(w, h) + pix.tobytes()
+    # engine-side decomposition (as in mm_resize._resize_one)
+    hdr_end = ppm.index(b"255\n") + 4
+    p2 = np.frombuffer(ppm, dtype=np.uint8, offset=hdr_end).reshape(h, w, 3)
+    h2, w2 = h // 2, w // 2
+    blocks = p2[: 2 * h2, : 2 * w2].astype(np.uint16).reshape(h2, 2, w2, 2, 3)
+    engine = (
+        _ppm_header(w2, h2)
+        + (blocks.sum(axis=(1, 3)) // 4).astype(np.uint8).tobytes()
+    )
+    assert _gt_resized_ppm(ppm) == engine
+
+
+@given(st.integers(0, 2**32), st.integers(2, 400))
+@settings(max_examples=40, deadline=None)
+def test_wav_feature_impls_agree_on_random_audio(seed, n):
+    """struct-loop ground truth vs numpy engine WAV features must be
+    identical on arbitrary PCM16 sample streams (full int16 range,
+    including extremes and zeros)."""
+    import struct
+
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.multimodal import (
+        AUDIO_SR,
+        _audio_gt,
+        _wav_features_one,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int64)
+    samples[0] = 0  # exercise the sign(0) := nonneg convention
+    data = samples.astype("<i2").tobytes()
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_SR, AUDIO_SR * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    assert _audio_gt(wav) == _wav_features_one(wav)
