@@ -1598,3 +1598,56 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    """
+    WITH b AS (
+      SELECT o_orderstatus, o_totalprice,
+             quantile_cont(o_totalprice, 0.05)
+               OVER (PARTITION BY o_orderstatus) AS p05,
+             quantile_cont(o_totalprice, 0.95)
+               OVER (PARTITION BY o_orderstatus) AS p95
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS raw_mean,
+           ROUND(AVG(GREATEST(LEAST(o_totalprice, p95), p05)), 6)
+             AS winsorized_mean
+    FROM b
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95-winsorized mean per order status next to the raw mean —
+    the robust center that keeps sample size (unlike trimming) while
+    clamping tail influence; the difference between the two columns IS
+    the outlier-influence report. Completes the robust-statistics row
+    alongside the exact median, weighted median, and MAD-style spread.
+
+    One shuffle on the group key serves the percentile windows AND the
+    final aggregation (same partitioning); the clamp is a map
+    expression. percentile() and DuckDB's quantile_cont share linear
+    interpolation, so the cutpoints agree exactly."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("o_orderstatus")
+    b = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.expr("percentile(o_totalprice, 0.05)").over(wp).alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").over(wp).alias("p95"),
+    )
+    clamped = F.greatest(F.least(F.col("o_totalprice"), F.col("p95")), F.col("p05"))
+    return (
+        b.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("raw_mean"),
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+        )
+        .orderBy("o_orderstatus")
+    )
