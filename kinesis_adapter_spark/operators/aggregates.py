@@ -1651,3 +1651,69 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderstatus, o_totalprice,
+             quantile_cont(o_totalprice, 0.5)
+               OVER (PARTITION BY o_orderstatus) AS med
+      FROM orders
+    ),
+    mad AS (
+      SELECT o_orderstatus, o_totalprice, med,
+             quantile_cont(ABS(o_totalprice - med), 0.5)
+               OVER (PARTITION BY o_orderstatus) AS mad
+      FROM med
+    )
+    SELECT o_orderstatus,
+           ROUND(ANY_VALUE(med), 6) AS median,
+           ROUND(ANY_VALUE(mad), 6) AS mad,
+           CAST(COUNT(*) FILTER (
+             WHERE ABS(o_totalprice - med) > 3 * 1.4826 * mad
+           ) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM mad
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per order status: MAD
+    is the robust spread (50% breakdown point vs stddev's 0%), and
+    |x − median| > 3·1.4826·MAD is the robust z-score rule that a
+    single corrupt billion-dollar row cannot move — the data-quality
+    gate agg_stddev_var's z-screen fails exactly when it matters.
+
+    Two stacked percentile windows (median, then median of absolute
+    deviations) and the final count share ONE shuffle on the group
+    key — the same single-sort discipline as the weighted median; at
+    100 TB per-group state is the group's sorted run, never global."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("o_orderstatus")
+    med = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.expr("percentile(o_totalprice, 0.5)").over(wp).alias("med"),
+    )
+    mad = med.withColumn(
+        "mad",
+        F.expr("percentile(abs(o_totalprice - med), 0.5)").over(wp),
+    )
+    out_flag = (
+        F.abs(F.col("o_totalprice") - F.col("med"))
+        > 3 * 1.4826 * F.col("mad")
+    ).cast("bigint")
+    return (
+        mad.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(out_flag).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
