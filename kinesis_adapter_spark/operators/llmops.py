@@ -1765,3 +1765,85 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keep_doc_id")
     )
+
+
+@query(
+    "eval_langid_confusion",
+    f"""
+    WITH base AS ({{LANGID}})
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM base
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """.format(LANGID="{LANGID}"),
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the language-ID
+    operator: labeled lang × predicted lang with counts — the standard
+    model-eval artifact computed fully relationally (one aggregation
+    over the classifier's output; at 100 TB the matrix is
+    |langs|² rows however big the corpus). The oracle composes
+    text_lang_id's own oracle as a CTE, so the two keys cannot drift:
+    any change to the classifier SQL flows into this evaluation's
+    expected values automatically."""
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# splice the classifier oracle in AFTER registration so both keys share
+# the single SQL definition
+from kinesis_adapter_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["eval_langid_confusion"] = _ORACLES["eval_langid_confusion"].replace(
+    "{LANGID}", _ORACLES["text_lang_id"]
+)
+
+
+@query(
+    "sample_balanced_classes",
+    """
+    WITH m AS (
+      SELECT MIN(n) AS m FROM (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+      )
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5('bal-' || doc_id), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r, m WHERE rk <= m.m
+    ORDER BY doc_id
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents, chosen by a KEYED-HASH rank (not
+    rand()) so the sample is engine- and retry-reproducible — the
+    deterministic form of the majority-downsampling every classifier
+    training set runs. One shuffle for the per-class window, the
+    1-row minimum broadcast; at 100 TB the hash rank also makes the
+    sample STABLE under corpus appends within each class prefix."""
+    d = load(spark, sf_dir, "documents")
+    m = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("m"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("bal-"), F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
