@@ -373,3 +373,52 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_rolling_corr",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS t, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM events
+      WHERE value IS NOT NULL AND user_id < 20
+    )
+    SELECT user_id, event_id,
+           ROUND(corr(value, prev_value) OVER (
+             PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS roll_corr
+    FROM lagged
+    ORDER BY user_id, event_id
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation as a WINDOWED aggregate: corr of
+    (value, previous value) over each user's trailing 20 events — the
+    online momentum/mean-reversion feature, distinct from
+    ts_autocorr_lag1's single whole-series number: this one emits a
+    drifting per-row signal a feature store would join back.
+
+    Both the lag and the corr frame ride ONE (user_id, time) shuffle
+    + sort; corr is an algebraic aggregate, so the 20-row frame
+    updates in O(1) per row. Rows where the frame holds <2 defined
+    pairs yield NULL identically on both engines."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("user_id") < 20))
+        .withColumn("t", ts_us_trunc())
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lagged = ev.withColumn("prev_value", F.lag("value").over(w))
+    frame = w.rowsBetween(-19, Window.currentRow)
+    return (
+        lagged.select(
+            "user_id",
+            "event_id",
+            F.round(F.corr("value", "prev_value").over(frame), 6).alias(
+                "roll_corr"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )

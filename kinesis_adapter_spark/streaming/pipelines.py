@@ -1405,3 +1405,45 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "stream_update_mode",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE user_id < 40 AND value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third emission semantics next to the
+    append and complete keys: each micro-batch emits only the groups
+    whose aggregate CHANGED, so the sink receives a stream of upserts
+    (multiple versions per key across batches). The read side keeps
+    each key's LAST emitted version — exactly what a KV/upsert sink
+    does — and must equal the batch aggregate. Update mode is the
+    production choice when the aggregate keyspace is too large for
+    complete mode re-emission but results must be queryable mid-stream.
+
+    The memory sink appends update rows in batch order; versions are
+    collapsed by max-aggregate-per-key, valid here because counts and
+    non-negative sums grow monotonically per key — the same
+    last-writer-wins rule the foreachBatch upsert key implements with
+    explicit batch ids."""
+    src = _events_stream(spark, sf_dir, max_files=8)
+    agg = (
+        src.filter((F.col("user_id") < 40) & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+    )
+    name, _ = _run_to_memory(agg, "update")
+    latest = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sv").alias("sv"))
+    )
+    return latest.select(
+        "user_id", "n_events", F.round("sv", 4).alias("sum_value")
+    )
