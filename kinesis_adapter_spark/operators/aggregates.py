@@ -1717,3 +1717,64 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_cramers_v",
+    """
+    WITH o AS (
+      SELECT event_type, user_id % 3 AS arm, COUNT(*) * 1.0 AS n
+      FROM events GROUP BY event_type, user_id % 3
+    ), m AS (
+      SELECT n,
+             SUM(n) OVER (PARTITION BY event_type) AS rt,
+             SUM(n) OVER (PARTITION BY arm) AS ct,
+             SUM(n) OVER () AS t,
+             event_type, arm
+      FROM o
+    )
+    SELECT ROUND(SUM((n - rt * ct / t) * (n - rt * ct / t)
+                     / (rt * ct / t)), 6) AS chi2_stat,
+           ROUND(SQRT(
+             SUM((n - rt * ct / t) * (n - rt * ct / t) / (rt * ct / t))
+             / (ANY_VALUE(t)
+                * (LEAST(COUNT(DISTINCT event_type),
+                         COUNT(DISTINCT arm)) - 1))), 6) AS cramers_v
+    FROM m
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0, 1]-normalized effect size for the same
+    event_type × arm contingency agg_chi2_independence tests:
+    V = sqrt(χ² / (n · (min(r, c) − 1))). The chi2 STATISTIC grows
+    with n even for trivial dependence; V is what you compare across
+    datasets and against practical-significance thresholds, the same
+    statistic/effect-size split as t-test vs Cohen's d.
+
+    Identical plan shape to the chi2 key: one contingency aggregation,
+    margins as windows over the tiny contingency frame, one scalar."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3).alias("arm")
+    )
+    o = ev.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    from pyspark.sql import Window
+
+    m = o.select(
+        "event_type",
+        "arm",
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("n").over(Window.partitionBy("arm")).alias("ct"),
+        F.sum("n").over(Window.partitionBy()).alias("t"),
+    )
+    exp = F.col("rt") * F.col("ct") / F.col("t")
+    chi2 = F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp)
+    k = F.least(
+        F.countDistinct("event_type"), F.countDistinct("arm")
+    ) - F.lit(1)
+    return m.agg(
+        F.round(chi2, 6).alias("chi2_stat"),
+        F.round(F.sqrt(chi2 / (F.first("t") * k)), 6).alias("cramers_v"),
+    )

@@ -1451,3 +1451,72 @@ def anonymize_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_theilsen_slope",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY event_type, hour_idx
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.v - a.v) / (b.hour_idx - a.hour_idx) AS slope
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.hour_idx < b.hour_idx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS theilsen_slope
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of
+    each metric's hourly series — a 29%-breakdown trend estimate that
+    one corrupted hour cannot bend, where ts/OLS trend
+    (q6_forecast-style least squares) follows the outlier. The
+    monitoring pick when series have spikes.
+
+    Scale discipline: the pairwise join runs on the ROLLED-UP hourly
+    grid, never raw events — grid size is hours × types (720 × 5
+    here), so the O(g²) pair set is ~1.3M tiny rows at ANY corpus
+    size; the rollup is the only row-proportional pass. Per-type
+    grids are equi-joined on event_type, so the pair generation
+    shuffles grid rows only."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    a = hourly.select(
+        "event_type", F.col("hour_idx").alias("ha"), F.col("v").alias("va")
+    )
+    b = hourly.select(
+        "event_type", F.col("hour_idx").alias("hb"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("ha") < F.col("hb"))
+        .select(
+            "event_type",
+            ((F.col("vb") - F.col("va")) / (F.col("hb") - F.col("ha"))).alias(
+                "slope"
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "theilsen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
