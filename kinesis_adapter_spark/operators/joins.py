@@ -896,3 +896,60 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(d2, 9).alias("dist2"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "join_last_k_before",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+               WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.t DESC, c.event_id DESC) AS rk
+      FROM p JOIN c
+        ON p.user_id = c.user_id AND c.t < p.t
+    )
+    SELECT purchase_id, click_id, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY purchase_id, rk
+    """,
+)
+def join_last_k_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-k-events-before join: for every purchase, that user's 3
+    most recent PRIOR clicks, ranked — the "last k interactions before
+    conversion" feature row attribution and sequence models consume;
+    the top-k generalization of join_asof (k=1).
+
+    Plan: equi join on user_id gives each purchase its candidate
+    click set (bounded per user), then rank/filter per purchase — the
+    key-partitioned candidate join never degenerates to a cross
+    product, and at 100 TB the same query runs per user shard with
+    AQE splitting skewed users. A per-event window over the union
+    stream (the asof technique) cannot carry a top-K directly —
+    last(ignorenulls) carries one value — so the candidate join + rank
+    is the honest formulation."""
+    ev = load(spark, sf_dir, "events").withColumn("t", ts_us_trunc())
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("t").alias("pt"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("t").alias("ct"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("ct").desc(), F.col("click_id").desc()
+    )
+    return (
+        p.join(c, "u")
+        .filter(F.col("ct") < F.col("pt"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("purchase_id", "click_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("purchase_id", "rk")
+    )

@@ -949,3 +949,75 @@ def pipeline_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_audio_curation",
+    f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(m.gt_au_duration_ms) AS BIGINT) AS total_ms,
+           CAST(SUM(m.gt_au_n_samples) AS BIGINT) AS total_samples
+    FROM read_parquet('{_MEDIA_ORACLE_PATH}') m
+    JOIN documents d ON m.media_id = d.doc_id
+    WHERE m.media_type = 'audio'
+      AND d.n_chars >= 100
+      AND m.gt_au_zero_cross * 10000 >= 35 * m.gt_au_n_samples
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def pipeline_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO curation composite — the speech-corpus sibling of
+    pipeline_image_curation: decode every WAV (mapInPandas), gate on a
+    signal-activity heuristic (zero-crossing rate ≥ 0.5 — the
+    cheap silence/tone screen; silent or constant clips have near-zero
+    crossings), join the surviving clips to their transcripts'
+    text-quality gate, and account duration per language — the
+    hours-per-language table every ASR/TTS dataset card leads with.
+
+    One plan: map-only decode, broadcast metadata join, map-side
+    combined agg; the oracle reads the independently-built ground
+    truth so the decode path stays proven end-to-end."""
+    import pandas as pd
+
+    from kinesis_adapter_spark.catalog import load as _load
+
+    def feats(batches):
+        for pdf in batches:
+            vals = pdf["payload"].map(_wav_features_one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": vals.map(lambda t: t[0]).astype("int64"),
+                    "duration_ms": vals.map(lambda t: t[1]).astype("int64"),
+                    "zero_crossings": vals.map(lambda t: t[3]).astype("int64"),
+                }
+            )
+
+    au = (
+        _media(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(
+            feats,
+            "media_id bigint, n_samples bigint, duration_ms bigint, "
+            "zero_crossings bigint",
+        )
+        .filter(F.col("zero_crossings") * 10000 >= 35 * F.col("n_samples"))
+    )
+    d = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 100)
+        .select("doc_id", "lang")
+    )
+    return (
+        au.join(F.broadcast(d), au.media_id == d.doc_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("duration_ms").alias("total_ms"),
+            F.sum("n_samples").alias("total_samples"),
+        )
+        .orderBy("lang")
+    )
