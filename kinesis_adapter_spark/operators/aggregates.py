@@ -1778,3 +1778,79 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_stat"),
         F.round(F.sqrt(chi2 / (F.first("t") * k)), 6).alias("cramers_v"),
     )
+
+
+@query(
+    "agg_cohens_d",
+    """
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT arm, COUNT(*) * 1.0 AS n, SUM(value) AS s,
+             SUM(value * value) AS ss
+      FROM g GROUP BY arm
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN s / n END) AS ma,
+        MAX(CASE WHEN arm = 'B' THEN s / n END) AS mb,
+        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'A' THEN (ss - s * s / n) END) AS ssa,
+        MAX(CASE WHEN arm = 'B' THEN (ss - s * s / n) END) AS ssb
+      FROM m
+    )
+    SELECT ROUND(ma - mb, 6) AS mean_diff,
+           ROUND((ma - mb) / SQRT((ssa + ssb) / (na + nb - 2)), 6)
+             AS cohens_d,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM w
+    """,
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d — the standardized effect size for the two-arm mean
+    comparison agg_ttest_welch tests: d = (m_A − m_B) / pooled SD.
+    The t statistic grows with √n for a FIXED true difference, so
+    experiments always "reach significance" eventually; d is what the
+    launch decision actually reads (0.2 small / 0.5 medium / 0.8
+    large). Completes the statistic/effect-size pairing alongside
+    χ²→Cramér's V.
+
+    Same power-sum discipline as the t-test key: one pass of per-arm
+    (n, Σx, Σx²), then driver-free scalar algebra expanded identically
+    on both engines."""
+    g = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            "value",
+        )
+    )
+    m = g.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+
+    def pick(col, arm):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    w = m.agg(
+        (pick("s", "A") / pick("n", "A")).alias("ma"),
+        (pick("s", "B") / pick("n", "B")).alias("mb"),
+        pick("n", "A").alias("na"),
+        pick("n", "B").alias("nb"),
+        (pick("ss", "A") - pick("s", "A") * pick("s", "A") / pick("n", "A")).alias("ssa"),
+        (pick("ss", "B") - pick("s", "B") * pick("s", "B") / pick("n", "B")).alias("ssb"),
+    )
+    d = (F.col("ma") - F.col("mb")) / F.sqrt(
+        (F.col("ssa") + F.col("ssb")) / (F.col("na") + F.col("nb") - 2)
+    )
+    return w.select(
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+    )
