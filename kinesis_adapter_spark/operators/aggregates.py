@@ -1854,3 +1854,79 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
     )
+
+
+@query(
+    "drift_js_divergence",
+    """
+    WITH b AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(FLOOR(value / 25) AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT arm, bin, COUNT(*) * 1.0 AS n FROM b GROUP BY arm, bin),
+    p AS (
+      SELECT bin, n / SUM(n) OVER () AS p FROM c WHERE arm = 'A'
+    ),
+    q AS (
+      SELECT bin, n / SUM(n) OVER () AS q FROM c WHERE arm = 'B'
+    ),
+    j AS (
+      SELECT COALESCE(p.bin, q.bin) AS bin,
+             COALESCE(p.p, 0.0) AS p, COALESCE(q.q, 0.0) AS q
+      FROM p FULL JOIN q ON p.bin = q.bin
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(
+             CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END
+             + CASE WHEN q > 0 THEN 0.5 * q * LN(q / ((p + q) / 2)) ELSE 0 END
+           ), 6) AS js_divergence
+    FROM j
+    """,
+)
+def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the two arms' value-bin
+    distributions — the bounded (≤ ln 2), symmetric drift metric a
+    training/serving-skew or data-drift monitor alarms on, preferred
+    over KL because a bin present in only one distribution contributes
+    finitely (the mixture denominator is never zero where p or q > 0).
+
+    One row-proportional (arm, bin) count; everything after runs on
+    the bins-sized frame — normalization as windows, a full outer join
+    aligning the supports with zero fill, one scalar. At 100 TB the
+    drift check costs one aggregation however wide the data."""
+    from pyspark.sql import Window
+
+    b = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            F.floor(F.col("value") / 25).cast("long").alias("bin"),
+        )
+    )
+    c = b.groupBy("arm", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wall = Window.partitionBy()
+    p = c.filter(F.col("arm") == "A").select(
+        F.col("bin").alias("pbin"),
+        (F.col("n") / F.sum("n").over(wall)).alias("p"),
+    )
+    q = c.filter(F.col("arm") == "B").select(
+        F.col("bin").alias("qbin"),
+        (F.col("n") / F.sum("n").over(wall)).alias("q"),
+    )
+    j = p.join(q, p.pbin == q.qbin, "full").select(
+        F.coalesce("pbin", "qbin").alias("bin"),
+        F.coalesce("p", F.lit(0.0)).alias("p"),
+        F.coalesce("q", F.lit(0.0)).alias("q"),
+    )
+    mid = (F.col("p") + F.col("q")) / 2
+    term = F.when(
+        F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / mid)
+    ).otherwise(0.0) + F.when(
+        F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / mid)
+    ).otherwise(0.0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.sum(term), 6).alias("js_divergence"),
+    )
