@@ -1930,3 +1930,186 @@ def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bins"),
         F.round(F.sum(term), 6).alias("js_divergence"),
     )
+
+
+@query(
+    "drift_psi",
+    """
+    WITH b AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(FLOOR(value / 25) AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT arm, bin, COUNT(*) * 1.0 AS n FROM b GROUP BY arm, bin),
+    bins AS (SELECT DISTINCT bin FROM c),
+    sm AS (
+      SELECT bins.bin,
+             COALESCE(pa.n, 0) + 0.5 AS na,
+             COALESCE(pb.n, 0) + 0.5 AS nb
+      FROM bins
+      LEFT JOIN (SELECT bin, n FROM c WHERE arm = 'A') pa USING (bin)
+      LEFT JOIN (SELECT bin, n FROM c WHERE arm = 'B') pb USING (bin)
+    ),
+    norm AS (
+      SELECT bin,
+             na / SUM(na) OVER () AS p,
+             nb / SUM(nb) OVER () AS q
+      FROM sm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+    FROM norm
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the arms' value-bin
+    distributions — the credit-risk/ML-monitoring drift score with its
+    conventional alarm bands (<0.1 stable, 0.1–0.25 shifting, >0.25
+    drifted), complementing drift_js_divergence: PSI is per-bin
+    interpretable ((p−q)·ln(p/q) localizes WHICH bins moved) but
+    needs the +0.5 count smoothing applied here because an empty bin
+    makes raw PSI infinite. Same bins-sized math after one count."""
+    from pyspark.sql import Window
+
+    b = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            F.floor(F.col("value") / 25).cast("long").alias("bin"),
+        )
+    )
+    c = b.groupBy("arm", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    bins = c.select("bin").distinct()
+    pa = c.filter(F.col("arm") == "A").select("bin", F.col("n").alias("na0"))
+    pb = c.filter(F.col("arm") == "B").select("bin", F.col("n").alias("nb0"))
+    sm = (
+        bins.join(pa, "bin", "left")
+        .join(pb, "bin", "left")
+        .select(
+            "bin",
+            (F.coalesce("na0", F.lit(0.0)) + 0.5).alias("na"),
+            (F.coalesce("nb0", F.lit(0.0)) + 0.5).alias("nb"),
+        )
+    )
+    wall = Window.partitionBy()
+    norm = sm.select(
+        (F.col("na") / F.sum("na").over(wall)).alias("p"),
+        (F.col("nb") / F.sum("nb").over(wall)).alias("q"),
+    )
+    return norm.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi"),
+    )
+
+
+@query(
+    "agg_permutation_test",
+    """
+    WITH e AS (
+      SELECT event_id, value,
+             CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS in_a
+      FROM events WHERE value IS NOT NULL
+    ),
+    obs AS (
+      SELECT SUM(in_a * value) / SUM(in_a)
+             - SUM((1 - in_a) * value) / SUM(1 - in_a) AS d
+      FROM e
+    ),
+    perm AS (
+      SELECT r.b,
+             CASE WHEN CAST(('0x' || substr(
+                    md5('perm-' || r.b || '-' || e.event_id), 1, 4))
+                    AS BIGINT) % 2 = 0 THEN 1.0 ELSE 0.0 END AS in_a,
+             e.value
+      FROM e, (SELECT unnest(generate_series(0, 31)) AS b) r
+    ),
+    pd AS (
+      SELECT b,
+             SUM(in_a * value) / SUM(in_a)
+             - SUM((1 - in_a) * value) / SUM(1 - in_a) AS d
+      FROM perm GROUP BY b
+    )
+    SELECT ROUND(ANY_VALUE(obs.d), 6) AS observed_diff,
+           CAST(COUNT(*) FILTER (WHERE ABS(pd.d) >= ABS(obs.d)) AS BIGINT)
+             AS n_extreme,
+           CAST(COUNT(*) AS BIGINT) AS n_perms
+    FROM pd CROSS JOIN obs
+    """,
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the two-arm mean difference WITHOUT
+    collecting data: 32 pseudo-permutations reassign every row's arm
+    by a keyed md5 coin (a PRF of (replicate, event_id) — engine- and
+    retry-reproducible, same discipline as the bootstrap CI), each
+    replicate's mean difference computes as conditional sums in ONE
+    grouped pass over the 32× explode, and the exceedance count
+    against the observed difference is the (unscaled) permutation
+    p-value numerator. The assumption-free sibling of
+    agg_ttest_welch — no normality, no variance model.
+
+    At 100 TB: one 32× map-stage amplification, combiner-reduced;
+    nothing else scales with the data."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "value",
+            F.when(F.col("user_id") % 2 == 0, 1.0).otherwise(0.0).alias("in_a"),
+        )
+    )
+    obs = e.agg(
+        (
+            F.sum(F.col("in_a") * F.col("value")) / F.sum("in_a")
+            - F.sum((1 - F.col("in_a")) * F.col("value"))
+            / F.sum(1 - F.col("in_a"))
+        ).alias("obs_d")
+    )
+    perm = e.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).select(
+        "b",
+        "value",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("perm-"), F.col("b"), F.lit("-"), F.col("event_id")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("in_a"),
+    )
+    pd_ = perm.groupBy("b").agg(
+        (
+            F.sum(F.col("in_a") * F.col("value")) / F.sum("in_a")
+            - F.sum((1 - F.col("in_a")) * F.col("value"))
+            / F.sum(1 - F.col("in_a"))
+        ).alias("d")
+    )
+    return (
+        pd_.crossJoin(F.broadcast(obs))
+        .agg(
+            F.round(F.first("obs_d"), 6).alias("observed_diff"),
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("obs_d"))).cast("bigint")
+            ).alias("n_extreme"),
+            F.count(F.lit(1)).alias("n_perms"),
+        )
+    )
