@@ -2113,3 +2113,59 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_perms"),
         )
     )
+
+
+@query(
+    "agg_iqr_fences",
+    """
+    WITH q AS (
+      SELECT o_orderstatus, o_totalprice,
+             quantile_cont(o_totalprice, 0.25)
+               OVER (PARTITION BY o_orderstatus) AS q1,
+             quantile_cont(o_totalprice, 0.75)
+               OVER (PARTITION BY o_orderstatus) AS q3
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           ROUND(ANY_VALUE(q1), 6) AS q1,
+           ROUND(ANY_VALUE(q3), 6) AS q3,
+           CAST(COUNT(*) FILTER (
+             WHERE o_totalprice < q1 - 1.5 * (q3 - q1)
+                OR o_totalprice > q3 + 1.5 * (q3 - q1)
+           ) AS BIGINT) AS n_outside_fences,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM q
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey fences: rows outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] per
+    order status — the boxplot outlier rule, the third member of the
+    robust screening trio (MAD z for heavy tails, winsorized mean for
+    influence, fences for the classic exploratory cut). Quartile
+    windows and the final count share one group-key shuffle."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("o_orderstatus")
+    q = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.expr("percentile(o_totalprice, 0.25)").over(wp).alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").over(wp).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    outside = (
+        (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr)
+        | (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr)
+    ).cast("bigint")
+    return (
+        q.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.first("q1"), 6).alias("q1"),
+            F.round(F.first("q3"), 6).alias("q3"),
+            F.sum(outside).alias("n_outside_fences"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
