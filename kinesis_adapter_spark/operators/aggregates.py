@@ -2169,3 +2169,46 @@ def agg_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_pythagorean_means",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6) AS arith_mean,
+           ROUND(EXP(AVG(LN(value))), 6) AS geo_mean,
+           ROUND(COUNT(*) / SUM(1.0 / value), 6) AS harm_mean
+    FROM events
+    WHERE value IS NOT NULL AND value > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per event type over positive
+    values: arithmetic (totals), geometric via exp∘avg∘ln (the correct
+    center for RATIOS/growth factors — averaging x1.5 and x0.5 should
+    give ~x0.87, not x1.0), harmonic via n/Σ(1/x) (the correct center
+    for RATES — avg speed over equal distances). AM ≥ GM ≥ HM always;
+    picking the wrong one is the classic KPI-aggregation bug this
+    key's side-by-side makes visible.
+
+    All three are single-pass algebraic aggregates (sum, sum-of-logs,
+    sum-of-reciprocals) — one map-side-combined shuffle regardless of
+    scale; log/exp expanded identically on both engines."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("arith_mean"),
+            F.round(F.exp(F.avg(F.log("value"))), 6).alias("geo_mean"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(1.0 / F.col("value")), 6
+            ).alias("harm_mean"),
+        )
+        .orderBy("event_type")
+    )
