@@ -705,3 +705,34 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "fn_mask_redact",
+    """
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(c_name, '[A-Z]', 'X', 'g'),
+               '[a-z]', 'x', 'g'),
+             '[0-9]', 'n', 'g') AS masked_name
+    FROM customer
+    WHERE c_custkey <= 100
+    ORDER BY c_custkey
+    """,
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving redaction with Spark's built-in ``mask()``
+    (upper→X, lower→x, digit→n, other kept): shape-revealing,
+    content-hiding display masking — the lightweight cousin of the
+    regex PII scrub (text_pii_redact) for log/UI surfaces where the
+    VALUE must hide but its format stays debuggable. DuckDB has no
+    mask(), so the oracle replicates it with the three character-class
+    regexp_replace passes — proving the builtin's exact semantics
+    rather than assuming them."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", F.expr("mask(c_name)").alias("masked_name"))
+        .orderBy("c_custkey")
+    )
