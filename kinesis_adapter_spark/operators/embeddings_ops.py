@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.catalog import load
 from kinesis_adapter_spark.plans.registry import query
+from kinesis_adapter_spark.sources.scans import DERIVED_ROOT, derived_dir
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -708,34 +709,52 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_pca_project")  # T3: eigendecomposition is not SQL-expressible;
-# orthonormality / variance-order / reference-equality gates in pytest
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection of the embedding corpus to its top-8 principal
-    components — the dimensionality reduction an ANN/clustering stage
-    runs before indexing (64→8 cuts index bytes 8× while keeping the
-    top of the spectrum).
+_PCA_TOP_K = 8
+_PCA_DIM = 64
+# Oracle path constant tracks DERIVED_ROOT (same rule as the media
+# oracle paths): a staged-fixture version bump can never strand the
+# oracle on a stale artifact directory.
+_PCA_ORACLE_PATH = str(DERIVED_ROOT / "sf0.01" / "pca_components.parquet")
 
-    100 TB shape (why this is NOT numpy-on-the-driver-over-the-data):
-    the only corpus-sized passes are (1) one mapInPandas over the
-    vectors computing per-partition PARTIAL moments — count, Σx,
-    Σxxᵀ — each partial a fixed 1+64+64² floats regardless of rows,
-    and (2) the map-only projection join. Partials collect to the
-    driver (numPartitions × ~33 KB), combine IN SORTED PARTITION
-    ORDER (floating-point addition isn't associative; unordered
-    combination would make the components run-dependent), eigh runs
-    on the 64×64 covariance in microseconds, and the component
-    matrix broadcasts back. Eigenvector sign is fixed by making each
-    component's largest-|coordinate| entry positive — the standard
-    determinism convention."""
+
+def pca_components_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per staging dir) the ROUNDED top-8 PCA component
+    matrix as a parquet artifact — rows ``(comp_id, dim, w, mu)``,
+    8 × 64 = 512 of them — the published-statistics pattern
+    emb_standardize uses for (μ, σ): both engines then multiply
+    bit-identical 6-dp operands, which is what makes the projection
+    itself relationally oracle-able (r6 directive #1).
+
+    The fit is the distributed part: one mapInPandas pass over the
+    vectors computes per-partition PARTIAL moments — count, Σx, Σxxᵀ,
+    a fixed 1+64+64² floats per partition regardless of rows. Partials
+    collect to the driver (numPartitions × ~33 KB of metadata, never
+    corpus), combine in ascending TaskContext partition-id order —
+    a genuinely unique key, so the non-associative float additions
+    happen in one fixed order every run (the r6 advisory showed the
+    old (cnt, first-two-sums) key could tie and leave the order
+    nondeterministic) — then eigh runs on the 64×64 covariance in
+    microseconds. Eigenvector sign is fixed by making each
+    component's largest-|coordinate| entry positive, then the matrix
+    and mean are rounded to 6 dp and written atomically (single-file
+    pyarrow write + os.replace, safe against concurrent stagers)."""
+    import os
+
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
+    out = derived_dir(sf_dir) / "pca_components.parquet"
+    if out.exists():
+        return str(out)
+
+    d = _PCA_DIM
     e = load(spark, sf_dir, "embeddings")
-    d = 64
 
     def partial_moments(batches):
-        pid_seen = {}
+        from pyspark import TaskContext
+
         cnt, s, ss = 0, np.zeros(d), np.zeros((d, d))
         for pdf in batches:
             m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
@@ -745,6 +764,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ss += m.T @ m
         yield pd.DataFrame(
             {
+                "mpid": [TaskContext.get().partitionId()],
                 "cnt": [cnt],
                 "s": [s.tolist()],
                 "ss": [ss.ravel().tolist()],
@@ -757,11 +777,12 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "pid")  # stable partial count
         .select("embedding")
         .mapInPandas(
-            partial_moments, "cnt long, s array<double>, ss array<double>"
+            partial_moments,
+            "mpid int, cnt long, s array<double>, ss array<double>",
         )
         .collect()
     )
-    parts = sorted(parts, key=lambda r: (r["cnt"], str(r["s"][:2])))
+    parts = sorted(parts, key=lambda r: r["mpid"])  # unique per partial
     n = sum(r["cnt"] for r in parts)
     s = np.zeros(d)
     ss = np.zeros((d, d))
@@ -771,14 +792,102 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     w, v = np.linalg.eigh(cov)  # ascending eigenvalues
-    comps = v[:, ::-1][:, :8]  # top-8 columns
+    comps = v[:, ::-1][:, :_PCA_TOP_K]  # top-8 columns
     # deterministic sign: largest-|entry| coordinate positive
     for j in range(comps.shape[1]):
         k = int(np.abs(comps[:, j]).argmax())
         if comps[k, j] < 0:
             comps[:, j] = -comps[:, j]
-    b_mean = mean.tolist()
-    b_comps = comps.T.tolist()  # 8 × 64
+    comps_r = np.round(comps, 6)  # (64, 8) — the published operands
+    mean_r = np.round(mean, 6)
+
+    tbl = pa.table(
+        {
+            "comp_id": pa.array(
+                [j for j in range(_PCA_TOP_K) for _ in range(d)], pa.int32()
+            ),
+            "dim": pa.array(
+                [i for _ in range(_PCA_TOP_K) for i in range(d)], pa.int32()
+            ),
+            "w": pa.array(
+                [float(comps_r[i, j]) for j in range(_PCA_TOP_K) for i in range(d)],
+                pa.float64(),
+            ),
+            "mu": pa.array(
+                [float(mean_r[i]) for _ in range(_PCA_TOP_K) for i in range(d)],
+                pa.float64(),
+            ),
+        }
+    )
+    tmp = out.parent / f"{out.name}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+    return str(out)
+
+
+@query(
+    "emb_pca_project",
+    f"""
+    WITH x AS (
+      SELECT e.vec_id, u.i - 1 AS dim, CAST(u.x AS DOUBLE) AS xv
+      FROM embeddings e,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i) u
+    ),
+    proj AS (
+      SELECT x.vec_id, c.comp_id, SUM((x.xv - c.mu) * c.w) AS p
+      FROM x JOIN read_parquet('{_PCA_ORACLE_PATH}') c ON c.dim = x.dim
+      GROUP BY x.vec_id, c.comp_id
+    )
+    SELECT vec_id,
+           ROUND(MAX(CASE WHEN comp_id = 0 THEN p END), 6) AS p0,
+           ROUND(MAX(CASE WHEN comp_id = 1 THEN p END), 6) AS p1,
+           ROUND(MAX(CASE WHEN comp_id = 2 THEN p END), 6) AS p2,
+           ROUND(MAX(CASE WHEN comp_id = 3 THEN p END), 6) AS p3,
+           ROUND(MAX(CASE WHEN comp_id = 4 THEN p END), 6) AS p4,
+           ROUND(MAX(CASE WHEN comp_id = 5 THEN p END), 6) AS p5,
+           ROUND(MAX(CASE WHEN comp_id = 6 THEN p END), 6) AS p6,
+           ROUND(MAX(CASE WHEN comp_id = 7 THEN p END), 6) AS p7
+    FROM proj
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its published top-8
+    principal components — the dimensionality reduction an
+    ANN/clustering stage runs before indexing (64→8 cuts index bytes
+    8× while keeping the top of the spectrum).
+
+    r6 upgrade from rows-only to fully oracled: the fit
+    (pca_components_table above) publishes the ROUNDED component
+    matrix + mean as a parquet artifact, and this query is a pure
+    broadcast matrix-multiply against it — so DuckDB can replay the
+    identical projection relationally (unnest → join on dim →
+    SUM((x-μ̂)·ŵ) → ROUND 6dp) from the same artifact. The only
+    non-SQL step left (eigh) now lives in the artifact build, exactly
+    where a production pipeline puts model fitting; the QUERY is
+    engine-checkable. Summation order still differs between engines
+    (numpy matmul vs DuckDB SUM), but with 6-dp operands the paths
+    agree to ~1e-13 — 7 orders inside the 1e-6 rounding grid.
+
+    100 TB shape: the artifact is k×d metadata (512 rows — the
+    driver-side read here is bounded by model size, never corpus);
+    the projection is one map-only vectorized mapInPandas pass, no
+    shuffle before the final presentation sort."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    path = pca_components_table(spark, sf_dir)
+    art = pq.read_table(path).to_pandas()  # 512 rows: model metadata
+    comps = np.zeros((_PCA_TOP_K, _PCA_DIM))
+    mean = np.zeros(_PCA_DIM)
+    comps[art["comp_id"].to_numpy(), art["dim"].to_numpy()] = art["w"].to_numpy()
+    mean[art.loc[art["comp_id"] == 0, "dim"].to_numpy()] = art.loc[
+        art["comp_id"] == 0, "mu"
+    ].to_numpy()
+    b_mean, b_comps = mean.tolist(), comps.tolist()
 
     def project(batches):
         m_mean = np.array(b_mean)
@@ -787,16 +896,20 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = np.array(
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
-            proj = (m - m_mean) @ m_comps.T if len(m) else np.zeros((0, 8))
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "proj": [np.round(row, 6).tolist() for row in proj],
-                }
+            proj = (
+                np.round((m - m_mean) @ m_comps.T, 6)
+                if len(m)
+                else np.zeros((0, _PCA_TOP_K))
             )
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(_PCA_TOP_K):
+                out[f"p{j}"] = proj[:, j]
+            yield pd.DataFrame(out)
 
+    cols = ", ".join(f"p{j} double" for j in range(_PCA_TOP_K))
     return (
-        e.select("vec_id", "embedding")
-        .mapInPandas(project, "vec_id bigint, proj array<double>")
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(project, f"vec_id bigint, {cols}")
         .orderBy("vec_id")
     )

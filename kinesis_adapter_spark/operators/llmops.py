@@ -1751,7 +1751,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
           '?',
           concat_ws('&',
             array_sort(filter(split(split(url, '\\\\?')[1], '&'),
-                              p -> p NOT LIKE 'utm_%')))
+                              p -> NOT startswith(p, 'utm_'))))
         )
         """
     )

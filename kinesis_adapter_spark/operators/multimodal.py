@@ -155,9 +155,11 @@ def _video_frames_gt(payload: bytes) -> list[bytes]:
     pos = 0
     while pos < len(payload):
         assert payload[pos : pos + 3] == b"P6\n", "not at a frame boundary"
-        hdr_end = payload.index(b"255\n", pos) + 4
-        dims = payload[pos + 3 : payload.index(b"\n", pos + 3)].split()
-        w, h = int(dims[0]), int(dims[1])
+        # token-walk the three header lines (magic, dims, maxval) —
+        # searching for b'255\n' is ambiguous when a dim ends in 255
+        dims_end = payload.index(b"\n", pos + 3)
+        w, h = (int(t) for t in payload[pos + 3 : dims_end].split())
+        hdr_end = payload.index(b"\n", dims_end + 1) + 1
         end = hdr_end + w * h * 3
         frames.append(payload[pos:end])
         pos = end
@@ -166,6 +168,20 @@ def _video_frames_gt(payload: bytes) -> list[bytes]:
 
 def _ppm_header(w: int, h: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h)
+
+
+def _ppm_parse_header(b: bytes, pos: int = 0) -> tuple[int, int, int]:
+    """Parse a P6 header by consuming three newline-delimited tokens
+    (magic, dims, maxval) starting at ``pos`` — never by searching for
+    the first ``b'255\\n'``, which is ambiguous when a dimension token
+    itself ends in 255 (e.g. height 255 makes the dims line end
+    ``...255\\n`` and the search lands inside it; r6 advisory).
+    Returns ``(w, h, offset_of_first_pixel_byte)``."""
+    if b[pos : pos + 3] != b"P6\n":
+        raise ValueError("payload is not a P6 PPM raster")
+    dims_end = b.index(b"\n", pos + 3)
+    w, h = (int(t) for t in b[pos + 3 : dims_end].split())
+    return w, h, b.index(b"\n", dims_end + 1) + 1
 
 
 def _image_payload(media_id: int, w: int, h: int, shift: int = 0) -> bytes:
@@ -203,8 +219,9 @@ def _phash_gt(ppm: bytes) -> str:
     discipline as _gt_resized_ppm)."""
     import numpy as np
 
-    hdr_end = ppm.index(b"255\n") + 4
-    w, h = (int(t) for t in ppm[3 : ppm.index(b"\n", 3)].split())
+    dims_end = ppm.index(b"\n", 3)
+    w, h = (int(t) for t in ppm[3:dims_end].split())
+    hdr_end = ppm.index(b"\n", dims_end + 1) + 1
     pix = np.frombuffer(ppm[hdr_end:], dtype=np.uint8).reshape(h, w, 3)
     g = PHASH_GRID
     bh, bw = h // g, w // g
@@ -235,8 +252,9 @@ def _gt_resized_ppm(ppm: bytes) -> bytes:
     vector in tests/test_multimodal.py anchors the math itself)."""
     import numpy as np
 
-    hdr_end = ppm.index(b"255\n") + 4
-    w, h = (int(t) for t in ppm[3 : ppm.index(b"\n", 3)].split())
+    dims_end = ppm.index(b"\n", 3)
+    w, h = (int(t) for t in ppm[3:dims_end].split())
+    hdr_end = ppm.index(b"\n", dims_end + 1) + 1
     pix = np.frombuffer(ppm[hdr_end:], dtype=np.uint8).reshape(h, w, 3)
     h2, w2 = h // 2, w // 2
     p = pix[: 2 * h2, : 2 * w2].astype(np.uint16)
@@ -591,10 +609,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def _resize_one(b: bytes) -> bytes:
-        if b[:3] != b"P6\n":
-            raise ValueError("payload is not a P6 PPM raster")
-        hdr_end = b.index(b"255\n") + 4
-        w, h = (int(t) for t in b[3 : b.index(b"\n", 3)].split())
+        w, h, hdr_end = _ppm_parse_header(b)
         pix = np.frombuffer(b, dtype=np.uint8, offset=hdr_end).reshape(h, w, 3)
         h2, w2 = h // 2, w // 2
         blocks = (
@@ -613,10 +628,10 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "n_bytes": resized.map(len).astype("int64"),
                     "width": resized.map(
-                        lambda r: int(r[3 : r.index(b"\n", 3)].split()[0])
+                        lambda r: _ppm_parse_header(r)[0]
                     ).astype("int32"),
                     "height": resized.map(
-                        lambda r: int(r[3 : r.index(b"\n", 3)].split()[1])
+                        lambda r: _ppm_parse_header(r)[1]
                     ).astype("int32"),
                     "sha256_16": resized.map(
                         lambda r: hashlib.sha256(r).hexdigest()[:16]
@@ -645,8 +660,7 @@ def _phash_one(b: bytes) -> str:
     float boundary."""
     import numpy as np
 
-    hdr_end = b.index(b"255\n") + 4
-    w, h = (int(t) for t in b[3 : b.index(b"\n", 3)].split())
+    w, h, hdr_end = _ppm_parse_header(b)
     pix = np.frombuffer(b, dtype=np.uint8, offset=hdr_end).reshape(h, w, 3)
     g = PHASH_GRID
     bh, bw = h // g, w // g
@@ -856,11 +870,8 @@ def mm_video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b = bytes(payload)
                 pos, fid = 0, 0
                 while pos < len(b):
-                    if b[pos : pos + 3] != b"P6\n":
-                        raise ValueError(f"bad frame boundary at {pos}")
-                    hdr_end = b.index(b"255\n", pos) + 4
-                    dims = b[pos + 3 : b.index(b"\n", pos + 3)].split()
-                    end = hdr_end + int(dims[0]) * int(dims[1]) * 3
+                    fw, fh, hdr_end = _ppm_parse_header(b, pos)
+                    end = hdr_end + fw * fh * 3
                     if fid % VIDEO_FPS == 0:
                         out_mid.append(mid)
                         out_fid.append(fid)
@@ -970,9 +981,12 @@ def pipeline_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO curation composite — the speech-corpus sibling of
     pipeline_image_curation: decode every WAV (mapInPandas), gate on a
-    signal-activity heuristic (zero-crossing rate ≥ 0.5 — the
-    cheap silence/tone screen; silent or constant clips have near-zero
-    crossings), join the surviving clips to their transcripts'
+    signal-activity heuristic (zero-crossing rate ≥ 0.0035, i.e. at
+    least 35 crossings per 10k samples — the cheap silence/tone
+    screen; silent or constant clips have near-zero crossings; the
+    predicate is the integer form ``zero_crossings * 10000 >=
+    35 * n_samples`` so both engines compare exact integers), join
+    the surviving clips to their transcripts'
     text-quality gate, and account duration per language — the
     hours-per-language table every ASR/TTS dataset card leads with.
 

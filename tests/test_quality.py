@@ -767,18 +767,26 @@ def test_dp_counts_reproducible_and_noisy(spark):
 
 
 def test_pca_projection_matches_numpy_reference(spark):
-    """emb_pca_project (T3 — eigh isn't SQL) against a from-scratch
-    numpy PCA computed here on the collected corpus: projections must
-    agree to 1e-5 after the same sign convention, per-component
-    variances must be non-increasing (top of the spectrum first), and
-    two runs must be identical (sorted-partial combination makes the
-    float sums deterministic)."""
+    """emb_pca_project (fully oracled since r7 via the published
+    rounded-component artifact) against a from-scratch numpy PCA
+    computed here on the collected corpus: projections must agree to
+    1e-4 (the artifact rounds μ and the components to 6 dp before
+    projecting, perturbing a 64-term dot product by up to
+    ~d·5e-7·(Σ|w|+Σ|x−μ|) ≈ 5e-5; the reference here is unrounded),
+    per-component variances must be non-increasing (top of the
+    spectrum first), and two runs must be identical (unique
+    partition-id-sorted partial combination makes the float sums
+    deterministic — r6 advisory)."""
     import numpy as np
 
-    out1 = {r["vec_id"]: r["proj"]
-            for r in QUERIES["emb_pca_project"](spark, SF_TEST).collect()}
-    out2 = {r["vec_id"]: r["proj"]
-            for r in QUERIES["emb_pca_project"](spark, SF_TEST).collect()}
+    def run():
+        return {
+            r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+            for r in QUERIES["emb_pca_project"](spark, SF_TEST).collect()
+        }
+
+    out1 = run()
+    out2 = run()
     assert out1 == out2, "PCA must be run-deterministic"
 
     rows = (
@@ -798,7 +806,7 @@ def test_pca_projection_matches_numpy_reference(spark):
             comps[:, j] = -comps[:, j]
     ref = Xc @ comps
     got = np.array([out1[i] for i in ids])
-    assert np.abs(got - ref).max() < 1e-5, np.abs(got - ref).max()
+    assert np.abs(got - ref).max() < 1e-4, np.abs(got - ref).max()
     # orthonormal components => projected covariance is diagonal with
     # non-increasing variances
     var = got.var(axis=0)
