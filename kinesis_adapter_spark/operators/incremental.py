@@ -311,6 +311,16 @@ def incremental_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+    return apply_mv_delta(mv_old, delta, c)
+
+
+def apply_mv_delta(mv_old: DataFrame, delta: DataFrame, c: DataFrame) -> DataFrame:
+    """The IVM apply path itself — V' = (Δ ⋈ dim) ∪ (V ∖ keys(Δ)) —
+    extracted so the scale smoke can drive the SAME executed code with
+    a FIXED-size delta while the view grows (r6 directive #3): the
+    registry fixture's delta is a fixed fraction of orders, so naive
+    replication grows the delta with the view and measures harness
+    combinatorics, not maintenance cost."""
     delta_v = delta.join(F.broadcast(c), delta.o_custkey == c.c_custkey).drop(
         "c_custkey"
     )

@@ -851,14 +851,24 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuously empty — caught by the non-empty plan test); Euclidean
     distance on identically-derived doubles keeps both engines
     bit-agreeing at the radius boundary (no trig)."""
-    cell = 0.05
     pts = load(spark, sf_dir, "events").select(
         "event_id",
         (((F.col("event_id") * 7919) % 16000) / 1000.0 - 8.0).alias("x"),
         (((F.col("event_id") * 104729) % 16000) / 1000.0 - 8.0).alias("y"),
     )
-    a = pts.filter(F.col("event_id") % 10 == 0)
-    b = pts.filter(F.col("event_id") % 10 == 5)
+    return grid_radius_pairs(
+        pts.filter(F.col("event_id") % 10 == 0),
+        pts.filter(F.col("event_id") % 10 == 5),
+    )
+
+
+def grid_radius_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """The grid-blocked radius-join topology itself, over two point
+    frames ``(event_id, x, y)`` — extracted so the scale smoke can
+    drive the SAME executed code with area-growth fixtures (constant
+    density, r6 directive #3) instead of the registry fixture whose
+    uniform-density replication squares the true pair count."""
+    cell = 0.05
     gx = F.floor(F.col("x") / cell).cast("long")
     gy = F.floor(F.col("y") / cell).cast("long")
     a9 = (

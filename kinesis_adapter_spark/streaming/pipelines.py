@@ -21,6 +21,10 @@ Windowed keys run in "complete"/"update" output mode into a memory
 sink — fine here because window-state cardinality is bounded; at
 100 TB use append mode + watermark expiry and a real sink, with
 RocksDB state store and watermark TTL bounding state (SURVEY.md §7.4).
+The RocksDB backend is exercised for real (r7): stream_stateful_rocksdb
+runs the arbitrary-stateful topology on RocksDBStateStoreProvider and
+asserts its metrics; kill/resume durability of the RocksDB files is
+pinned in tests/test_streaming.py::test_rocksdb_state_kill_resume.
 
 Arbitrary state uses applyInPandasWithState; the newer Spark 4.x
 transformWithStateInPandas API is NOT exposed here because its state

@@ -860,3 +860,59 @@ def test_bootstrap_ci_brackets_true_mean(spark):
         assert r["ci_lo"] < r["ci_hi"], r
         assert r["ci_lo"] <= truth[et] <= r["ci_hi"], (r, truth[et])
         assert abs(r["boot_mean"] - truth[et]) < (r["ci_hi"] - r["ci_lo"]), r
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """vocab_bpe_train against a from-scratch pure-Python BPE trained
+    here on the collected word-frequency table (independent code: dict
+    of symbol tuples, explicit adjacent-pair counting, greedy
+    left-to-right merge application) — every round's chosen pair AND
+    its weighted count must agree, which pins the argmax tiebreak, the
+    greedy merge semantics, and the type-weighted counting all at
+    once."""
+    from collections import Counter
+
+    from kinesis_adapter_spark.operators.llmops import BPE_MERGES
+
+    got = [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["pair_freq"])
+        for r in QUERIES["vocab_bpe_train"](spark, SF_TEST).collect()
+    ]
+    assert len(got) == BPE_MERGES
+
+    import re
+
+    docs = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    freq = Counter()
+    for r in docs:
+        for w in re.split(r"[^a-z]+", r["text"].lower()):
+            if re.fullmatch(r"[a-z]+", w):
+                freq[tuple(w)] += 1
+
+    ref = []
+    words = dict(freq)
+    for k in range(1, BPE_MERGES + 1):
+        pc = Counter()
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((k, a, b, n))
+        merged = {}
+        for syms, cnt in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            merged[t] = merged.get(t, 0) + cnt
+        words = merged
+    assert got == ref, (got[:4], ref[:4])
