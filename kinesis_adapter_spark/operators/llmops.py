@@ -1829,7 +1829,7 @@ _BPE_ROUND = """,
     b{k} AS MATERIALIZED (SELECT sym_a, sym_b, n FROM p{k}
              ORDER BY n DESC, sym_a, sym_b LIMIT 1),
     w{k} AS MATERIALIZED (
-      SELECT replace(enc,
+      SELECT {carry}replace(enc,
                '{{' || (SELECT sym_a FROM b{k}) || '}}{{'
                     || (SELECT sym_b FROM b{k}) || '}}',
                '{{' || (SELECT sym_a FROM b{k})
@@ -1838,8 +1838,14 @@ _BPE_ROUND = """,
       FROM w{prev}
     )"""
 
-_BPE_SQL = (
-    r"""
+
+def _bpe_chain(carry: str = "") -> str:
+    """The WITH-chain prefix shared by the train and encode oracles —
+    ONE generator so the two queries' replayed merge sequences cannot
+    fork (the never-fork rule). ``carry`` threads extra columns (the
+    word itself, for encode) through every w{k}."""
+    head = (
+        r"""
     WITH words AS (
       SELECT w AS word, COUNT(*) AS freq
       FROM documents,
@@ -1848,15 +1854,49 @@ _BPE_SQL = (
       GROUP BY w
     ),
     w0 AS (
-      SELECT regexp_replace(word, '(.)', '{\1}', 'g') AS enc, freq FROM words
+      SELECT """
+        + carry
+        + r"""regexp_replace(word, '(.)', '{\1}', 'g') AS enc, freq FROM words
     )"""
-    + "".join(_BPE_ROUND.format(k=k, prev=k - 1) for k in range(1, BPE_MERGES + 1))
+    )
+    return head + "".join(
+        _BPE_ROUND.format(k=k, prev=k - 1, carry=carry)
+        for k in range(1, BPE_MERGES + 1)
+    )
+
+
+_BPE_SQL = (
+    _bpe_chain()
     + "\n    "
     + "\n    UNION ALL ".join(
         f"SELECT {k} AS merge_rank, sym_a, sym_b, CAST(n AS BIGINT) AS pair_freq FROM b{k}"
         for k in range(1, BPE_MERGES + 1)
     )
     + "\n    ORDER BY merge_rank"
+)
+
+_BPE_ENCODE_SQL = (
+    _bpe_chain(carry="word, ")
+    + f"""
+    , tok AS MATERIALIZED (
+      SELECT word,
+             len(str_split(regexp_replace(enc, '^\\{{|\\}}$', '', 'g'), '}}{{'))
+               AS n_tok
+      FROM w{BPE_MERGES}
+    ),
+    docwords AS (
+      SELECT doc_id, w AS word
+      FROM documents,
+           LATERAL unnest(str_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE w ~ '^[a-z]+$'
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(tok.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM docwords dw JOIN tok USING (word)
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """
 )
 
 
@@ -1888,6 +1928,18 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integers — no float boundary anywhere. The oracle replays the
     identical loop as an unrolled CTE chain generated from the same
     round template."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, pair_freq bigint"
+    ).orderBy("merge_rank")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The K-round training loop itself, shared by vocab_bpe_train and
+    vocab_bpe_encode (never-fork rule). Returns ``(merges, final)``:
+    the merge table rows and the word-TYPE table ``(w, enc, freq)``
+    with all K merges applied — the trained tokenizer's vocabulary
+    view, vocabulary-sized."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
@@ -1896,7 +1948,7 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     cur = words.select(
-        F.regexp_replace("w", "(.)", "{$1}").alias("enc"), "freq"
+        "w", F.regexp_replace("w", "(.)", "{$1}").alias("enc"), "freq"
     ).persist()  # type-sized: safe to pin for the K rounds
     merges = []
     for k in range(1, BPE_MERGES + 1):
@@ -1925,6 +1977,7 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges.append((k, best["sym_a"], best["sym_b"], int(best["n"])))
         cur = cur.select(
+            "w",
             F.replace(
                 F.col("enc"),
                 F.lit("{" + best["sym_a"] + "}{" + best["sym_b"] + "}"),
@@ -1932,9 +1985,40 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("enc"),
             "freq",
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, sym_a string, sym_b string, pair_freq bigint"
-    ).orderBy("merge_rank")
+    return merges, cur
+
+
+@query("vocab_bpe_encode", _BPE_ENCODE_SQL)
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merges — the consumer half of
+    vocab_bpe_train: per document, word count and the exact BPE token
+    count under the learned merge table (the number every context-
+    window packing and token-budget decision needs, now from the real
+    tokenizer rather than text_token_count_bpe's regex estimate).
+
+    Shape: training reruns its K type-sized rounds (shared helper —
+    the merge sequence cannot fork from the train key's), the final
+    type table maps word → token count (vocabulary-sized → BROADCAST),
+    and the corpus pass is one explode + broadcast-join + per-doc
+    aggregation: no shuffle carries anything wider than (doc_id,
+    n_tok). The oracle replays the same chain (word carried through
+    the rounds) and joins it back to the unnested corpus."""
+    _, final = _bpe_train(spark, sf_dir)
+    strip = F.split(F.regexp_replace("enc", r"^\{|\}$", ""), r"\}\{")
+    tok = final.select(F.col("w").alias("word"), F.size(strip).alias("n_tok"))
+    d = load(spark, sf_dir, "documents")
+    docwords = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    return (
+        docwords.join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 

@@ -787,3 +787,32 @@ def test_spatial_grid_join_is_equi_not_cartesian(spark):
     assert "CartesianProduct" not in final, final[:3000]
     assert "BroadcastNestedLoopJoin" not in final, final[:3000]
     assert "HashJoin" in final or "SortMergeJoin" in final, final[:3000]
+
+
+def test_bpe_encode_vocab_is_broadcast_never_shuffled(spark):
+    """vocab_bpe_encode's corpus pass must join the word→token-count
+    vocabulary as a BROADCAST (vocabulary-sized model artifact): a
+    hash-partitioned exchange of the exploded corpus words to meet the
+    vocab would shuffle corpus-sized data for a type-sized lookup. The
+    per-doc aggregation is the only legitimate wide exchange, and it
+    carries (doc_id, counts) — nothing text-sized."""
+    df = QUERIES["vocab_bpe_encode"](spark, SF_TEST)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final[:3000]
+    assert "SortMergeJoin" not in final, final[:3000]
+
+
+def test_pca_projection_is_map_only_over_corpus(spark):
+    """emb_pca_project's projection pass must be shuffle-free over the
+    corpus: the published component matrix rides into mapInPandas as
+    plain Python state (k×d metadata), so the executed plan's only
+    exchange is the final presentation sort — no hashpartitioning
+    anywhere."""
+    df = QUERIES["emb_pca_project"](spark, SF_TEST)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in final, final[:3000]
+    assert "ArrowEvalPython" in final or "MapInPandas" in final, final[:3000]

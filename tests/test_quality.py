@@ -916,3 +916,28 @@ def test_bpe_train_matches_pure_python_reference(spark):
             merged[t] = merged.get(t, 0) + cnt
         words = merged
     assert got == ref, (got[:4], ref[:4])
+
+    # the encode key must tokenize every doc to exactly the reference
+    # token counts under the same merge table
+    tok_len = {"".join(syms): len(syms) for syms in words}
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in QUERIES["vocab_bpe_encode"](spark, SF_TEST).collect()
+    }
+    docs2 = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs2:
+        ws = [
+            w
+            for w in re.split(r"[^a-z]+", r["text"].lower())
+            if re.fullmatch(r"[a-z]+", w)
+        ]
+        if not ws:
+            assert r["doc_id"] not in enc
+            continue
+        assert enc[r["doc_id"]] == (len(ws), sum(tok_len[w] for w in ws)), r[
+            "doc_id"
+        ]

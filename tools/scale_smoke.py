@@ -103,6 +103,9 @@ SMOKE_OPS = {
     # one corpus pass; replicated docs share the same word types, so
     # only the corpus pass should grow with the factor
     "vocab_bpe_train": "documents",
+    # encode = train (type-sized rounds) + one corpus explode +
+    # broadcast vocab join: the corpus pass should dominate growth
+    "vocab_bpe_encode": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
