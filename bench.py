@@ -76,6 +76,10 @@ EXTRAS = {
     # (BASELINE.md), same adoption rule as r2/r4/r5.
     "triangle_count": "graph_triangle_count",
     "fuzzy_names": "fuzzy_match_names",
+    # round-7 addition: distributed BPE merge training — the round's
+    # heaviest new operator (12 sequential type-sized rounds); anchored
+    # at its r7 idle medians (BASELINE.md "Round-7 anchor adoption")
+    "bpe_train": "vocab_bpe_train",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -118,6 +122,9 @@ ANCHORS = {
     # idle runs' medians-of-5, BASELINE.md "Round-6 anchor adoption")
     "triangle_count": 4.035,
     "fuzzy_names": 3.875,
+    # round-7 addition, anchored at its r7 idle medians (mean of two
+    # idle runs' medians-of-5, BASELINE.md "Round-7 anchor adoption")
+    "bpe_train": 2.08,
 }
 
 
