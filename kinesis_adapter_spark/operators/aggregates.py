@@ -613,6 +613,90 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_est.unionByName(glob).orderBy("event_type")
 
 
+KMV_K = 64
+
+_KMV_U = """
+    (CAST(('0x' || substr(md5('kmv-' || user_id), 1, 12)) AS BIGINT) + 0.5)
+      / 281474976710656.0
+"""
+
+
+@query(
+    "agg_kmv_distinct",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+      SELECT event_type, user_id, {_KMV_U} AS u FROM d
+    ),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY u, user_id) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS exact,
+             MAX(CASE WHEN rn = {KMV_K} THEN u END) AS u_k
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, exact,
+           COALESCE(ROUND(({KMV_K} - 1) / u_k, 4), CAST(exact AS DOUBLE))
+             AS kmv_estimate
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch — the DETERMINISTIC,
+    fully-oracle-able member of the approximate-distinct family
+    (agg_approx_distinct/agg_hll_mergeable estimate via HLL, whose
+    sketch bytes are engine-specific → rows-only): with a keyed
+    md5-uniform per value, KMV's estimate (k−1)/u₍ₖ₎ is a pure
+    function of the data, so Spark and DuckDB hash-match exactly.
+    Groups with fewer than k distinct values return the exact count
+    (the sketch IS exact below k — the standard KMV small-range rule).
+
+    Like the HLL keys, the sketch is MERGEABLE (union of k-min sets →
+    k smallest of the union — associative and idempotent; pinned in
+    pytest). Expressed relationally here (distinct → rank → k-th
+    smallest); a production accumulator keeps a bounded k-element
+    heap per group, but the MATH the two forms compute is identical,
+    which is what the oracle pins. Error ~1/√(k−2) ≈ 12.7% at k=64,
+    gated in pytest against the exact counts computed in the same
+    pass."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv-"), F.col("user_id"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 281474976710656.0
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    r = d.select("event_type", "user_id", u.alias("u")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("u"))).alias("u_k"),
+    )
+    return s.select(
+        "event_type",
+        "exact",
+        F.coalesce(
+            F.round(F.lit(KMV_K - 1) / F.col("u_k"), 4),
+            F.col("exact").cast("double"),
+        ).alias("kmv_estimate"),
+    ).orderBy("event_type")
+
+
 @query(
     "agg_bitmap_distinct",
     """

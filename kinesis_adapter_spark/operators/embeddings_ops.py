@@ -913,3 +913,128 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(project, f"vec_id bigint, {cols}")
         .orderBy("vec_id")
     )
+
+
+KM_K = 8
+KM_ITERS = 3
+
+_KM_ROUND = """,
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rk
+        FROM (
+          SELECT x.vec_id, c.cluster,
+                 ROUND(SUM((x.xv - c.w) * (x.xv - c.w)), 6) AS dist
+          FROM x JOIN c{prev} c USING (pos)
+          GROUP BY 1, 2
+        )
+      ) WHERE rk = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT a.cluster, x.pos, ROUND(AVG(x.xv), 6) AS w
+      FROM a{t} a JOIN x USING (vec_id)
+      GROUP BY 1, 2
+    )"""
+
+_KMEANS_SQL = (
+    f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, u.i - 1 AS pos, CAST(u.v AS DOUBLE) AS xv
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS i) u
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cluster, pos, ROUND(xv, 6) AS w
+      FROM x WHERE vec_id < {KM_K}
+    )"""
+    + "".join(_KM_ROUND.format(t=t, prev=t - 1) for t in range(1, KM_ITERS + 1))
+    + f"""
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rk
+      FROM (
+        SELECT x.vec_id, c.cluster,
+               ROUND(SUM((x.xv - c.w) * (x.xv - c.w)), 6) AS dist
+        FROM x JOIN c{KM_ITERS} c USING (pos)
+        GROUP BY 1, 2
+      )
+    ) WHERE rk = 1
+    ORDER BY vec_id
+    """
+)
+
+
+@query("emb_kmeans_lloyd", _KMEANS_SQL)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embedding corpus
+    (k=8, 3 update rounds, seeded at vectors 0..k−1) — the clustering
+    step behind IVF cell layouts and diversity-balanced sampling,
+    fully oracled: like graph_pagerank, the driver loop UNROLLS into
+    the same dataflow the oracle replays as a CTE chain, and like
+    emb_pca_project / emb_standardize, every published statistic
+    (the centroids after each update, AND the per-(vector, centroid)
+    distance before each argmin) is ROUNDED to 6 dp so both engines
+    compare identical operands — argmin ties then break identically
+    on the lowest cluster id. A cluster that loses all members simply
+    disappears from the next round's centroid table on both engines
+    (no special casing to drift).
+
+    Scale shape: assignments are one vectorized mapInPandas pass per
+    round with the k×d centroid matrix as plain broadcast state
+    (model metadata); updates are one partial-aggregated groupBy over
+    the posexploded corpus (map-side combine carries k×d cells per
+    partition) collected as k×d rows — never data — then re-rounded
+    and re-broadcast. K rounds = K corpus passes, the Lloyd's floor;
+    at 100 TB you mini-batch the update pass, same plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < KM_K)
+        .select("vec_id", "x")
+        .collect()  # k rows: model init, never data
+    )
+    cents = {int(r["vec_id"]): np.round(np.array(r["x"]), 6) for r in seeds}
+
+    exploded = e.select("vec_id", F.posexplode("x").alias("pos", "xv"))
+
+    def assign_with(centroids: dict[int, np.ndarray]):
+        ids = sorted(centroids)
+        mat = np.stack([centroids[i] for i in ids])  # (k, d)
+
+        def assign(batches):
+            for pdf in batches:
+                m = np.array([np.asarray(v) for v in pdf["x"]])
+                if not len(m):
+                    continue
+                d2 = ((m[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+                best = np.round(d2, 6).argmin(axis=1)  # tie -> lowest id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster": [ids[j] for j in best],
+                    }
+                )
+
+        return e.mapInPandas(assign, "vec_id bigint, cluster int")
+
+    for _ in range(KM_ITERS):
+        a = assign_with(cents)
+        upd = (
+            exploded.join(a, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("xv"), 6).alias("w"))
+            .collect()  # k×d rows: model metadata, never data
+        )
+        cents = {}
+        for r in upd:
+            cents.setdefault(int(r["cluster"]), np.zeros(64))[r["pos"]] = r["w"]
+    return assign_with(cents).orderBy("vec_id")

@@ -84,9 +84,10 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scd2_intervals",
-    """
+# Shared verbatim by the streaming maintenance twin
+# (stream_scd2_maintain, streaming/pipelines.py): the incremental
+# affected-key rebuild must converge to exactly this batch truth.
+SCD2_SQL = """
     WITH ordered AS (
       SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -105,8 +106,28 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS is_current
     FROM changes
     ORDER BY user_id, valid_from
-    """,
-)
+    """
+
+
+def collapse_scd2(ev: DataFrame) -> DataFrame:
+    """The two-window SCD2 collapse over ``(user_id, event_type,
+    ts_ns, event_id)`` rows — ONE implementation for the batch key and
+    the streaming affected-key rebuild (never-fork rule)."""
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    return changes.withColumn("valid_to", F.lead("ts_ns").over(w)).select(
+        "user_id",
+        "event_type",
+        F.col("ts_ns").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@query("scd2_intervals", SCD2_SQL)
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history build: collapse an event log into validity
     intervals per user — a row per ATTRIBUTE CHANGE carrying
@@ -127,25 +148,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 50)
         .withColumn("ts_ns", ts_us_trunc())
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    changes = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(
-            F.col("prev_type").isNull()
-            | (F.col("prev_type") != F.col("event_type"))
-        )
-    )
-    return (
-        changes.withColumn("valid_to", F.lead("ts_ns").over(w))
-        .select(
-            "user_id",
-            "event_type",
-            F.col("ts_ns").alias("valid_from"),
-            "valid_to",
-            F.col("valid_to").isNull().alias("is_current"),
-        )
-        .orderBy("user_id", "valid_from")
-    )
+    return collapse_scd2(ev).orderBy("user_id", "valid_from")
 
 
 @query(

@@ -1537,3 +1537,98 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", "n_events", F.round("sv", 4).alias("sum_value")
     )
+
+
+def _scd2_maintain_oracle() -> str:
+    from kinesis_adapter_spark.operators.incremental import SCD2_SQL
+
+    return SCD2_SQL
+
+
+@query("stream_scd2_maintain", _scd2_maintain_oracle())
+def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 dimension maintenance — the streaming twin of
+    scd2_intervals (same oracle, verbatim): attribute observations
+    arrive in micro-batches and the collapsed validity-interval
+    history is maintained per batch instead of rebuilt from scratch.
+
+    The two-tier shape every lakehouse SCD2 job uses, because collapsed
+    history alone is NOT closable under late data (a late row between
+    two retained changes can resurrect a change that was suppressed —
+    so rebuilding from stored intervals is wrong by construction):
+
+    - tier A (bronze): the raw attribute log, appended per batch with
+      batch_id; replays collapse via the shared ``_dedup_replays`` rule
+      on event_id.
+    - tier B (silver): per batch, ONLY the users present in the batch
+      are re-collapsed from tier A (the shared ``collapse_scd2`` — the
+      batch key's exact code) and swapped in; every other user's
+      history rows are carried over untouched. At 100 TB tier A is
+      user-bucketed so the affected-key read is partition-pruned, and
+      the swap rewrites only affected files — maintenance cost scales
+      with |batch| + |affected history|, never the dimension.
+
+    Convergence to the batch truth is the oracle check itself: after
+    the availableNow run over all staged arrivals, tier B must
+    hash-equal the one-shot batch collapse; the late-data case the
+    two-tier design exists for (a suppressed change resurrected by a
+    late arrival) is staged explicitly in
+    tests/test_streaming.py::test_scd2_maintain_resurrects_suppressed_change."""
+    return _scd2_maintain_run(spark, str(ensure_events_ndjson(sf_dir)), 4)
+
+
+def _scd2_maintain_run(
+    spark: SparkSession, src_dir: str, max_files: int
+) -> DataFrame:
+    from kinesis_adapter_spark.operators.incremental import collapse_scd2
+
+    work = Path(tempfile.mkdtemp(prefix="kas_scd2_"))
+    raw_dir = str(work / "raw")
+    versions: list[str] = []
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b = (
+            batch_df.filter(F.col("user_id") < 50)
+            .select(
+                "user_id",
+                "event_type",
+                (F.col("ts_ns") - F.col("ts_ns") % 1000).alias("ts_ns"),
+                "event_id",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        if not b.take(1):
+            return
+        b.write.mode("append").parquet(raw_dir)
+        users = b.select("user_id").distinct()
+        raw = _dedup_replays(sess.read.parquet(raw_dir), "event_id")
+        affected = collapse_scd2(
+            raw.join(F.broadcast(users), "user_id").select(
+                "user_id", "event_type", "ts_ns", "event_id"
+            )
+        )
+        if versions:
+            kept = sess.read.parquet(versions[-1]).join(
+                F.broadcast(users), "user_id", "left_anti"
+            )
+            nxt_hist = affected.unionByName(kept)
+        else:
+            nxt_hist = affected
+        nxt = str(work / f"hist_v{len(versions)}")
+        nxt_hist.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    stream = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .json(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 180)
+    return spark.read.parquet(versions[-1]).orderBy("user_id", "valid_from")

@@ -941,3 +941,87 @@ def test_bpe_train_matches_pure_python_reference(spark):
         assert enc[r["doc_id"]] == (len(ws), sum(tok_len[w] for w in ws)), r[
             "doc_id"
         ]
+
+
+def test_kmv_estimate_error_and_merge_law(spark):
+    """agg_kmv_distinct: (1) estimate within 4σ (σ≈1/√(k−2)) of the
+    exact distinct count it reports alongside; (2) the MERGE law the
+    docstring claims — the k smallest of the union of per-group k-min
+    sets equals the k smallest of the global distinct set, so the
+    merged estimate equals the directly-computed global estimate —
+    verified here with the engine's own keyed hash recomputed from
+    scratch in Python."""
+    import hashlib
+
+    from kinesis_adapter_spark.operators.aggregates import KMV_K
+
+    rows = QUERIES["agg_kmv_distinct"](spark, SF_TEST).collect()
+    assert rows
+    sigma = (KMV_K - 2) ** -0.5
+    for r in rows:
+        assert abs(r["kmv_estimate"] - r["exact"]) / r["exact"] <= 4 * sigma, r
+
+    def u(uid: int) -> float:
+        h = hashlib.md5(f"kmv-{uid}".encode()).hexdigest()[:12]
+        return (int(h, 16) + 0.5) / 281474976710656.0
+
+    pairs = (
+        spark.read.parquet(f"{SF_TEST}/events.parquet")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    per_group: dict[str, list[float]] = {}
+    all_users: set[int] = set()
+    for r in pairs:
+        per_group.setdefault(r["event_type"], []).append(u(r["user_id"]))
+        all_users.add(r["user_id"])
+    kmin_sets = [sorted(v)[:KMV_K] for v in per_group.values()]
+    merged = sorted(x for s in kmin_sets for x in s)
+    merged_kmin = sorted(set(merged))[:KMV_K]
+    direct_kmin = sorted(u(x) for x in all_users)[:KMV_K]
+    assert merged_kmin == direct_kmin, "k-min union law violated"
+
+
+def test_kmeans_matches_pure_numpy_reference(spark):
+    """emb_kmeans_lloyd against a from-scratch numpy Lloyd's with the
+    same conventions (seed at vec_id<k, centroids and distances
+    rounded 6dp, ties to lowest cluster): assignments must be
+    IDENTICAL, and the clustering objective under the final centroids
+    must not exceed the round-0 objective (Lloyd's descent survives
+    the rounding)."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import KM_ITERS, KM_K
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    cents = {int(i): np.round(X[ids == i][0], 6) for i in range(KM_K)}
+
+    def assign(c):
+        cid = sorted(c)
+        mat = np.stack([c[i] for i in cid])
+        d2 = ((X[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+        return np.array([cid[j] for j in np.round(d2, 6).argmin(axis=1)]), d2
+
+    _, d2_0 = assign(cents)
+    obj0 = d2_0.min(axis=1).sum()
+    for _ in range(KM_ITERS):
+        a, _ = assign(cents)
+        cents = {
+            int(c): np.round(X[a == c].mean(axis=0), 6) for c in np.unique(a)
+        }
+    ref, d2_f = assign(cents)
+    objf = d2_f.min(axis=1).sum()
+    assert objf <= obj0, (objf, obj0)
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in QUERIES["emb_kmeans_lloyd"](spark, SF_TEST).collect()
+    }
+    assert got == {int(i): int(c) for i, c in zip(ids, ref)}

@@ -579,3 +579,45 @@ def test_python_stream_source_resumes_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 1000, "row loss or duplication across resume"
     assert got.select("gid").distinct().count() == 1000
+
+
+def test_scd2_maintain_resurrects_suppressed_change(spark, tmp_path):
+    """The late-data case the two-tier SCD2 design exists for: user 1's
+    a@t3 is SUPPRESSED while history is [a@t1, b@t5] — then a late
+    b@t2 arrives and a@t3 must be RESURRECTED as a change (final truth
+    a@t1, b@t2, a@t3, b@t5). Rebuilding from collapsed intervals alone
+    cannot produce this (a@t3 is not stored); rebuilding affected keys
+    from the raw tier must. Files get strictly increasing mtimes so
+    the file source delivers them in arrival order."""
+    import os
+
+    from kinesis_adapter_spark.streaming.pipelines import _scd2_maintain_run
+
+    src = tmp_path / "src"
+    t = lambda h: f"2024-01-01T0{h}:00:00"  # noqa: E731
+    ns = lambda h: int(1704067200 + h * 3600) * 1_000_000_000  # noqa: E731
+    batches = [
+        [  # batch 0: a@t1 retained, a@t3 suppressed (same as previous)
+            {"event_id": 1, "user_id": 1, "event_type": "a", "ts_ns": ns(1), "ts_iso": t(1)},
+            {"event_id": 3, "user_id": 1, "event_type": "a", "ts_ns": ns(3), "ts_iso": t(3)},
+        ],
+        [  # batch 1: b@t5 — history now [a@t1, b@t5]
+            {"event_id": 5, "user_id": 1, "event_type": "b", "ts_ns": ns(5), "ts_iso": t(5)},
+        ],
+        [  # batch 2 (LATE): b@t2 lands between a@t1 and a@t3
+            {"event_id": 2, "user_id": 1, "event_type": "b", "ts_ns": ns(2), "ts_iso": t(2)},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        _write_ndjson(f, rows)
+        os.utime(f, (1000 + i, 1000 + i))
+
+    hist = _scd2_maintain_run(spark, str(src), 1).collect()
+    got = [(r["event_type"], r["valid_from"], r["valid_to"], r["is_current"]) for r in hist]
+    assert got == [
+        ("a", ns(1), ns(2), False),
+        ("b", ns(2), ns(3), False),
+        ("a", ns(3), ns(5), False),
+        ("b", ns(5), None, True),
+    ], got
