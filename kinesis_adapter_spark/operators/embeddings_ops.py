@@ -1038,3 +1038,94 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in upd:
             cents.setdefault(int(r["cluster"]), np.zeros(64))[r["pos"]] = r["w"]
     return assign_with(cents).orderBy("vec_id")
+
+
+def _rrf_oracle() -> str:
+    from kinesis_adapter_spark.operators.llmops import BM25_SCORES_CTE
+
+    return f"""
+    WITH {BM25_SCORES_CTE},
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm25 WHERE doc_id <> 0
+      QUALIFY r <= 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    den AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY ROUND(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.qv AS DOUBLE[])), 6) DESC, e.vec_id) AS r
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      QUALIFY r <= 50
+    )
+    SELECT * FROM (
+      SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + lex.r), 0.0)
+                   + COALESCE(1.0 / (60 + den.r), 0.0), 6) AS rrf_score,
+             CAST(lex.r AS INTEGER) AS lex_rank,
+             CAST(den.r AS INTEGER) AS dense_rank
+      FROM lex FULL JOIN den ON lex.doc_id = den.doc_id
+    )
+    QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10
+    ORDER BY rrf_score DESC, doc_id
+    """
+
+
+@query("search_rrf_fusion", _rrf_oracle())
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion — the standard way a
+    RAG stack combines sparse (BM25, text_bm25_topk's scorer reused
+    verbatim) and dense (cosine to the probe vector, sim_topk's shape)
+    rankings without score calibration: each candidate contributes
+    1/(60+rank) per list it appears in, fused top-10 wins. Documents
+    and embeddings share ids (doc_id = vec_id); doc 0 is the probe and
+    is excluded from both lists.
+
+    Determinism across engines: both ranks are row_numbers over
+    6-dp-ROUNDED scores with a doc_id tiebreak, and the fused score is
+    a ≤2-term sum of exact reciprocals — no float reduction anywhere.
+
+    Scale shape: the lexical list is the BM25 plan (broadcast stats +
+    TakeOrderedAndProject); the dense list is brute-force here and the
+    ANN keys' bucketed probe at 100 TB (swap-in, same contract); the
+    fusion itself joins two k-row lists — driver-trivial, executed
+    distributed."""
+    from kinesis_adapter_spark.operators.llmops import bm25_scores
+
+    wl = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 50)
+        .select("doc_id", "lex_rank")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    wd = Window.orderBy(F.col("sim").desc(), "doc_id")
+    den = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+        .withColumn("dense_rank", F.row_number().over(wd))
+        .filter(F.col("dense_rank") <= 50)
+        .select("doc_id", "dense_rank")
+    )
+    fused = lex.join(den, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)

@@ -2066,3 +2066,251 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+BM25_TERMS = ("data", "query", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# Shared WITH-chain: corpus stats + per-(doc, query-term) BM25 partial
+# scores. Reused verbatim by the RRF fusion oracle (never-fork rule).
+BM25_SCORES_CTE = f"""
+    tk AS (
+      SELECT doc_id, w
+      FROM documents,
+           LATERAL unnest(str_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE w ~ '^[a-z]+$'
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+    st AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tk WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tk WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY w
+    ),
+    bm25 AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln((st.n - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN idf ON idf.w = tf.w
+      CROSS JOIN st
+      GROUP BY tf.doc_id
+    )
+"""
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score for the fixed query-term set — the
+    Okapi formula from integer corpus statistics only (tf, df, doc
+    length, N, exact-integer avgdl), so both engines evaluate the
+    identical scalar expression on identical operands and the 6-dp
+    rounded scores hash-match. One token pass feeds tf, dl, df, and N;
+    the per-term idf table and the two scalars broadcast. Shared by
+    text_bm25_topk and the RRF fusion key."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = list(BM25_TERMS)
+    tf = (
+        tk.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    idf = (
+        tk.filter(F.col("w").isin(terms))
+        .groupBy("w")
+        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    )
+    part = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "w")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(part), 6).alias("score"))
+    )
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH {BM25_SCORES_CTE}
+    SELECT doc_id, score FROM bm25
+    QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+    ORDER BY score DESC, doc_id
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval, top-20 for a fixed query — the
+    classical sparse ranking next to the dense sim_topk: tf saturation
+    (k1) and length normalization (b) over tf-idf, the function behind
+    every Lucene/Elasticsearch relevance score and the lexical half of
+    hybrid RAG retrieval (search_rrf_fusion composes it with the
+    dense ranking).
+
+    Cost shape: one token pass (corpus-sized) feeds every statistic;
+    the query-term filter cuts the scored frame to |terms| rows per
+    matching doc before any join; idf and the (N, avgdl) scalars
+    broadcast; top-k is TakeOrderedAndProject. avgdl divides an EXACT
+    integer token sum so no float reduction order can shift scores
+    between engines (the 6-dp round then has ~1e-14 of slack)."""
+    sc = bm25_scores(spark, sf_dir)
+    return (
+        sc.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
+# ------------------------------------------------------ winnowing fingerprints
+
+WINNOW_K = 4   # words per k-gram
+WINNOW_W = 5   # window of consecutive k-grams per fingerprint pick
+WINNOW_DF_CAP = 100  # boilerplate guard: drop fingerprints in >cap docs
+
+
+@query(
+    "dedup_winnowing",
+    f"""
+    WITH docs AS ({MUTATED_SQL}),
+    g AS (
+      SELECT doc_id, i,
+             md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3])) AS h
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, GREATEST(len(tk) - {WINNOW_K - 1}, 0))) AS i
+        FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM docs)
+      )
+    ),
+    sel AS (
+      SELECT doc_id, i,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM g
+    ),
+    fps0 AS (
+      SELECT DISTINCT doc_id, fp FROM sel
+      WHERE i <= GREATEST(ng - {WINNOW_W - 1}, 1)
+    ),
+    fps AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps0)
+      WHERE df <= {WINNOW_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, CAST(i.c AS BIGINT) AS n_shared,
+           ROUND(CAST(i.c AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS overlap
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.c AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup detection (the MOSS scheme):
+    hash every K-word gram, slide a window of W consecutive gram
+    hashes, keep the window minimum — guaranteeing any shared run of
+    W+K-1 words contributes at least one shared fingerprint, while
+    storing only ~2/(W+1) of the gram hashes. Docs pair when they
+    share >= 50% of the smaller doc's fingerprint set. Run over the
+    mutated corpus (every 7th doc truncated by two words), so true
+    near-dup pairs must surface.
+
+    vs MinHash (dedup_near_minhash): winnowing selects POSITIONAL
+    fingerprints — local to regions of the text — so it also localizes
+    WHERE the overlap is, which is why plagiarism/contamination
+    checkers use it; MinHash estimates global set resemblance only.
+
+    Scale shape: fingerprint selection is one window pass per doc (no
+    shuffle beyond the doc partition), the candidate join is an
+    equi-join on the fingerprint key over a table ~2/(W+1) the gram
+    count, and the df cap bounds any boilerplate fingerprint's fan-out
+    exactly like the stop-shingle cap in capped_shingles. Short docs
+    (< W grams) keep their global-min gram so every non-empty doc is
+    fingerprinted."""
+    docs = mutated_documents(spark, sf_dir)
+    toked = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    grams_expr = (
+        f"transform(sequence(1, greatest(size(tk) - {WINNOW_K - 1}, 0)), "
+        "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1], tk[i+2]))"
+    )
+    g = toked.select(
+        "doc_id", F.posexplode(F.expr(grams_expr)).alias("i0", "gram")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("gram").alias("h"))
+    wsel = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    )
+    fps0 = (
+        g.withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("fp", F.min("h").over(wsel))
+        .filter(
+            F.col("i")
+            <= F.greatest(F.col("ng") - (WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fps = (
+        fps0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("doc_id", "fp")
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ov = F.col("n_shared") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .filter(ov >= 0.5)
+        .select(
+            "doc_a", "doc_b", "n_shared", F.round(ov, 6).alias("overlap")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -512,3 +512,81 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         F.round(interp, 6).alias("v_interp"),
     ).orderBy("user_id", "hr")
+
+
+# --------------------------------------------------- K-fold target encoding
+
+TE_FOLDS = 5
+
+
+@query(
+    "mlprep_target_encode_kfold",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT
+               % {TE_FOLDS} AS fold,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cf AS (
+      SELECT cat, fold, SUM(cents) AS s, COUNT(*) AS c
+      FROM base GROUP BY cat, fold
+    ),
+    ct AS (SELECT cat, SUM(s) AS st, SUM(c) AS ct FROM cf GROUP BY cat)
+    SELECT cf.cat, CAST(cf.fold AS INTEGER) AS fold,
+           CAST(cf.c AS BIGINT) AS n_rows,
+           ROUND((ct.st - cf.s) / ((ct.ct - cf.c) * 100.0), 6) AS enc
+    FROM cf JOIN ct ON ct.cat = cf.cat
+    ORDER BY cf.cat, cf.fold
+    """,
+)
+def mlprep_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold (leave-fold-out) target encoding of o_orderpriority
+    against mean order value — the standard leakage-safe way to turn a
+    categorical into a numeric feature: a row in fold f is encoded
+    with the target mean computed from every OTHER fold, so no row's
+    own target leaks into its feature. Folds are md5-keyed (module
+    docstring), so membership is reproducible across engines/retries.
+
+    Output is the (category × fold) encoding table itself — the
+    artifact a trainer broadcast-joins back onto the full dataset. At
+    100 TB the expensive side is one partial-aggregated groupBy over
+    (cat, fold) producing a |cats|×K table; the encode-apply step is a
+    broadcast join, never a shuffle of the fact table.
+
+    Determinism: the target is summed in exact BIGINT cents (prices
+    are 2dp), and the mean is a single integer/integer division — no
+    float reduction order exists for engines to disagree on."""
+    o = load(spark, sf_dir, "orders")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % TE_FOLDS
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cf = (
+        o.select(
+            F.col("o_orderpriority").alias("cat"),
+            fold.alias("fold"),
+            cents.alias("cents"),
+        )
+        .groupBy("cat", "fold")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("cat")
+    return (
+        cf.withColumn("st", F.sum("s").over(wc))
+        .withColumn("ct", F.sum("c").over(wc))
+        .select(
+            "cat",
+            F.col("fold").cast("int").alias("fold"),
+            F.col("c").alias("n_rows"),
+            F.round(
+                (F.col("st") - F.col("s"))
+                / ((F.col("ct") - F.col("c")) * 100.0),
+                6,
+            ).alias("enc"),
+        )
+        .orderBy("cat", "fold")
+    )
