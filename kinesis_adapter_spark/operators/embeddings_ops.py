@@ -14,6 +14,8 @@ layout (cells = partition key → partition pruning does the work).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -737,7 +739,13 @@ def pca_components_table(spark: SparkSession, sf_dir: str) -> str:
     microseconds. Eigenvector sign is fixed by making each
     component's largest-|coordinate| entry positive, then the matrix
     and mean are rounded to 6 dp and written atomically (single-file
-    pyarrow write + os.replace, safe against concurrent stagers)."""
+    pyarrow write + os.replace, safe against concurrent stagers).
+
+    Cache invalidation (r7 ADVICE): single-file staging keys on a
+    sibling ``.src`` marker holding the source fingerprint of
+    embeddings.parquet (the ensure_events_csv pattern) — a regenerated
+    fixture at the same path restages instead of silently serving the
+    stale component matrix to BOTH engines."""
     import os
 
     import numpy as np
@@ -745,8 +753,12 @@ def pca_components_table(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from kinesis_adapter_spark.sources.scans import source_fingerprint
+
     out = derived_dir(sf_dir) / "pca_components.parquet"
-    if out.exists():
+    marker = derived_dir(sf_dir) / "pca_components.parquet.src"
+    fp = source_fingerprint(Path(sf_dir) / "embeddings.parquet")
+    if out.exists() and marker.exists() and marker.read_text() == fp:
         return str(out)
 
     d = _PCA_DIM
@@ -822,6 +834,7 @@ def pca_components_table(spark: SparkSession, sf_dir: str) -> str:
     tmp = out.parent / f"{out.name}.tmp-{os.getpid()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, out)
+    marker.write_text(fp)  # after the artifact: crash leaves it stale-marked
     return str(out)
 
 
@@ -1089,19 +1102,26 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp-ROUNDED scores with a doc_id tiebreak, and the fused score is
     a ≤2-term sum of exact reciprocals — no float reduction anywhere.
 
-    Scale shape: the lexical list is the BM25 plan (broadcast stats +
-    TakeOrderedAndProject); the dense list is brute-force here and the
-    ANN keys' bucketed probe at 100 TB (swap-in, same contract); the
-    fusion itself joins two k-row lists — driver-trivial, executed
-    distributed."""
+    Scale shape (r7 verdict fix): each list is cut to its top-50 with
+    ``orderBy().limit(50)`` FIRST — TakeOrderedAndProject, the same
+    plan text_bm25_topk uses, per-partition heaps + a 50-row merge,
+    never a corpus through one partition — and only the bounded 50-row
+    result is ranked with a window (bounded metadata, the repo's
+    global-window rule). Top-k-then-rank is semantics-preserving here
+    because the rank order (6-dp-rounded score DESC, doc_id) is total:
+    the top-50 SET under orderBy().limit(50) is exactly the rank ≤ 50
+    set. The dense list is brute-force here and the ANN keys' bucketed
+    probe at 100 TB (swap-in, same contract); the fusion itself joins
+    two 50-row lists — driver-trivial, executed distributed."""
     from kinesis_adapter_spark.operators.llmops import bm25_scores
 
     wl = Window.orderBy(F.col("score").desc(), "doc_id")
     lex = (
         bm25_scores(spark, sf_dir)
         .filter(F.col("doc_id") != 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)  # TakeOrderedAndProject: bound BEFORE any window
         .withColumn("lex_rank", F.row_number().over(wl))
-        .filter(F.col("lex_rank") <= 50)
         .select("doc_id", "lex_rank")
     )
     e = load(spark, sf_dir, "embeddings")
@@ -1114,8 +1134,9 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
         )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(50)  # TakeOrderedAndProject: bound BEFORE any window
         .withColumn("dense_rank", F.row_number().over(wd))
-        .filter(F.col("dense_rank") <= 50)
         .select("doc_id", "dense_rank")
     )
     fused = lex.join(den, "doc_id", "full").select(

@@ -20,6 +20,8 @@ doc_id+1_000_000 and unioned, identically in Spark and the oracle SQL.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1927,11 +1929,71 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax tiebreak is total (count DESC, sym_a, sym_b), and counts
     are integers — no float boundary anywhere. The oracle replays the
     identical loop as an unrolled CTE chain generated from the same
-    round template."""
+    round template.
+
+    Publishing (r7 directive #3): every train run WRITE-THROUGH
+    publishes the merge table to the staging dir's
+    ``bpe_merges.parquet`` (atomic replace + source-fingerprint
+    marker), the artifact vocab_bpe_encode broadcasts — train-once,
+    encode-many, the pca_components_table pattern. The train key
+    itself always retrains (that IS the measured operation; serving
+    the cache here would fake the bench anchor)."""
     merges, _ = _bpe_train(spark, sf_dir)
+    _publish_bpe_merges(merges, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank int, sym_a string, sym_b string, pair_freq bigint"
     ).orderBy("merge_rank")
+
+
+def _publish_bpe_merges(merges: list, sf_dir: str) -> str:
+    """Atomically write the learned merge table (K rows of model
+    metadata) to the staging dir, with a ``.src`` fingerprint marker
+    keyed on documents.parquet — the single-file fresh_staging
+    contract (ensure_events_csv): a regenerated corpus at the same
+    path restages instead of serving a stale tokenizer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_adapter_spark.sources.scans import (
+        derived_dir,
+        source_fingerprint,
+    )
+
+    out = derived_dir(sf_dir) / "bpe_merges.parquet"
+    tbl = pa.table(
+        {
+            "merge_rank": pa.array([m[0] for m in merges], pa.int32()),
+            "sym_a": pa.array([m[1] for m in merges], pa.string()),
+            "sym_b": pa.array([m[2] for m in merges], pa.string()),
+            "pair_freq": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+    tmp = out.parent / f"{out.name}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+    marker = out.parent / f"{out.name}.src"
+    marker.write_text(source_fingerprint(Path(sf_dir) / "documents.parquet"))
+    return str(out)
+
+
+def bpe_merges_table(spark: SparkSession, sf_dir: str) -> str:
+    """Path to the published merge table for this staging dir,
+    training (once) only when absent or fingerprint-stale — the
+    consumer-side half of the publish contract."""
+    from kinesis_adapter_spark.sources.scans import (
+        derived_dir,
+        source_fingerprint,
+    )
+
+    out = derived_dir(sf_dir) / "bpe_merges.parquet"
+    marker = out.parent / f"{out.name}.src"
+    fp = source_fingerprint(Path(sf_dir) / "documents.parquet")
+    if out.exists() and marker.exists() and marker.read_text() == fp:
+        return str(out)
+    merges, _ = _bpe_train(spark, sf_dir)
+    return _publish_bpe_merges(merges, sf_dir)
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str):
@@ -1996,17 +2058,38 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     window packing and token-budget decision needs, now from the real
     tokenizer rather than text_token_count_bpe's regex estimate).
 
-    Shape: training reruns its K type-sized rounds (shared helper —
-    the merge sequence cannot fork from the train key's), the final
-    type table maps word → token count (vocabulary-sized → BROADCAST),
-    and the corpus pass is one explode + broadcast-join + per-doc
-    aggregation: no shuffle carries anything wider than (doc_id,
-    n_tok). The oracle replays the same chain (word carried through
-    the rounds) and joins it back to the unnested corpus."""
-    _, final = _bpe_train(spark, sf_dir)
-    strip = F.split(F.regexp_replace("enc", r"^\{|\}$", ""), r"\}\{")
-    tok = final.select(F.col("w").alias("word"), F.size(strip).alias("n_tok"))
+    Shape (r7 directive #3 — consume, don't retrain): the published
+    merge artifact (bpe_merges_table, K rows of model metadata) is
+    read driver-side and unrolled into ONE nested map-only replace
+    expression — encode's plan has ZERO argmax collects and zero
+    type-sized training shuffles. The distinct-word TYPE table gets
+    the merge chain applied (map-side-combined distinct, then pure
+    string expressions), maps word → token count (vocabulary-sized →
+    BROADCAST), and the corpus pass is one explode + broadcast-join +
+    per-doc aggregation: no shuffle carries anything wider than
+    (doc_id, n_tok). The oracle replays the same chain (word carried
+    through the rounds) via the shared CTE generator, so the merge
+    sequence still cannot fork — the artifact itself is fingerprint-
+    staged against the corpus, so both engines see the same merges."""
+    import pyarrow.parquet as pq
+
+    path = bpe_merges_table(spark, sf_dir)
+    merges = pq.read_table(path).sort_by("merge_rank").to_pylist()
     d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    enc = F.regexp_replace("word", "(.)", "{$1}")
+    for m in merges:  # K nested plain replaces: one map-only expression
+        enc = F.replace(
+            enc,
+            F.lit("{" + m["sym_a"] + "}{" + m["sym_b"] + "}"),
+            F.lit("{" + m["sym_a"] + m["sym_b"] + "}"),
+        )
+    strip = F.split(F.regexp_replace(enc, r"^\{|\}$", ""), r"\}\{")
+    tok = words.select("word", F.size(strip).alias("n_tok"))
     docwords = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
     ).filter(F.col("word").rlike("^[a-z]+$"))
@@ -2199,6 +2282,36 @@ WINNOW_W = 5   # window of consecutive k-grams per fingerprint pick
 WINNOW_DF_CAP = 100  # boilerplate guard: drop fingerprints in >cap docs
 
 
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint SELECTION over (doc_id, text) — the part
+    carrying the scheme's guarantee (any shared run of W+K-1 words in
+    two docs yields at least one shared fingerprint; the hypothesis
+    property in test_property.py drives exactly this helper, so the
+    tested code IS the registry key's). Returns distinct (doc_id, fp);
+    the df cap is the caller's policy, applied after selection."""
+    toked = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    grams_expr = (
+        f"transform(sequence(1, greatest(size(tk) - {WINNOW_K - 1}, 0)), "
+        "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1], tk[i+2]))"
+    )
+    g = toked.select(
+        "doc_id", F.posexplode(F.expr(grams_expr)).alias("i0", "gram")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("gram").alias("h"))
+    wsel = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        g.withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("fp", F.min("h").over(wsel))
+        .filter(
+            F.col("i")
+            <= F.greatest(F.col("ng") - (WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 @query(
     "dedup_winnowing",
     f"""
@@ -2267,27 +2380,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (< W grams) keep their global-min gram so every non-empty doc is
     fingerprinted."""
     docs = mutated_documents(spark, sf_dir)
-    toked = docs.select("doc_id", F.split("text", " ").alias("tk"))
-    grams_expr = (
-        f"transform(sequence(1, greatest(size(tk) - {WINNOW_K - 1}, 0)), "
-        "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1], tk[i+2]))"
-    )
-    g = toked.select(
-        "doc_id", F.posexplode(F.expr(grams_expr)).alias("i0", "gram")
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("gram").alias("h"))
-    wsel = (
-        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
-    )
-    fps0 = (
-        g.withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn("fp", F.min("h").over(wsel))
-        .filter(
-            F.col("i")
-            <= F.greatest(F.col("ng") - (WINNOW_W - 1), F.lit(1))
-        )
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps0 = winnow_fingerprints(docs)
     fps = (
         fps0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("df") <= WINNOW_DF_CAP)

@@ -816,3 +816,43 @@ def test_pca_projection_is_map_only_over_corpus(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange hashpartitioning" not in final, final[:3000]
     assert "ArrowEvalPython" in final or "MapInPandas" in final, final[:3000]
+
+
+def test_rrf_rank_windows_bounded_before_rank(spark):
+    """search_rrf_fusion (r7 verdict fix): both rank lists must be cut
+    to top-50 with TakeOrderedAndProject BEFORE any Window ranks them —
+    the r7 shape ranked the ENTIRE embedding corpus through one
+    single-partition window. Structurally: every Window node's subtree
+    must reach a TakeOrderedAndProject before any exchange or scan, so
+    no window's input can be corpus-sized."""
+    df = QUERIES["search_rrf_fusion"](spark, SF_TEST)
+    root = df._jdf.queryExecution().executedPlan()
+    wins = [n for n in walk_plan(root) if n.nodeName() == "Window"]
+    assert wins, "expected rank windows in the RRF plan"
+    for w in wins:
+        bounded = False
+        for d in walk_plan(w):
+            nm = d.nodeName()
+            if d is not w and nm == "TakeOrderedAndProject":
+                bounded = True
+                break
+            if "Exchange" in nm or "Scan" in nm:
+                break
+        assert bounded, w.toString()[:2000]
+
+
+def test_bpe_encode_reads_published_merges_never_retrains(spark, monkeypatch):
+    """vocab_bpe_encode (r7 directive #3) must consume the PUBLISHED
+    merge artifact, not re-run the K training rounds: with the
+    artifact staged, a poisoned _bpe_train proves encode never trains
+    — its plan is artifact-read + map-only merge expression +
+    broadcast vocab join, zero argmax collects."""
+    from kinesis_adapter_spark.operators import llmops
+
+    llmops.bpe_merges_table(spark, SF_TEST)  # stage (or reuse) artifact
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("encode retrained instead of reading artifact")
+
+    monkeypatch.setattr(llmops, "_bpe_train", boom)
+    assert QUERIES["vocab_bpe_encode"](spark, SF_TEST).count() > 0

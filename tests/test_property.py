@@ -426,3 +426,45 @@ def test_wav_feature_impls_agree_on_random_audio(seed, n):
         + data
     )
     assert _audio_gt(wav) == _wav_features_one(wav)
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(data=st.data())
+def test_winnowing_shared_run_guarantees_shared_fingerprint(spark, data):
+    """The winnowing guarantee (the property the MOSS scheme is FOR),
+    on the operator's own selection helper: two documents sharing any
+    run of W+K-1 consecutive words must share at least one selected
+    fingerprint — both docs then contain one complete window over the
+    SAME W gram hashes, whose minimum both keep. Random unshared
+    prefixes/suffixes around a random shared run; the df cap is
+    deliberately out of scope (caller policy, 2 docs never hit it)."""
+    from kinesis_adapter_spark.operators.llmops import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    word = st.sampled_from(
+        "alpha bravo care delta echo fox golf hotel india jazz".split()
+    )
+    run_len = data.draw(st.integers(WINNOW_W + WINNOW_K - 1, 20), "run")
+    shared = data.draw(
+        st.lists(word, min_size=run_len, max_size=run_len), "shared"
+    )
+    pre_a = data.draw(st.lists(word, min_size=0, max_size=8), "pre_a")
+    suf_a = data.draw(st.lists(word, min_size=0, max_size=8), "suf_a")
+    pre_b = data.draw(st.lists(word, min_size=0, max_size=8), "pre_b")
+    suf_b = data.draw(st.lists(word, min_size=0, max_size=8), "suf_b")
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(pre_a + shared + suf_a)),
+            (2, " ".join(pre_b + shared + suf_b)),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert a & b, (pre_a, shared, suf_a, pre_b, suf_b)

@@ -1025,3 +1025,163 @@ def test_kmeans_matches_pure_numpy_reference(spark):
         for r in QUERIES["emb_kmeans_lloyd"](spark, SF_TEST).collect()
     }
     assert got == {int(i): int(c) for i, c in zip(ids, ref)}
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """text_bm25_topk against a from-scratch pure-Python Okapi BM25
+    (independent code: Counter-based tf/df/dl, explicit idf formula) —
+    pins the statistic definitions (df counts DOCS not occurrences,
+    avgdl divides the exact integer token sum, n counts docs with ≥1
+    alpha token) and the (k1, b) plumbing, which the SQL oracle can't
+    distinguish from the Spark side since both share the CTE text."""
+    import math
+    import re
+    from collections import Counter
+
+    from kinesis_adapter_spark.operators.llmops import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {
+        r["doc_id"]: [
+            w
+            for w in re.split(r"[^a-z]+", r["text"].lower())
+            if re.fullmatch(r"[a-z]+", w)
+        ]
+        for r in docs
+    }
+    toks = {d: ws for d, ws in toks.items() if ws}
+    n = len(toks)
+    avgdl = sum(len(ws) for ws in toks.values()) / n
+    df = Counter(t for ws in toks.values() for t in set(ws) if t in BM25_TERMS)
+    scores = {}
+    for d, ws in toks.items():
+        tf = Counter(w for w in ws if w in BM25_TERMS)
+        if not tf:
+            continue
+        s = 0.0
+        for t, f in tf.items():
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += (
+                idf
+                * f
+                * (BM25_K1 + 1.0)
+                / (f + BM25_K1 * (1.0 - BM25_B + BM25_B * len(ws) / avgdl))
+            )
+        scores[d] = s
+    ref = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:20]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in QUERIES["text_bm25_topk"](spark, SF_TEST).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (gd, gs), (rd, rs) in zip(got, ref):
+        assert abs(gs - rs) < 1e-6, (gd, gs, rs)
+
+
+def test_rrf_fusion_matches_pure_python_reference(spark):
+    """search_rrf_fusion against an independently fused reference: the
+    dense top-50 recomputed with numpy cosine, the lexical top-50 from
+    the key's own bm25_scores (already reference-checked above), fused
+    as sum of 1/(60+rank) — pins the fusion formula, the top-50 list
+    bound on BOTH sides, the null handling for single-list docs, and
+    the (score desc, doc_id) tiebreaks, end to end."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.llmops import bm25_scores
+
+    emb = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+    q = vecs[0]
+    sims = {
+        vid: round(
+            float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6
+        )
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    dense = [
+        vid
+        for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    ]
+    lex_rows = bm25_scores(spark, SF_TEST).filter(F.col("doc_id") != 0).collect()
+    lex = [
+        d
+        for d, _ in sorted(
+            ((r["doc_id"], r["score"]) for r in lex_rows),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:50]
+    ]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex)}
+    dense_rank = {d: i + 1 for i, d in enumerate(dense)}
+    fused = {
+        d: round(
+            (1.0 / (60 + lex_rank[d]) if d in lex_rank else 0.0)
+            + (1.0 / (60 + dense_rank[d]) if d in dense_rank else 0.0),
+            6,
+        )
+        for d in set(lex) | set(dense)
+    }
+    ref = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = QUERIES["search_rrf_fusion"](spark, SF_TEST).collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in got] == ref
+    for r in got:
+        assert r["lex_rank"] == lex_rank.get(r["doc_id"]), r
+        assert r["dense_rank"] == dense_rank.get(r["doc_id"]), r
+
+
+def test_target_encode_no_leakage(spark, tmp_path):
+    """The leakage property itself, by perturbation: massively change
+    ONE order's target (o_totalprice += 10^7) and re-encode. The
+    perturbed row's own (cat, fold) encoding must NOT move — its fold
+    is excluded from its own encoding by construction — while every
+    OTHER fold of that category must move (they all now include the
+    perturbed target in their leave-fold-out mean). A mean that
+    included the row's own fold would fail the first assert."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(), b_dir.mkdir()
+    shutil.copy(src, a_dir / "orders.parquet")
+
+    tbl = pq.read_table(src)
+    pdf = tbl.to_pandas()
+    okey = int(pdf.loc[0, "o_orderkey"])
+    cat = pdf.loc[0, "o_orderpriority"]
+    fold = int(hashlib.md5(str(okey).encode()).hexdigest()[:4], 16) % 5
+    pdf.loc[0, "o_totalprice"] = float(pdf.loc[0, "o_totalprice"]) + 1e7
+    pdf.to_parquet(b_dir / "orders.parquet")
+
+    def enc_map(d):
+        return {
+            (r["cat"], r["fold"]): r["enc"]
+            for r in QUERIES["mlprep_target_encode_kfold"](
+                spark, str(d)
+            ).collect()
+        }
+
+    enc_a, enc_b = enc_map(a_dir), enc_map(b_dir)
+    assert enc_a.keys() == enc_b.keys()
+    assert enc_a[(cat, fold)] == enc_b[(cat, fold)], "own-fold leakage"
+    for f in range(5):
+        if f != fold and (cat, f) in enc_a:
+            assert enc_a[(cat, f)] != enc_b[(cat, f)], (cat, f)
+    # and no other category moved at all
+    for k in enc_a:
+        if k[0] != cat:
+            assert enc_a[k] == enc_b[k], k

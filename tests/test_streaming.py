@@ -477,8 +477,20 @@ def test_rocksdb_state_kill_resume(spark, tmp_path):
         state.update((cnt,))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
 
+    # r7 ADVICE fix: the old kill (progress-poll + q.stop()) RACED the
+    # 8-file backlog — a fast run could drain all 8 batches before the
+    # stop landed and fail `rows_before_resume < 40` spuriously, and
+    # the poll spun forever if the query errored pre-progress. The
+    # crash is now injected IN the sink: exactly `remaining` batches
+    # commit, then the next batch raises before writing — a real
+    # mid-backlog failure, deterministic on any host speed.
+    crash = {"remaining": 3}
+
     def sink(batch_df, _batch_id):
+        if crash["remaining"] == 0:
+            raise RuntimeError("injected mid-backlog crash")
         batch_df.write.mode("append").parquet(out)
+        crash["remaining"] -= 1
 
     def run_once():
         return (
@@ -502,14 +514,9 @@ def test_rocksdb_state_kill_resume(spark, tmp_path):
 
     with rocksdb_state_store(spark):
         q = run_once()
-        while not any(p["numInputRows"] > 0 for p in q.recentProgress):
-            time.sleep(0.05)
-        q.stop()  # kill mid-backlog
-        q.awaitTermination()
-        rows_before_resume = sum(
-            p["numInputRows"] for p in q.recentProgress
-        )
-        assert rows_before_resume < 40, "kill landed after the full backlog"
+        with pytest.raises(Exception, match="injected mid-backlog crash"):
+            q.awaitTermination()  # dies on the 4th single-file batch
+        assert crash["remaining"] == 0, "crash fired before 3 commits"
         # the killed run must leave durable RocksDB state behind
         state_files = [
             p
@@ -518,6 +525,7 @@ def test_rocksdb_state_kill_resume(spark, tmp_path):
         ]
         assert state_files, "no RocksDB snapshot/changelog files after kill"
 
+        crash["remaining"] = 10**9  # disarm the injected failure
         q2 = run_once()  # resume from the checkpoint
         q2.awaitTermination()
         assert any(
