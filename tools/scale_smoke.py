@@ -106,6 +106,16 @@ SMOKE_OPS = {
     # encode = train (type-sized rounds) + one corpus explode +
     # broadcast vocab join: the corpus pass should dominate growth
     "vocab_bpe_encode": "documents",
+    # r8 (r7 directive #4): the four end-of-r7 keys. BM25: one corpus
+    # token pass + broadcast stats + TakeOrderedAndProject; winnowing:
+    # per-doc window pass + df-capped fingerprint equi-join (the
+    # join-shaped one — run at 16x too); RRF: BM25 plan + brute-force
+    # cosine, both lists bounded to 50 BEFORE ranking (the r7 fix);
+    # target-encode: one (cat,fold) partial-agg — should be flat.
+    "text_bm25_topk": "documents",
+    "dedup_winnowing": "documents",
+    "search_rrf_fusion": "documents+embeddings",
+    "mlprep_target_encode_kfold": "orders",
 }
 
 # (table, id columns to offset, per-replica offset)
