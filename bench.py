@@ -80,6 +80,16 @@ EXTRAS = {
     # heaviest new operator (12 sequential type-sized rounds); anchored
     # at its r7 idle medians (BASELINE.md "Round-7 anchor adoption")
     "bpe_train": "vocab_bpe_train",
+    # round-8 additions (VERDICT r7 item #5 — rotate the bench's blind
+    # spots): the heaviest never-benched families. scd2_maintain is the
+    # heaviest replica key (two-tier streaming maintenance, full
+    # availableNow run per call); pagerank is the iterative graph op;
+    # kmeans the fixed-iteration clustering; winnowing the positional
+    # fingerprint join. Anchors: BASELINE.md "Round-8 anchor adoption".
+    "scd2_maintain": "stream_scd2_maintain",
+    "pagerank": "graph_pagerank",
+    "kmeans": "emb_kmeans_lloyd",
+    "winnowing": "dedup_winnowing",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -125,6 +135,12 @@ ANCHORS = {
     # round-7 addition, anchored at its r7 idle medians (mean of two
     # idle runs' medians-of-5, BASELINE.md "Round-7 anchor adoption")
     "bpe_train": 2.08,
+    # round-8 additions, anchored at their r8 idle medians (mean of two
+    # idle runs' medians-of-5, BASELINE.md "Round-8 anchor adoption")
+    "scd2_maintain": 5.74,
+    "pagerank": 4.95,
+    "kmeans": 1.29,
+    "winnowing": 1.33,
 }
 
 
