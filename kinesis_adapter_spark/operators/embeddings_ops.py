@@ -1150,3 +1150,619 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dense_rank",
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+# ------------------------------------------------------ product quantization
+
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-d corpus)
+PQ_K = 16       # centroids per subspace codebook (codes fit in 4 bits)
+PQ_ITERS = 3    # fixed Lloyd's rounds per subspace, seeded at vec_id < PQ_K
+
+# Oracle path constant tracks DERIVED_ROOT (the _PCA_ORACLE_PATH rule).
+_PQ_ORACLE_PATH = str(DERIVED_ROOT / "sf0.01" / "pq_codebooks.parquet")
+
+
+def pq_codebooks_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per staging dir, source-fingerprinted) the PRODUCT
+    QUANTIZATION codebooks — per subspace s, PQ_K centroids over that
+    subspace's PQ_SUBDIM dims, trained by fixed-iteration Lloyd's and
+    published ROUNDED to 6 dp as rows ``(sub, cluster, pos, w)``
+    (4 x 16 x 16 = 1024 of them, model metadata). PQ is the FAISS
+    IVF-PQ compression step: vectors become PQ_M 4-bit codes (64 d x
+    4 B -> 2 B, a 128x index shrink), and search uses per-subspace
+    distance lookup tables instead of full-vector math.
+
+    Distributed fit, the emb_kmeans_lloyd discipline per subspace (all
+    PQ_M subspaces ride ONE pass): assignments are a vectorized
+    mapInPandas over the corpus with the 4 codebooks as broadcast
+    state; the update is one partial-aggregated groupBy over the
+    posexploded corpus collected as <=1024 metadata rows per round.
+    Both engines consume only the PUBLISHED artifact (bit-identical
+    6-dp operands), so the fit's float-reduction order never reaches
+    a cross-engine boundary — the pca_components_table contract."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_adapter_spark.sources.scans import source_fingerprint
+
+    out = derived_dir(sf_dir) / "pq_codebooks.parquet"
+    marker = derived_dir(sf_dir) / "pq_codebooks.parquet.src"
+    fp = source_fingerprint(Path(sf_dir) / "embeddings.parquet")
+    if out.exists() and marker.exists() and marker.read_text() == fp:
+        return str(out)
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    seeds = e.filter(F.col("vec_id") < PQ_K).collect()  # model init
+    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    for r in seeds:
+        v = np.round(np.array(r["x"]), 6)
+        for s in range(PQ_M):
+            books[s, int(r["vec_id"])] = v[
+                s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM
+            ]
+
+    exploded = e.select(
+        "vec_id", F.posexplode("x").alias("pos", "xv")
+    ).select(
+        "vec_id",
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
+        (F.col("pos") % PQ_SUBDIM).alias("spos"),
+        "xv",
+    )
+
+    def assign_with(state: np.ndarray):
+        b = state.tolist()
+
+        def assign(batches):
+            mat = np.array(b)  # (M, K, SUBDIM)
+            for pdf in batches:
+                m = np.array([np.asarray(v) for v in pdf["x"]])
+                if not len(m):
+                    continue
+                rows = {"vec_id": [], "sub": [], "cluster": []}
+                for s in range(PQ_M):
+                    ms = m[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                    d2 = ((ms[:, None, :] - mat[s][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    best = np.round(d2, 6).argmin(axis=1)  # tie -> low id
+                    rows["vec_id"].extend(pdf["vec_id"])
+                    rows["sub"].extend([s] * len(m))
+                    rows["cluster"].extend(int(j) for j in best)
+                yield pd.DataFrame(rows)
+
+        return e.mapInPandas(assign, "vec_id bigint, sub int, cluster int")
+
+    for _ in range(PQ_ITERS):
+        a = assign_with(books)
+        upd = (
+            exploded.join(a, ["vec_id", "sub"])
+            .groupBy("sub", "cluster", "spos")
+            .agg(F.round(F.avg("xv"), 6).alias("w"))
+            .collect()  # <=1024 rows: model metadata, never data
+        )
+        for r in upd:
+            books[int(r["sub"]), int(r["cluster"]), int(r["spos"])] = r["w"]
+
+    books = np.round(books, 6)
+    tbl = pa.table(
+        {
+            "sub": pa.array(
+                [s for s in range(PQ_M) for _ in range(PQ_K * PQ_SUBDIM)],
+                pa.int32(),
+            ),
+            "cluster": pa.array(
+                [
+                    c
+                    for _ in range(PQ_M)
+                    for c in range(PQ_K)
+                    for _ in range(PQ_SUBDIM)
+                ],
+                pa.int32(),
+            ),
+            "pos": pa.array(
+                [
+                    p
+                    for _ in range(PQ_M * PQ_K)
+                    for p in range(PQ_SUBDIM)
+                ],
+                pa.int32(),
+            ),
+            "w": pa.array(
+                [float(w) for sub in books for cl in sub for w in cl],
+                pa.float64(),
+            ),
+        }
+    )
+    tmp = out.parent / f"{out.name}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+    marker.write_text(fp)
+    return str(out)
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    """The staged codebooks as a (M, K, SUBDIM) numpy array — driver-
+    side model metadata, 1024 floats."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    art = pq.read_table(pq_codebooks_table(spark, sf_dir)).to_pandas()
+    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    books[art["sub"], art["cluster"], art["pos"]] = art["w"]
+    return books
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus against the published codebooks: map-only
+    vectorized mapInPandas (broadcast 1024-float state, zero shuffle),
+    per-subspace argmin over 6-dp-rounded squared distance, ties to
+    the lowest cluster id. Shared by emb_pq_encode and the ADC search
+    key (never-fork)."""
+    import numpy as np
+    import pandas as pd
+
+    b = _pq_books(spark, sf_dir).tolist()
+
+    def encode(batches):
+        mat = np.array(b)
+        for pdf in batches:
+            m = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            out = {"vec_id": pdf["vec_id"]}
+            for s in range(PQ_M):
+                if len(m):
+                    ms = m[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                    d2 = ((ms[:, None, :] - mat[s][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    out[f"c{s}"] = (
+                        np.round(d2, 6).argmin(axis=1).astype("int32")
+                    )
+                else:
+                    out[f"c{s}"] = np.zeros(0, dtype="int32")
+            yield pd.DataFrame(out)
+
+    cols = ", ".join(f"c{s} int" for s in range(PQ_M))
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(encode, f"vec_id bigint, {cols}")
+    )
+
+
+# x/sub CTEs shared verbatim by the two PQ oracles (never-fork rule).
+_PQ_SUB_CTE = f"""
+    x AS MATERIALIZED (
+      SELECT vec_id, u.i - 1 AS pos, CAST(u.v AS DOUBLE) AS xv
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS i) u
+    ),
+    cb AS (SELECT * FROM read_parquet('{_PQ_ORACLE_PATH}')),
+    dists AS (
+      SELECT x.vec_id, cb.sub, cb.cluster,
+             ROUND(SUM((x.xv - cb.w) * (x.xv - cb.w)), 6) AS dist
+      FROM x JOIN cb ON cb.sub = x.pos // {PQ_SUBDIM}
+                    AND cb.pos = x.pos % {PQ_SUBDIM}
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id,
+             CAST(MAX(CASE WHEN sub = 0 THEN cluster END) AS INTEGER) AS c0,
+             CAST(MAX(CASE WHEN sub = 1 THEN cluster END) AS INTEGER) AS c1,
+             CAST(MAX(CASE WHEN sub = 2 THEN cluster END) AS INTEGER) AS c2,
+             CAST(MAX(CASE WHEN sub = 3 THEN cluster END) AS INTEGER) AS c3
+      FROM (
+        SELECT vec_id, sub, cluster,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cluster) AS rk
+        FROM dists
+      ) WHERE rk = 1
+      GROUP BY vec_id
+    )"""
+
+
+@query(
+    "emb_pq_encode",
+    f"""
+    WITH {_PQ_SUB_CTE}
+    SELECT vec_id, c0, c1, c2, c3 FROM codes ORDER BY vec_id
+    """,
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus — each
+    64-d vector becomes PQ_M=4 codebook ids (4 bits each against
+    PQ_K=16 centroids): the index-compression step of FAISS-style
+    IVF-PQ, shrinking a 10^9-vector index from 256 GB of floats to
+    2 GB of codes while ADC search (ann_pq_adc_topk) still runs on it.
+
+    Cross-engine determinism: both engines quantize against the SAME
+    published 6-dp codebook artifact (pq_codebooks_table); squared
+    distances round to 6 dp before the argmin and ties break on the
+    lowest cluster id. Scale shape: encode is ONE map-only vectorized
+    pass with broadcast codebooks — zero shuffle, the emb_pca_project
+    plan."""
+    return pq_codes(spark, sf_dir).orderBy("vec_id")
+
+
+@query(
+    "ann_pq_adc_topk",
+    f"""
+    WITH {_PQ_SUB_CTE},
+    qs AS (
+      SELECT pos // {PQ_SUBDIM} AS sub, pos % {PQ_SUBDIM} AS spos, xv
+      FROM x WHERE vec_id = 0
+    ),
+    dt AS (
+      SELECT cb.sub, cb.cluster,
+             ROUND(SUM((qs.xv - cb.w) * (qs.xv - cb.w)), 6) AS d
+      FROM cb JOIN qs ON qs.sub = cb.sub AND qs.spos = cb.pos
+      GROUP BY 1, 2
+    )
+    SELECT c.vec_id, ROUND(d0.d + d1.d + d2.d + d3.d, 6) AS adc_dist
+    FROM codes c
+    JOIN dt d0 ON d0.sub = 0 AND d0.cluster = c.c0
+    JOIN dt d1 ON d1.sub = 1 AND d1.cluster = c.c1
+    JOIN dt d2 ON d2.sub = 2 AND d2.cluster = c.c2
+    JOIN dt d3 ON d3.sub = 3 AND d3.cluster = c.c3
+    WHERE c.vec_id <> 0
+    ORDER BY adc_dist, c.vec_id
+    LIMIT 10
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-10 over the PQ codes — how a PQ
+    index is actually searched: the query precomputes ONE 4x16
+    distance table against the codebooks (bounded metadata), and each
+    corpus vector's approximate distance is just 4 table lookups
+    summed — no float math against the original vectors at all.
+
+    Scale shape: the distance table rides as FOUR broadcast hash
+    joins over the (vec_id, c0..c3) code table (map-only), and top-10
+    is TakeOrderedAndProject — zero corpus shuffle end to end. The
+    codes come from the shared pq_codes helper (never-fork with
+    emb_pq_encode); determinism is the PQ contract: 6-dp distance
+    table entries, exact 4-term sum re-rounded, vec_id tiebreak."""
+    import numpy as np
+
+    books = _pq_books(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
+        dtype=np.float64,
+    )  # 1 row: the probe, model metadata
+    rows = []
+    for s in range(PQ_M):
+        qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        for c in range(PQ_K):
+            d = round(float(((qs - books[s, c]) ** 2).sum()), 6)
+            rows.append((s, c, d))
+    dt = spark.createDataFrame(rows, "sub int, cluster int, d double")
+
+    out = pq_codes(spark, sf_dir).filter(F.col("vec_id") != 0)
+    for s in range(PQ_M):
+        dts = dt.filter(F.col("sub") == s).select(
+            F.col("cluster").alias(f"c{s}"), F.col("d").alias(f"d{s}")
+        )
+        out = out.join(F.broadcast(dts), f"c{s}")
+    adc = F.round(
+        F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
+    ).alias("adc_dist")
+    return (
+        out.select("vec_id", adc)
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+EVAL_PROBES = 8  # probe set: vec_id < 8 (bounded model metadata)
+
+
+@query(
+    "eval_ann_recall",
+    f"""
+    WITH {_PQ_SUB_CTE},
+    p AS (SELECT vec_id AS pid, pos, xv FROM x WHERE vec_id < {EVAL_PROBES}),
+    exact AS (
+      SELECT pid, vec_id,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY dist, vec_id) AS rn
+      FROM (
+        SELECT p.pid, x.vec_id,
+               ROUND(SUM((x.xv - p.xv) * (x.xv - p.xv)), 6) AS dist
+        FROM x JOIN p USING (pos)
+        WHERE x.vec_id <> p.pid
+        GROUP BY 1, 2
+      )
+      QUALIFY rn <= 10
+    ),
+    dt AS (
+      SELECT p.pid, cb.sub, cb.cluster,
+             ROUND(SUM((p.xv - cb.w) * (p.xv - cb.w)), 6) AS d
+      FROM cb JOIN p ON p.pos = cb.sub * {PQ_SUBDIM} + cb.pos
+      GROUP BY 1, 2, 3
+    ),
+    approx AS (
+      SELECT pid, vec_id,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY adc, vec_id) AS arn
+      FROM (
+        SELECT d0.pid, c.vec_id,
+               ROUND(d0.d + d1.d + d2.d + d3.d, 6) AS adc
+        FROM codes c
+        JOIN dt d0 ON d0.sub = 0 AND d0.cluster = c.c0
+        JOIN dt d1 ON d1.sub = 1 AND d1.cluster = c.c1 AND d1.pid = d0.pid
+        JOIN dt d2 ON d2.sub = 2 AND d2.cluster = c.c2 AND d2.pid = d0.pid
+        JOIN dt d3 ON d3.sub = 3 AND d3.cluster = c.c3 AND d3.pid = d0.pid
+        WHERE c.vec_id <> d0.pid
+      )
+      QUALIFY arn <= 10
+    ),
+    rec AS (
+      SELECT e.pid, COUNT(a.vec_id) / 10.0 AS recall
+      FROM exact e LEFT JOIN approx a
+        ON a.pid = e.pid AND a.vec_id = e.vec_id
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT e.pid, COALESCE(1.0 / a.arn, 0.0) AS mrr
+      FROM exact e LEFT JOIN approx a
+        ON a.pid = e.pid AND a.vec_id = e.vec_id
+      WHERE e.rn = 1
+    )
+    SELECT rec.pid AS probe_id, ROUND(rec.recall, 6) AS recall_at_10,
+           ROUND(m.mrr, 6) AS mrr
+    FROM rec JOIN m ON m.pid = rec.pid
+    ORDER BY probe_id
+    """,
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@10 and MRR of the PQ-ADC index
+    (ann_pq_adc_topk's exact search path, pq_codes shared) against
+    brute-force L2 ground truth, over a bounded probe set (vec_id <
+    8): the eval every vector-index deployment runs before swapping an
+    exact search for a compressed one, and the number that decides
+    nprobe/codebook-size tradeoffs. MRR here is the reciprocal of the
+    TRUE nearest neighbor's rank in the ADC list (0 if it fell out of
+    the top-10).
+
+    Scale shape: ground truth is the knn_join plan (corpus x bounded
+    probes, broadcast probe side, WindowGroupLimit keeps <=10 per probe
+    per map task); the ADC side is the map-only code table with per-
+    probe distance tables riding four broadcast joins; everything after
+    the two top-10 lists is 80-row metadata joins. Determinism: both
+    rank orders are (6-dp-rounded distance, vec_id)."""
+    import numpy as np
+
+    books = _pq_books(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    probes = (
+        e.filter(F.col("vec_id") < EVAL_PROBES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded probe set: model metadata
+    )
+
+    # --- exact ground truth: brute-force L2, knn_join's plan shape
+    pdf_rows = [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in probes]
+    pdfq = spark.createDataFrame(pdf_rows, "pid bigint, qv array<double>")
+    xd = F.transform("embedding", lambda v: v.cast("double"))
+    l2 = F.aggregate(
+        F.zip_with(xd, F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    wexact = Window.partitionBy("pid").orderBy("dist", "vec_id")
+    exact = (
+        e.crossJoin(F.broadcast(pdfq))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id", F.round(l2, 6).alias("dist"))
+        .withColumn("rn", F.row_number().over(wexact))
+        .filter(F.col("rn") <= 10)
+        .select("pid", "vec_id", "rn")
+    )
+
+    # --- ADC list per probe: shared pq_codes + per-probe distance tables
+    rows = []
+    for r in probes:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        for s in range(PQ_M):
+            qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            for c in range(PQ_K):
+                rows.append(
+                    (
+                        int(r["vec_id"]),
+                        s,
+                        c,
+                        round(float(((qs - books[s, c]) ** 2).sum()), 6),
+                    )
+                )
+    dt = spark.createDataFrame(rows, "pid bigint, sub int, cluster int, d double")
+    out = pq_codes(spark, sf_dir)
+    for s in range(PQ_M):
+        dts = dt.filter(F.col("sub") == s).select(
+            "pid" if s == 0 else F.col("pid").alias("pid"),
+            F.col("cluster").alias(f"c{s}"),
+            F.col("d").alias(f"d{s}"),
+        )
+        keys = [f"c{s}"] if s == 0 else ["pid", f"c{s}"]
+        out = out.join(F.broadcast(dts), keys)
+    wadc = Window.partitionBy("pid").orderBy("adc", "vec_id")
+    approx = (
+        out.filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            F.round(
+                F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
+            ).alias("adc"),
+        )
+        .withColumn("arn", F.row_number().over(wadc))
+        .filter(F.col("arn") <= 10)
+        .select("pid", "vec_id", "arn")
+    )
+
+    # --- metrics over the two bounded top-10 lists
+    hit = exact.join(approx, ["pid", "vec_id"], "left")
+    rec = hit.groupBy("pid").agg(
+        F.round(F.count("arn") / 10.0, 6).alias("recall_at_10")
+    )
+    mrr = (
+        hit.filter(F.col("rn") == 1)
+        .select(
+            "pid",
+            F.round(F.coalesce(1.0 / F.col("arn"), F.lit(0.0)), 6).alias(
+                "mrr"
+            ),
+        )
+    )
+    return (
+        rec.join(mrr, "pid")
+        .select(F.col("pid").alias("probe_id"), "recall_at_10", "mrr")
+        .orderBy("probe_id")
+    )
+
+
+# ------------------------------------------------ MMR diversified re-ranking
+
+MMR_POOL = 20    # relevance-ranked candidate pool (bounded)
+MMR_K = 5        # results to select
+MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy-selection CTE chain generated from the same
+    step template the Spark loop runs (the BPE/k-means never-fork
+    pattern for iterative algorithms)."""
+    steps = []
+    for t in range(2, MMR_K + 1):
+        steps.append(f""",
+    s{t} AS MATERIALIZED (
+      SELECT c.vec_id, c.rel,
+             ROUND(CAST({MMR_LAMBDA} AS DOUBLE) * c.rel
+                   - CAST({1 - MMR_LAMBDA:.1f} AS DOUBLE) * MAX(p.sim), 6)
+               AS score
+      FROM cand c
+      JOIN pair p ON p.a_id = c.vec_id
+      JOIN sel{t - 1} s ON s.vec_id = p.b_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY 1, 2
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT vec_id, rel, mmr_rank FROM sel{t - 1}
+      UNION ALL SELECT vec_id, rel, {t} AS mmr_rank FROM s{t}
+    )""")
+    return (
+        f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])), 6) AS rel,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0
+      QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {MMR_POOL}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, rel, 1 AS mmr_rank FROM cand
+      ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+        + "".join(steps)
+        + f"""
+    SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id, rel
+    FROM sel{MMR_K} ORDER BY mmr_rank
+    """
+    )
+
+
+@query("search_mmr_rerank", _mmr_oracle())
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein's
+    MMR) — the standard diversified retrieval step: from the top-20
+    relevance pool for the probe (vec 0), greedily select 5 results
+    maximizing ``lambda * relevance - (1 - lambda) * max-similarity-to-
+    already-selected`` — near-duplicate hits are pushed out in favor
+    of coverage, which is why RAG pipelines run MMR between retrieval
+    and the context window.
+
+    Scale shape: the ONLY corpus-sized work is the relevance pool cut
+    (broadcast probe + TakeOrderedAndProject top-20 — sim_topk's
+    plan); the greedy loop unrolls over the PERSISTED 20-row pool and
+    its 20x20 pairwise-similarity table — bounded metadata, zero
+    further corpus passes. Determinism: rel, pairwise sims, and step
+    scores all round to 6 dp with vec_id tiebreaks; the oracle replays
+    the identical unrolled selection (shared step template)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .persist()  # 20-row pool: every greedy step reuses it
+    )
+    a = cand.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
+    b = cand.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
+    pair = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("av"), F.col("bv")), 6).alias("sim"),
+        )
+    )
+    sel = (
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.lit(1).alias("mmr_rank"))
+    )
+    for t in range(2, MMR_K + 1):
+        chosen = sel.select("vec_id")
+        ms = (
+            pair.join(
+                F.broadcast(chosen.withColumnRenamed("vec_id", "b_id")),
+                "b_id",
+            )
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        score = F.round(
+            F.lit(MMR_LAMBDA) * F.col("rel")
+            - F.lit(round(1 - MMR_LAMBDA, 1)) * F.col("maxsim"),
+            6,
+        )
+        nxt = (
+            cand.join(chosen, "vec_id", "left_anti")
+            .join(
+                F.broadcast(ms),
+                F.col("vec_id") == F.col("a_id"),
+            )
+            .select("vec_id", "rel", score.alias("score"))
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", F.lit(t).alias("mmr_rank"))
+        )
+        sel = sel.unionByName(nxt)
+    return sel.select("mmr_rank", "vec_id", "rel").orderBy("mmr_rank")

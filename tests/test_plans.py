@@ -856,3 +856,55 @@ def test_bpe_encode_reads_published_merges_never_retrains(spark, monkeypatch):
 
     monkeypatch.setattr(llmops, "_bpe_train", boom)
     assert QUERIES["vocab_bpe_encode"](spark, SF_TEST).count() > 0
+
+
+def test_pq_encode_is_map_only_over_corpus(spark):
+    """emb_pq_encode must be shuffle-free over the corpus: the 1024-
+    float codebooks ride into mapInPandas as plain broadcast state, so
+    the executed plan's only exchange is the presentation sort — the
+    emb_pca_project contract."""
+    df = QUERIES["emb_pq_encode"](spark, SF_TEST)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in final, final[:3000]
+    assert "ArrowEvalPython" in final or "MapInPandas" in final, final[:3000]
+
+
+def test_pq_adc_broadcasts_tables_topk_no_sort(spark):
+    """ann_pq_adc_topk: the four distance tables must ride broadcast
+    hash joins over the code table (never a shuffled join), and top-10
+    must be TakeOrderedAndProject — zero corpus shuffle end to end."""
+    df = QUERIES["ann_pq_adc_topk"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 4, final[:3000]
+    assert "SortMergeJoin" not in final, final[:3000]
+    assert "TakeOrderedAndProject" in final, final[:3000]
+    assert "Exchange hashpartitioning" not in final, final[:3000]
+
+
+def test_mmr_pool_cut_is_topk_then_bounded(spark):
+    """search_mmr_rerank: the ONLY corpus-sized work is the top-20
+    pool cut (TakeOrderedAndProject); the greedy steps run over the
+    persisted pool (InMemoryTableScan) — no sort-merge join, no
+    corpus-sized window anywhere."""
+    df = QUERIES["search_mmr_rerank"](spark, SF_TEST)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final, final[:3000]
+    assert "InMemoryTableScan" in final, final[:3000]
+    assert "SortMergeJoin" not in final, final[:3000]
+    assert "Window" not in final, final[:3000]
+
+
+def test_eval_ann_recall_uses_window_group_limit(spark):
+    """eval_ann_recall's two per-probe top-10 rankings must plan as
+    WindowGroupLimit (rank filter pushed into map tasks — the knn_join
+    shape), so no probe's corpus-sized candidate list ever crosses an
+    exchange whole."""
+    df = QUERIES["eval_ann_recall"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final, final[:3000]

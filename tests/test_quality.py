@@ -1185,3 +1185,105 @@ def test_target_encode_no_leakage(spark, tmp_path):
     for k in enc_a:
         if k[0] != cat:
             assert enc_a[k] == enc_b[k], k
+
+
+def test_pq_codes_match_pure_numpy_reference(spark):
+    """emb_pq_encode against a from-scratch numpy quantizer reading the
+    SAME published codebook artifact: per subspace, argmin of 6-dp-
+    rounded squared distance with lowest-id tiebreak. Pins the
+    subspace slicing, the rounding boundary, and the tie rule."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_books,
+    )
+
+    books = _pq_books(spark, SF_TEST)
+    got = {
+        r["vec_id"]: tuple(r[f"c{s}"] for s in range(PQ_M))
+        for r in QUERIES["emb_pq_encode"](spark, SF_TEST).collect()
+    }
+    vecs = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assert len(got) == len(vecs)
+    for r in vecs:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        ref = []
+        for s in range(PQ_M):
+            vs = v[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            d2 = np.round(((vs[None, :] - books[s]) ** 2).sum(axis=1), 6)
+            ref.append(int(d2.argmin()))
+        assert got[r["vec_id"]] == tuple(ref), r["vec_id"]
+
+
+def test_pq_adc_reasonable_vs_exact(spark):
+    """The compressed index must stay USEFUL: eval_ann_recall's own
+    metrics (already hash-oracled) gate the quality floor — every
+    recall/mrr in [0, 1], and the probe-set MEAN recall@10 must beat
+    random (10/499 ~ 0.02) by a wide margin. 4x16 codebooks on 64-d
+    synthetic data won't hit 1.0; the gate is 'compression did not
+    destroy the neighborhood structure'."""
+    rows = QUERIES["eval_ann_recall"](spark, SF_TEST).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r["recall_at_10"] <= 1.0, r
+        assert 0.0 <= r["mrr"] <= 1.0, r
+    mean_rec = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert mean_rec >= 0.15, mean_rec
+
+
+def test_mmr_matches_pure_python_greedy(spark):
+    """search_mmr_rerank against a from-scratch greedy MMR on the
+    collected candidate pool (numpy cosine, explicit argmax loop) —
+    pins the pool cut, the lambda weighting, the max-to-selected
+    penalty, and every step's tiebreak."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    q = vecs[0]
+    rel = {vid: cos(v, q) for vid, v in vecs.items() if vid != 0}
+    pool = [
+        vid
+        for vid, _ in sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :MMR_POOL
+        ]
+    ]
+    sel = [min(pool, key=lambda v: (-rel[v], v))]
+    while len(sel) < MMR_K:
+        best = None
+        for c in pool:
+            if c in sel:
+                continue
+            ms = max(cos(vecs[c], vecs[s]) for s in sel)
+            score = round(MMR_LAMBDA * rel[c] - (1 - MMR_LAMBDA) * ms, 6)
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        sel.append(best[1])
+    got = [
+        (r["mmr_rank"], r["vec_id"])
+        for r in QUERIES["search_mmr_rerank"](spark, SF_TEST).collect()
+    ]
+    assert got == [(i + 1, v) for i, v in enumerate(sel)], (got, sel)

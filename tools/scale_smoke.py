@@ -116,6 +116,14 @@ SMOKE_OPS = {
     "dedup_winnowing": "documents",
     "search_rrf_fusion": "documents+embeddings",
     "mlprep_target_encode_kfold": "orders",
+    # r8 second batch: the PQ index family (codebook fit stages on the
+    # warm-up; encode is map-only, ADC is broadcast-joins + top-k),
+    # the MMR re-rank (one corpus top-20 cut + bounded greedy loop),
+    # and the ANN eval (corpus x 8 probes, WindowGroupLimit top-10s)
+    "emb_pq_encode": "embeddings",
+    "ann_pq_adc_topk": "embeddings",
+    "search_mmr_rerank": "embeddings",
+    "eval_ann_recall": "embeddings",
 }
 
 # (table, id columns to offset, per-replica offset)
