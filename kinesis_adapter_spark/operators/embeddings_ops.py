@@ -134,8 +134,9 @@ def _ivf_best_cells(cent: DataFrame, q: DataFrame, nprobe: int = 4) -> DataFrame
     )
 
 
-_IVF_ORACLE = """
-    WITH qe AS (
+# CTE block shared verbatim by every IVF-family oracle (never-fork):
+# coarse centroids, the Lloyd assignment, and the nprobe best cells.
+_IVF_CTES = """qe AS (
       SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
       FROM embeddings WHERE vec_id = 0
     ),
@@ -163,7 +164,10 @@ _IVF_ORACLE = """
       FROM cent c CROSS JOIN qe
       ORDER BY list_cosine_similarity(c.centroid, qe.qv) DESC, c.cell
       LIMIT 4
-    )
+    )"""
+
+_IVF_ORACLE = f"""
+    WITH {_IVF_CTES}
     SELECT a.vec_id, a.label,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), qe.qv), 6) AS sim
     FROM assigned a JOIN best USING (cell) CROSS JOIN qe
@@ -1302,15 +1306,26 @@ def _pq_books(spark: SparkSession, sf_dir: str):
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-encode the corpus against the published codebooks: map-only
+    """PQ-encode the corpus against the published codebooks. Shared by
+    emb_pq_encode and the ADC search keys (never-fork)."""
+    return _pq_encode_frame(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        _pq_books(spark, sf_dir),
+    )
+
+
+def _pq_encode_frame(frame: DataFrame, books) -> DataFrame:
+    """Map-only PQ encoding of any (vec_id, embedding, ...) frame:
     vectorized mapInPandas (broadcast 1024-float state, zero shuffle),
     per-subspace argmin over 6-dp-rounded squared distance, ties to
-    the lowest cluster id. Shared by emb_pq_encode and the ADC search
-    key (never-fork)."""
+    the lowest cluster id. Applied to the full corpus (pq_codes) and
+    to the IVF-pruned partitions (ann_ivfpq_topk) — in a deployment
+    the codes are a stored column of the partitioned layout; encoding
+    the pruned scan is the same map-only plan over the same rows."""
     import numpy as np
     import pandas as pd
 
-    b = _pq_books(spark, sf_dir).tolist()
+    b = books.tolist()
 
     def encode(batches):
         mat = np.array(b)
@@ -1333,10 +1348,8 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     cols = ", ".join(f"c{s} int" for s in range(PQ_M))
-    return (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(encode, f"vec_id bigint, {cols}")
+    return frame.select("vec_id", "embedding").mapInPandas(
+        encode, f"vec_id bigint, {cols}"
     )
 
 
@@ -1433,6 +1446,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes come from the shared pq_codes helper (never-fork with
     emb_pq_encode); determinism is the PQ contract: 6-dp distance
     table entries, exact 4-term sum re-rounded, vec_id tiebreak."""
+    codes = pq_codes(spark, sf_dir).filter(F.col("vec_id") != 0)
+    scored = _adc_scored(spark, sf_dir, codes)
+    return scored.orderBy("adc_dist", "vec_id").limit(10)
+
+
+def _adc_scored(spark: SparkSession, sf_dir: str, codes: DataFrame) -> DataFrame:
+    """(vec_id, adc_dist) for a code frame: build the probe's 4x16
+    distance table (driver-side model metadata, 6-dp rounded) and ride
+    it in as four broadcast hash joins — the lookup half of ADC,
+    shared by ann_pq_adc_topk and ann_ivfpq_topk (never-fork)."""
     import numpy as np
 
     books = _pq_books(spark, sf_dir)
@@ -1449,7 +1472,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((s, c, d))
     dt = spark.createDataFrame(rows, "sub int, cluster int, d double")
 
-    out = pq_codes(spark, sf_dir).filter(F.col("vec_id") != 0)
+    out = codes
     for s in range(PQ_M):
         dts = dt.filter(F.col("sub") == s).select(
             F.col("cluster").alias(f"c{s}"), F.col("d").alias(f"d{s}")
@@ -1458,8 +1481,66 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = F.round(
         F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
     ).alias("adc_dist")
+    return out.select("vec_id", adc)
+
+
+@query(
+    "ann_ivfpq_topk",
+    f"""
+    WITH {_PQ_SUB_CTE},
+    {_IVF_CTES},
+    qs AS (
+      SELECT pos // {PQ_SUBDIM} AS sub, pos % {PQ_SUBDIM} AS spos, xv
+      FROM x WHERE vec_id = 0
+    ),
+    dt AS (
+      SELECT cb.sub, cb.cluster,
+             ROUND(SUM((qs.xv - cb.w) * (qs.xv - cb.w)), 6) AS d
+      FROM cb JOIN qs ON qs.sub = cb.sub AND qs.spos = cb.pos
+      GROUP BY 1, 2
+    )
+    SELECT c.vec_id, ROUND(d0.d + d1.d + d2.d + d3.d, 6) AS adc_dist
+    FROM codes c
+    JOIN assigned a ON a.vec_id = c.vec_id
+    JOIN best USING (cell)
+    JOIN dt d0 ON d0.sub = 0 AND d0.cluster = c.c0
+    JOIN dt d1 ON d1.sub = 1 AND d1.cluster = c.c1
+    JOIN dt d2 ON d2.sub = 2 AND d2.cluster = c.c2
+    JOIN dt d3 ON d3.sub = 3 AND d3.cluster = c.c3
+    WHERE c.vec_id <> 0
+    ORDER BY adc_dist, c.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the full FAISS-style index read path, composing
+    the two halves this repo already carries: the coarse quantizer
+    prunes the scan to the nprobe=4 best Voronoi cell PARTITIONS of
+    the written IVF layout (directory pruning, nprobe/k of the data),
+    and within the probed cells ranking is ADC over PQ codes (4 table
+    lookups per vector, no full-vector float math). At 10^9 vectors
+    this is what makes vector search feasible: read 0.4% of the data,
+    and what you read is 2-byte codes, not 256-byte vectors.
+
+    Plan shape: pruned parquet scan (cell ids are index metadata,
+    collected like a file listing) → map-only PQ encode of the pruned
+    rows (a deployment stores codes AS a column of this layout — same
+    rows, same map-only plan) → four broadcast distance-table joins →
+    TakeOrderedAndProject. Zero shuffle after the scan. All shared
+    helpers (never-fork): _ivf_best_cells/ivf_layout_path with the IVF
+    keys, _pq_encode_frame/_adc_scored with the PQ keys; the oracle
+    splices the same two oracle CTE blocks."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cells = [
+        r.cell for r in _ivf_best_cells(_ivf_centroids(e), q).collect()
+    ]  # nprobe ids: index metadata, never corpus
+    pruned = spark.read.parquet(ivf_layout_path(spark, sf_dir)).filter(
+        F.col("cell").isin(cells) & (F.col("vec_id") != 0)
+    )
+    codes = _pq_encode_frame(pruned, _pq_books(spark, sf_dir))
     return (
-        out.select("vec_id", adc)
+        _adc_scored(spark, sf_dir, codes)
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )

@@ -908,3 +908,24 @@ def test_eval_ann_recall_uses_window_group_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "WindowGroupLimit" in final, final[:3000]
+
+
+def test_ivfpq_prunes_partitions_then_broadcast_adc(spark):
+    """ann_ivfpq_topk is the composed index read path: the scan must
+    partition-prune to the nprobe=4 cell directories (PartitionFilters
+    carries cell IN (...), numPartitions metric = 4), ranking must ride
+    four broadcast distance-table joins over the map-only code pass,
+    and top-10 must be TakeOrderedAndProject — zero shuffle after the
+    pruned scan."""
+    df = QUERIES["ann_ivfpq_topk"](spark, SF_TEST)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan()
+    plan = ep.toString()
+    final = plan.split("== Initial Plan ==")[0]
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", final)
+    assert m and "cell" in m.group(1) and "IN" in m.group(1).upper(), final[:3000]
+    assert 4 in scan_metric_values(ep, "numPartitions"), final[:3000]
+    assert final.count("BroadcastHashJoin") >= 4, final[:3000]
+    assert "SortMergeJoin" not in final, final[:3000]
+    assert "Exchange hashpartitioning" not in final, final[:3000]
+    assert "TakeOrderedAndProject" in final, final[:3000]

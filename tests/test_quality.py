@@ -1287,3 +1287,52 @@ def test_mmr_matches_pure_python_greedy(spark):
         for r in QUERIES["search_mmr_rerank"](spark, SF_TEST).collect()
     ]
     assert got == [(i + 1, v) for i, v in enumerate(sel)], (got, sel)
+
+
+def test_ivfpq_equals_adc_restricted_to_probed_cells(spark):
+    """ann_ivfpq_topk's exact semantics: its top-10 must equal the
+    full-corpus ADC ranking RESTRICTED to vectors assigned to the
+    nprobe best cells — pinning that cell pruning loses nothing within
+    the probed cells and that the two ADC paths (full-corpus codes vs
+    pruned-layout encode) score identically."""
+    from pyspark.sql import functions as SF
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _adc_scored,
+        _ivf_best_cells,
+        _ivf_centroids,
+        ivf_layout_path,
+        pq_codes,
+    )
+
+    spark_ = spark
+    from kinesis_adapter_spark.catalog import load
+
+    e = load(spark_, SF_TEST, "embeddings")
+    q = e.filter(SF.col("vec_id") == 0).select(
+        SF.col("embedding").alias("qv")
+    )
+    cells = {
+        r["cell"]
+        for r in _ivf_best_cells(_ivf_centroids(e), q).collect()
+    }
+    member = {
+        r["vec_id"]
+        for r in spark_.read.parquet(ivf_layout_path(spark_, SF_TEST))
+        .filter(SF.col("cell").isin(list(cells)))
+        .select("vec_id")
+        .collect()
+    }
+    full = _adc_scored(
+        spark_, SF_TEST, pq_codes(spark_, SF_TEST).filter(SF.col("vec_id") != 0)
+    ).collect()
+    ref = sorted(
+        ((r["adc_dist"], r["vec_id"]) for r in full if r["vec_id"] in member),
+    )[:10]
+    got = [
+        (r["adc_dist"], r["vec_id"])
+        for r in QUERIES["ann_ivfpq_topk"](spark_, SF_TEST).collect()
+    ]
+    assert got == ref, (got, ref)
+    for _, vid in got:
+        assert vid in member

@@ -122,6 +122,9 @@ SMOKE_OPS = {
     # and the ANN eval (corpus x 8 probes, WindowGroupLimit top-10s)
     "emb_pq_encode": "embeddings",
     "ann_pq_adc_topk": "embeddings",
+    # composed index read path: pruned partition scan -> map-only
+    # encode -> broadcast ADC -> top-k
+    "ann_ivfpq_topk": "embeddings",
     "search_mmr_rerank": "embeddings",
     "eval_ann_recall": "embeddings",
 }
