@@ -44,7 +44,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_adapter_spark.plans.registry import query
+from kinesis_adapter_spark.plans.registry import ORACLES, query
 from kinesis_adapter_spark.sources import aws
 from kinesis_adapter_spark.sources.scans import (
     EVENTS_JSON_SCHEMA,
@@ -1632,3 +1632,83 @@ def _scd2_maintain_run(
     )
     _await_done(q, 180)
     return spark.read.parquet(versions[-1]).orderBy("user_id", "valid_from")
+
+
+@query("stream_pq_maintain", "__SHARED_WITH_EMB_PQ_ENCODE__")
+def stream_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PQ index maintenance — the ingest half of the
+    vector-index story (pq_codebooks_table trains the quantizer
+    offline; this key shows vectors ARRIVING and the code table
+    growing): the corpus lands in 3 NDJSON micro-batches, and
+    foreachBatch PQ-encodes ONLY its own batch's vectors against the
+    FROZEN published codebooks (the shared _pq_encode_frame — a pure
+    per-vector function, so maintenance never re-reads indexed
+    vectors) and appends (vec_id, codes, batch_id) to the code
+    parquet. That frozen-codebook append is exactly how FAISS/vector
+    DBs ingest: retraining the quantizer is an offline rebuild, never
+    part of the write path.
+
+    The query then reads the maintained artifact alone (replays
+    collapsed by the shared _dedup_replays rule) and must hash-equal
+    the one-shot batch encoding — the oracle IS emb_pq_encode's,
+    replayed against the same published codebook artifact. At 100 TB
+    the per-batch cost is |batch| encode work + one append; compaction
+    of the code table is the cluster_zorder/compact_small_files story,
+    orthogonal to correctness."""
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _pq_books,
+        _pq_encode_frame,
+    )
+
+    import pyarrow.parquet as pq
+
+    books = _pq_books(spark, sf_dir)  # frozen quantizer (trains offline once)
+    work = Path(tempfile.mkdtemp(prefix="kas_pqstream_"))
+    src = work / "src"
+    src.mkdir()
+    codes_path = str(work / "codes")
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = list(
+        zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())
+    )
+    for b in range(3):
+        (src / f"arrivals_{b}.json").write_text(
+            "\n".join(
+                json.dumps({"vec_id": v, "embedding": [float(x) for x in emb]})
+                for v, emb in rows
+                if v % 3 == b
+            )
+        )
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        _pq_encode_frame(batch_df, books).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(codes_path)
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 180)
+
+    return (
+        _dedup_replays(spark.read.parquet(codes_path), "vec_id")
+        .select("vec_id", "c0", "c1", "c2", "c3")
+        .orderBy("vec_id")
+    )
+
+
+# stream_pq_maintain converges to the batch encoding, so its oracle IS
+# emb_pq_encode's, shared VERBATIM (the never-fork rule): importing the
+# module registers the batch key first.
+from kinesis_adapter_spark.operators import embeddings_ops as _eops  # noqa: E402,F401
+
+ORACLES["stream_pq_maintain"] = ORACLES["emb_pq_encode"]

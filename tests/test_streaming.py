@@ -629,3 +629,23 @@ def test_scd2_maintain_resurrects_suppressed_change(spark, tmp_path):
         ("a", ns(3), ns(5), False),
         ("b", ns(5), None, True),
     ], got
+
+
+def test_pq_maintain_converges_to_batch_encoding(spark):
+    """stream_pq_maintain (3 arrival micro-batches, frozen codebooks,
+    append-only code tier) must end bit-equal to the one-shot batch
+    encoding — only possible if every arriving vector was encoded
+    exactly once against the same published codebooks."""
+    from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        tuple(r)
+        for r in QUERIES["stream_pq_maintain"](spark, sf).collect()
+    ]
+    ref = [
+        tuple(r) for r in QUERIES["emb_pq_encode"](spark, sf).collect()
+    ]
+    assert got == ref
+    assert len(got) > 0

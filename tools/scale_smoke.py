@@ -125,6 +125,9 @@ SMOKE_OPS = {
     # composed index read path: pruned partition scan -> map-only
     # encode -> broadcast ADC -> top-k
     "ann_ivfpq_topk": "embeddings",
+    # streaming ingest twin: 3 arrival batches, frozen codebooks,
+    # per-batch encode + append; cost is |batch| encode + append
+    "stream_pq_maintain": "embeddings",
     "search_mmr_rerank": "embeddings",
     "eval_ann_recall": "embeddings",
 }
