@@ -2197,6 +2197,23 @@ BM25_SCORES_CTE = f"""
 """
 
 
+def bm25_part_expr():
+    """The per-(doc, term) Okapi BM25 partial-score expression over
+    columns (tf, dl, df, n, avgdl) — ONE copy shared by the batch
+    scorer and stream_bm25_maintain's postings-tier recomputation, so
+    the two paths' scoring formulas can never fork."""
+    return (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+
+
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BM25 score for the fixed query-term set — the
     Okapi formula from integer corpus statistics only (tf, df, doc
@@ -2225,16 +2242,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count_distinct("doc_id").cast("double").alias("df"))
     )
-    part = (
-        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        * F.col("tf")
-        * (BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + BM25_K1
-            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
+    part = bm25_part_expr()
     return (
         tf.join(dl, "doc_id")
         .join(F.broadcast(idf), "w")

@@ -1706,9 +1706,116 @@ def stream_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_bm25_maintain", "__SHARED_WITH_TEXT_BM25_TOPK__")
+def stream_bm25_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL inverted-index maintenance — the ingest half of the
+    BM25 search story (text_bm25_topk scores in one batch pass; this
+    key shows documents ARRIVING and the index growing): the corpus
+    lands in 3 NDJSON micro-batches, and foreachBatch tokenizes ONLY
+    its own batch's documents, appending two tiers — per-doc length
+    rows ``(doc_id, dl)`` and full postings ``(doc_id, w, tf)`` (the
+    inverted index itself; per-doc-distinct-word sized, what Lucene
+    segments are). Indexed documents are never re-read.
+
+    The query then scores ENTIRELY from the maintained tiers: N and
+    avgdl from the dl tier (exact integer token sums, the batch
+    contract), df/tf for the query terms from the postings, the
+    partial-score expression shared verbatim with the batch scorer
+    (bm25_part_expr — never-fork), top-20 TakeOrderedAndProject. It
+    must hash-equal the one-shot batch ranking, so the oracle IS
+    text_bm25_topk's. At 100 TB the per-batch cost is |batch|
+    tokenization + two appends; corpus stats are rollups over the
+    doc-sized dl tier, never a text re-scan — the same
+    artifact-maintenance discipline as stream_minhash_maintain."""
+    from kinesis_adapter_spark.operators.llmops import (
+        BM25_TERMS,
+        bm25_part_expr,
+    )
+
+    import pyarrow.parquet as pq
+
+    work = Path(tempfile.mkdtemp(prefix="kas_bm25stream_"))
+    src = work / "src"
+    src.mkdir()
+    dl_path = str(work / "dl")
+    post_path = str(work / "postings")
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    for b in range(3):
+        (src / f"arrivals_{b}.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t})
+                for d, t in rows
+                if d % 3 == b
+            )
+        )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        tk = batch_df.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        ).filter(F.col("w").rlike("^[a-z]+$"))
+        tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(dl_path)
+        tk.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(post_path)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 180)
+
+    dl = _dedup_replays(spark.read.parquet(dl_path), "doc_id").select(
+        "doc_id", "dl"
+    )
+    postings = _dedup_replays(
+        spark.read.parquet(post_path), "doc_id", "w"
+    ).select("doc_id", "w", "tf")
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = list(BM25_TERMS)
+    tf = postings.filter(F.col("w").isin(terms)).select(
+        "doc_id", "w", F.col("tf").cast("double").alias("tf")
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "w")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(bm25_part_expr()), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
+
 # stream_pq_maintain converges to the batch encoding, so its oracle IS
 # emb_pq_encode's, shared VERBATIM (the never-fork rule): importing the
 # module registers the batch key first.
 from kinesis_adapter_spark.operators import embeddings_ops as _eops  # noqa: E402,F401
 
 ORACLES["stream_pq_maintain"] = ORACLES["emb_pq_encode"]
+
+ORACLES["stream_bm25_maintain"] = ORACLES["text_bm25_topk"]

@@ -649,3 +649,23 @@ def test_pq_maintain_converges_to_batch_encoding(spark):
     ]
     assert got == ref
     assert len(got) > 0
+
+
+def test_bm25_maintain_converges_to_batch_ranking(spark):
+    """stream_bm25_maintain (3 arrival batches, append-only dl +
+    postings tiers) must end hash-equal to the one-shot batch top-20 —
+    only possible if the maintained corpus stats (N, avgdl, df) and
+    term frequencies exactly reconstruct the batch scorer's inputs."""
+    from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        tuple(r)
+        for r in QUERIES["stream_bm25_maintain"](spark, sf).collect()
+    ]
+    ref = [
+        tuple(r) for r in QUERIES["text_bm25_topk"](spark, sf).collect()
+    ]
+    assert got == ref
+    assert len(got) > 0

@@ -128,6 +128,9 @@ SMOKE_OPS = {
     # streaming ingest twin: 3 arrival batches, frozen codebooks,
     # per-batch encode + append; cost is |batch| encode + append
     "stream_pq_maintain": "embeddings",
+    # incremental inverted index: per-batch tokenize + two appends;
+    # query scores from the maintained dl/postings tiers only
+    "stream_bm25_maintain": "documents",
     "search_mmr_rerank": "embeddings",
     "eval_ann_recall": "embeddings",
 }
