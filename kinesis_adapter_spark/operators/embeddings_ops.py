@@ -1057,12 +1057,10 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_with(cents).orderBy("vec_id")
 
 
-def _rrf_oracle() -> str:
-    from kinesis_adapter_spark.operators.llmops import BM25_SCORES_CTE
-
-    return f"""
-    WITH {BM25_SCORES_CTE},
-    lex AS (
+# RRF CTE block (expects the BM25 chain spliced before it): the two
+# bounded rank lists and the fused full-join. Shared verbatim by
+# search_rrf_fusion's oracle and pipeline_rag_retrieval's (never-fork).
+_RRF_CTES = """lex AS (
       SELECT doc_id,
              row_number() OVER (ORDER BY score DESC, doc_id) AS r
       FROM bm25 WHERE doc_id <> 0
@@ -1078,15 +1076,24 @@ def _rrf_oracle() -> str:
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> 0
       QUALIFY r <= 50
-    )
-    SELECT * FROM (
+    ),
+    fused AS (
       SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
              ROUND(COALESCE(1.0 / (60 + lex.r), 0.0)
                    + COALESCE(1.0 / (60 + den.r), 0.0), 6) AS rrf_score,
              CAST(lex.r AS INTEGER) AS lex_rank,
              CAST(den.r AS INTEGER) AS dense_rank
       FROM lex FULL JOIN den ON lex.doc_id = den.doc_id
-    )
+    )"""
+
+
+def _rrf_oracle() -> str:
+    from kinesis_adapter_spark.operators.llmops import BM25_SCORES_CTE
+
+    return f"""
+    WITH {BM25_SCORES_CTE},
+    {_RRF_CTES}
+    SELECT * FROM fused
     QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10
     ORDER BY rrf_score DESC, doc_id
     """
@@ -1720,17 +1727,19 @@ MMR_K = 5        # results to select
 MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
 
 
-def _mmr_oracle() -> str:
-    """Unrolled greedy-selection CTE chain generated from the same
-    step template the Spark loop runs (the BPE/k-means never-fork
-    pattern for iterative algorithms)."""
+def _mmr_steps(k: int, lam: float) -> str:
+    """The unrolled greedy-selection CTE steps (expects CTEs ``cand
+    (vec_id, rel, v)``, ``pair(a_id, b_id, sim)``, ``sel1``) — ONE
+    step template shared by every MMR oracle (search_mmr_rerank and
+    pipeline_rag_retrieval), the BPE/k-means never-fork pattern for
+    iterative algorithms."""
     steps = []
-    for t in range(2, MMR_K + 1):
+    for t in range(2, k + 1):
         steps.append(f""",
     s{t} AS MATERIALIZED (
       SELECT c.vec_id, c.rel,
-             ROUND(CAST({MMR_LAMBDA} AS DOUBLE) * c.rel
-                   - CAST({1 - MMR_LAMBDA:.1f} AS DOUBLE) * MAX(p.sim), 6)
+             ROUND(CAST({lam} AS DOUBLE) * c.rel
+                   - CAST({1 - lam:.1f} AS DOUBLE) * MAX(p.sim), 6)
                AS score
       FROM cand c
       JOIN pair p ON p.a_id = c.vec_id
@@ -1743,6 +1752,13 @@ def _mmr_oracle() -> str:
       SELECT vec_id, rel, mmr_rank FROM sel{t - 1}
       UNION ALL SELECT vec_id, rel, {t} AS mmr_rank FROM s{t}
     )""")
+    return "".join(steps)
+
+
+def _mmr_oracle() -> str:
+    """search_mmr_rerank's oracle: cosine-relevance top-20 pool +
+    pairwise sims, then the shared unrolled greedy chain."""
+    steps = _mmr_steps(MMR_K, MMR_LAMBDA)
     return (
         f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1764,7 +1780,7 @@ def _mmr_oracle() -> str:
       SELECT vec_id, rel, 1 AS mmr_rank FROM cand
       ORDER BY rel DESC, vec_id LIMIT 1
     )"""
-        + "".join(steps)
+        + steps
         + f"""
     SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id, rel
     FROM sel{MMR_K} ORDER BY mmr_rank
@@ -1789,9 +1805,18 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     further corpus passes. Determinism: rel, pairwise sims, and step
     scores all round to 6 dp with vec_id tiebreaks; the oracle replays
     the identical unrolled selection (shared step template)."""
+    return mmr_select(_mmr_pool(spark, sf_dir), MMR_K, MMR_LAMBDA)
+
+
+def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_mmr_rerank's candidate pool — the key's ONLY corpus-
+    sized work: broadcast-probe cosine + TakeOrderedAndProject top-20
+    (sim_topk's plan). Exposed so the plan test pins this cut
+    directly (the selection itself runs over collected 1-row argmax
+    winners and has no corpus-shaped plan to pin)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cand = (
+    return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
@@ -1801,8 +1826,25 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
-        .persist()  # 20-row pool: every greedy step reuses it
     )
+
+
+def mmr_select(cand: DataFrame, k: int, lam: float) -> DataFrame:
+    """The greedy MMR selection over a BOUNDED candidate frame
+    ``(vec_id, rel, embedding)``: persist the pool and its pairwise-
+    similarity table, then run k argmax rounds, each ONE
+    TakeOrderedAndProject job whose single winning row is collected —
+    model metadata per round, the graph_pagerank/BPE discipline for
+    iterative argmax. (The first cut of this helper chained the steps
+    lazily instead; each round's plan then embedded the previous
+    round's TWICE — via the chosen-set and the union — so the physical
+    plan grew 2^k copies of the pool subtree and a 5-pick selection
+    cost 30 s. Collecting the 1-row winner keeps plan depth constant.)
+    ONE copy shared by search_mmr_rerank and pipeline_rag_retrieval
+    (never-fork with the _mmr_steps oracle template). Returns
+    (mmr_rank, vec_id, rel)."""
+    spark = cand.sparkSession
+    cand = cand.persist()  # bounded pool: every greedy round reuses it
     a = cand.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
     b = cand.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
     pair = (
@@ -1813,37 +1855,119 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             F.round(cosine(F.col("av"), F.col("bv")), 6).alias("sim"),
         )
+        .persist()  # |pool|^2 rows: bounded metadata
     )
-    sel = (
+    first = (
         cand.orderBy(F.col("rel").desc(), "vec_id")
         .limit(1)
-        .select("vec_id", "rel", F.lit(1).alias("mmr_rank"))
+        .collect()[0]  # 1 row per round: model metadata, never data
     )
-    for t in range(2, MMR_K + 1):
-        chosen = sel.select("vec_id")
+    sel = [(1, first["vec_id"], float(first["rel"]))]
+    chosen = [first["vec_id"]]
+    for t in range(2, k + 1):
         ms = (
-            pair.join(
-                F.broadcast(chosen.withColumnRenamed("vec_id", "b_id")),
-                "b_id",
-            )
+            pair.filter(F.col("b_id").isin(chosen))
             .groupBy("a_id")
             .agg(F.max("sim").alias("maxsim"))
         )
         score = F.round(
-            F.lit(MMR_LAMBDA) * F.col("rel")
-            - F.lit(round(1 - MMR_LAMBDA, 1)) * F.col("maxsim"),
+            F.lit(lam) * F.col("rel")
+            - F.lit(round(1 - lam, 1)) * F.col("maxsim"),
             6,
         )
         nxt = (
-            cand.join(chosen, "vec_id", "left_anti")
-            .join(
-                F.broadcast(ms),
-                F.col("vec_id") == F.col("a_id"),
-            )
+            cand.filter(~F.col("vec_id").isin(chosen))
+            .join(F.broadcast(ms), F.col("vec_id") == F.col("a_id"))
             .select("vec_id", "rel", score.alias("score"))
             .orderBy(F.col("score").desc(), "vec_id")
             .limit(1)
-            .select("vec_id", "rel", F.lit(t).alias("mmr_rank"))
+            .collect()[0]  # 1-row argmax
         )
-        sel = sel.unionByName(nxt)
-    return sel.select("mmr_rank", "vec_id", "rel").orderBy("mmr_rank")
+        sel.append((t, nxt["vec_id"], float(nxt["rel"])))
+        chosen.append(nxt["vec_id"])
+    return spark.createDataFrame(
+        sel, "mmr_rank int, vec_id bigint, rel double"
+    ).orderBy("mmr_rank")
+
+
+PIPE_MMR_K = 5  # diversified results from the fused top-10
+
+
+def _rag_pipeline_oracle() -> str:
+    from kinesis_adapter_spark.operators.llmops import BM25_SCORES_CTE
+
+    return f"""
+    WITH {BM25_SCORES_CTE},
+    {_RRF_CTES},
+    top10 AS (
+      SELECT doc_id, rrf_score FROM fused
+      QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10
+    ),
+    stats AS (SELECT MAX(rrf_score) AS mx, MIN(rrf_score) AS mn FROM top10),
+    cand AS MATERIALIZED (
+      SELECT t.doc_id AS vec_id,
+             CASE WHEN s.mx = s.mn THEN 1.0
+                  ELSE ROUND((t.rrf_score - s.mn) / (s.mx - s.mn), 6)
+             END AS rel,
+             CAST(e.embedding AS DOUBLE[]) AS v,
+             t.rrf_score
+      FROM top10 t
+      JOIN embeddings e ON e.vec_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, rel, 1 AS mmr_rank FROM cand
+      ORDER BY rel DESC, vec_id LIMIT 1
+    ){_mmr_steps(PIPE_MMR_K, MMR_LAMBDA)}
+    SELECT CAST(s.mmr_rank AS INTEGER) AS mmr_rank,
+           s.vec_id AS doc_id, c.rrf_score
+    FROM sel{PIPE_MMR_K} s JOIN cand c ON c.vec_id = s.vec_id
+    ORDER BY mmr_rank
+    """
+
+
+@query("pipeline_rag_retrieval", _rag_pipeline_oracle())
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full RAG retrieval pipeline as ONE query — what actually
+    runs between a user query and the context window: sparse (BM25)
+    and dense (cosine) retrieval fused by reciprocal rank
+    (search_rrf_fusion, reused as-is), then MMR diversification of the
+    fused top-10 down to 5 results (the shared mmr_select, with fused
+    scores min-max normalized to [0,1] so the relevance term is
+    commensurate with the cosine redundancy penalty — guarded for the
+    all-tied edge on both engines).
+
+    Every stage reuses the standalone keys' code and oracle blocks
+    verbatim (BM25 chain, RRF CTEs, MMR step template — never-fork),
+    so this key's parity also cross-checks the COMPOSITION: list
+    bounding before fusion, id plumbing across documents/embeddings,
+    and scale normalization. Corpus-sized work is exactly the two
+    retrieval passes; fusion + MMR run over <=50-row bounded
+    metadata."""
+    fused = search_rrf_fusion(spark, sf_dir).select("doc_id", "rrf_score").persist()
+    e = load(spark, sf_dir, "embeddings")
+    st = fused.agg(
+        F.max("rrf_score").alias("mx"), F.min("rrf_score").alias("mn")
+    )
+    nrel = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+        F.round(
+            (F.col("rrf_score") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+            6,
+        )
+    )
+    cand = (
+        fused.join(e, fused["doc_id"] == e["vec_id"])
+        .crossJoin(F.broadcast(st))
+        .select("vec_id", nrel.alias("rel"), "embedding")
+    )
+    sel = mmr_select(cand, PIPE_MMR_K, MMR_LAMBDA)
+    return (
+        sel.join(fused, sel["vec_id"] == fused["doc_id"])
+        .select("mmr_rank", "doc_id", "rrf_score")
+        .orderBy("mmr_rank")
+    )

@@ -886,17 +886,22 @@ def test_pq_adc_broadcasts_tables_topk_no_sort(spark):
 
 def test_mmr_pool_cut_is_topk_then_bounded(spark):
     """search_mmr_rerank: the ONLY corpus-sized work is the top-20
-    pool cut (TakeOrderedAndProject); the greedy steps run over the
-    persisted pool (InMemoryTableScan) — no sort-merge join, no
-    corpus-sized window anywhere."""
+    pool cut, which must plan as TakeOrderedAndProject with no window
+    and no shuffled join; the greedy selection itself runs over
+    collected 1-row argmax winners (model metadata — the pagerank/BPE
+    discipline), so the key's returned frame is a local table."""
+    from kinesis_adapter_spark.operators.embeddings_ops import _mmr_pool
+
+    pool = _mmr_pool(spark, SF_TEST)
+    pplan = pool._jdf.queryExecution().executedPlan().toString()
+    pfinal = pplan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in pfinal, pfinal[:3000]
+    assert "SortMergeJoin" not in pfinal, pfinal[:3000]
+    assert "Window" not in pfinal, pfinal[:3000]
+
     df = QUERIES["search_mmr_rerank"](spark, SF_TEST)
-    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]
-    assert "TakeOrderedAndProject" in final, final[:3000]
-    assert "InMemoryTableScan" in final, final[:3000]
-    assert "SortMergeJoin" not in final, final[:3000]
-    assert "Window" not in final, final[:3000]
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan[:2000]
 
 
 def test_eval_ann_recall_uses_window_group_limit(spark):

@@ -1336,3 +1336,54 @@ def test_ivfpq_equals_adc_restricted_to_probed_cells(spark):
     assert got == ref, (got, ref)
     for _, vid in got:
         assert vid in member
+
+
+def test_rag_pipeline_matches_python_composition(spark):
+    """pipeline_rag_retrieval against an independent composition: take
+    the (already reference-checked) RRF top-10, min-max normalize, run
+    pure-python greedy MMR with numpy cosines, and demand the same 5
+    picks in the same order with the same carried rrf_scores."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        MMR_LAMBDA,
+        PIPE_MMR_K,
+    )
+
+    fused = {
+        r["doc_id"]: r["rrf_score"]
+        for r in QUERIES["search_rrf_fusion"](spark, SF_TEST).collect()
+    }
+    emb = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    mx, mn = max(fused.values()), min(fused.values())
+    rel = {
+        d: 1.0 if mx == mn else round((s - mn) / (mx - mn), 6)
+        for d, s in fused.items()
+    }
+    pool = sorted(fused)
+    sel = [min(pool, key=lambda v: (-rel[v], v))]
+    while len(sel) < PIPE_MMR_K:
+        best = None
+        for c in pool:
+            if c in sel:
+                continue
+            ms = max(cos(vecs[c], vecs[s]) for s in sel)
+            score = round(MMR_LAMBDA * rel[c] - (1 - MMR_LAMBDA) * ms, 6)
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        sel.append(best[1])
+    got = [
+        (r["mmr_rank"], r["doc_id"], r["rrf_score"])
+        for r in QUERIES["pipeline_rag_retrieval"](spark, SF_TEST).collect()
+    ]
+    assert got == [(i + 1, d, fused[d]) for i, d in enumerate(sel)], (got, sel)

@@ -131,6 +131,9 @@ SMOKE_OPS = {
     # incremental inverted index: per-batch tokenize + two appends;
     # query scores from the maintained dl/postings tiers only
     "stream_bm25_maintain": "documents",
+    # end-to-end retrieval: BM25 + dense passes (corpus-sized), then
+    # fusion + MMR over <=50-row bounded metadata
+    "pipeline_rag_retrieval": "documents+embeddings",
     "search_mmr_rerank": "embeddings",
     "eval_ann_recall": "embeddings",
 }
