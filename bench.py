@@ -90,6 +90,11 @@ EXTRAS = {
     "pagerank": "graph_pagerank",
     "kmeans": "emb_kmeans_lloyd",
     "winnowing": "dedup_winnowing",
+    # late-r8 additions: the composed retrieval pipeline and the
+    # composed index read path — regressions in multi-stage glue
+    # (fusion bounds, partition pruning, broadcast ADC) surface here
+    "rag_retrieval": "pipeline_rag_retrieval",
+    "ivfpq": "ann_ivfpq_topk",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -141,6 +146,8 @@ ANCHORS = {
     "pagerank": 4.95,
     "kmeans": 1.29,
     "winnowing": 1.33,
+    "rag_retrieval": 2.21,
+    "ivfpq": 1.34,
 }
 
 
