@@ -621,6 +621,22 @@ _KMV_U = """
 """
 
 
+def kmv_u_expr():
+    """The keyed md5-uniform in [0,1) per user_id — ONE copy shared by
+    agg_kmv_distinct and agg_kmv_intersect (and mirrored by the _KMV_U
+    SQL above), so the sketch hash can never fork between keys."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv-"), F.col("user_id"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 281474976710656.0
+
+
 @query(
     "agg_kmv_distinct",
     f"""
@@ -669,16 +685,7 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass."""
     ev = load(spark, sf_dir, "events")
     d = ev.select("event_type", "user_id").distinct()
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("kmv-"), F.col("user_id"))), 1, 12
-            ),
-            16,
-            10,
-        ).cast("double")
-        + 0.5
-    ) / 281474976710656.0
+    u = kmv_u_expr()
     w = Window.partitionBy("event_type").orderBy("u", "user_id")
     r = d.select("event_type", "user_id", u.alias("u")).withColumn(
         "rn", F.row_number().over(w)
@@ -2295,4 +2302,163 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("harm_mean"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_kmv_intersect",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+      SELECT event_type, user_id, {_KMV_U} AS u FROM d
+    ),
+    sk AS (
+      SELECT event_type, user_id, u FROM (
+        SELECT event_type, user_id, u,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY u, user_id) AS rn
+        FROM h
+      ) WHERE rn <= {KMV_K}
+    ),
+    p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM d) a
+      JOIN (SELECT DISTINCT event_type FROM d) b
+        ON a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT ta, tb, user_id, MIN(u) AS u, COUNT(*) AS both_n
+      FROM (
+        SELECT p.ta, p.tb, s.user_id, s.u
+        FROM p JOIN sk s ON s.event_type = p.ta
+        UNION ALL
+        SELECT p.ta, p.tb, s.user_id, s.u
+        FROM p JOIN sk s ON s.event_type = p.tb
+      ) GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT ta, tb, u, both_n,
+             row_number() OVER (PARTITION BY ta, tb
+                                ORDER BY u, user_id) AS mrn
+      FROM m
+    ),
+    s AS (
+      SELECT ta, tb,
+             MAX(CASE WHEN mrn = {KMV_K} THEN u END) AS u_k,
+             CAST(SUM(CASE WHEN mrn <= {KMV_K} AND both_n = 2
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS kab
+      FROM r GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT x.event_type AS ta, y.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS exact_intersect
+      FROM d x JOIN d y ON x.user_id = y.user_id
+                       AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           COALESCE(ex.exact_intersect, 0) AS exact_intersect,
+           ROUND(COALESCE(
+             (s.kab / {KMV_K}.0) * (({KMV_K}.0 - 1.0) / s.u_k),
+             CAST(COALESCE(ex.exact_intersect, 0) AS DOUBLE)), 4)
+             AS kmv_intersect_est
+    FROM p
+    LEFT JOIN s ON s.ta = p.ta AND s.tb = p.tb
+    LEFT JOIN ex ON ex.ta = p.ta AND ex.tb = p.tb
+    ORDER BY type_a, type_b
+    """,
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketch ALGEBRA — the
+    operation that makes distinct sketches worth storing: for every
+    pair of event types, estimate |A ∩ B| from the two k-min sketches
+    ALONE (merge the sketches, k-th smallest of the union gives
+    |A ∪ B| ≈ (k−1)/u_k; the fraction of merged-k values present in
+    BOTH sketches gives Jaccard ≈ K_ab/k; intersection = product).
+    The exact intersection rides along for self-evaluation, the
+    agg_kmv_distinct convention; pairs with union below k fall back
+    to the exact count (the small-range rule).
+
+    Deterministic end-to-end (the shared kmv_u_expr/_KMV_U keyed hash,
+    (u, user_id) tiebreaks, 4-dp round) → fully hash-oracled, unlike
+    HLL intersection which is engine-opaque. Scale shape: ONE distinct
+    shuffle over (type, user), per-type k-min via WindowGroupLimit;
+    everything after the sketches is |types|²×k bounded metadata. The
+    exact-truth self-join is the corpus-sized cost the sketch path
+    replaces at 100 TB — kept here because the key's POINT is showing
+    the estimate against the truth; error bound gated in pytest."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    h = d.select("event_type", "user_id", kmv_u_expr().alias("u"))
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "user_id", "u")
+    )
+    t = d.select("event_type").distinct()
+    p = (
+        t.select(F.col("event_type").alias("ta"))
+        .crossJoin(t.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    ma = p.join(F.broadcast(sk), F.col("event_type") == F.col("ta")).select(
+        "ta", "tb", "user_id", "u"
+    )
+    mb = p.join(F.broadcast(sk), F.col("event_type") == F.col("tb")).select(
+        "ta", "tb", "user_id", "u"
+    )
+    m = (
+        ma.unionByName(mb)
+        .groupBy("ta", "tb", "user_id")
+        .agg(F.min("u").alias("u"), F.count(F.lit(1)).alias("both_n"))
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("u", "user_id")
+    r = m.withColumn("mrn", F.row_number().over(wm))
+    s = r.groupBy("ta", "tb").agg(
+        F.max(F.when(F.col("mrn") == KMV_K, F.col("u"))).alias("u_k"),
+        F.sum(
+            F.when(
+                (F.col("mrn") <= KMV_K) & (F.col("both_n") == 2), 1
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("kab"),
+    )
+    ex = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("ta"),
+            F.col("y.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    exact = F.coalesce(F.col("exact_intersect"), F.lit(0)).alias(
+        "exact_intersect"
+    )
+    est = F.round(
+        F.coalesce(
+            (F.col("kab") / float(KMV_K))
+            * ((float(KMV_K) - 1.0) / F.col("u_k")),
+            F.coalesce(F.col("exact_intersect"), F.lit(0)).cast("double"),
+        ),
+        4,
+    ).alias("kmv_intersect_est")
+    return (
+        p.join(F.broadcast(s), ["ta", "tb"], "left")
+        .join(F.broadcast(ex), ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            exact,
+            est,
+        )
+        .orderBy("type_a", "type_b")
     )

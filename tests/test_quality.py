@@ -1387,3 +1387,30 @@ def test_rag_pipeline_matches_python_composition(spark):
         for r in QUERIES["pipeline_rag_retrieval"](spark, SF_TEST).collect()
     ]
     assert got == [(i + 1, d, fused[d]) for i, d in enumerate(sel)], (got, sel)
+
+
+def test_kmv_intersect_error_bound_and_small_range(spark):
+    """agg_kmv_intersect: pairs whose union is below k must return the
+    EXACT intersection (small-range rule — checked at sf0.001 where
+    every union is 15 < 64), and estimable pairs must sit within the
+    KMV 4-sigma band 4/sqrt(k-2) of truth (sf0.01)."""
+    import math
+
+    from kinesis_adapter_spark.operators.aggregates import KMV_K
+
+    tol = 4.0 / math.sqrt(KMV_K - 2)
+    small = QUERIES["agg_kmv_intersect"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert small
+    for r in small:
+        assert r["kmv_intersect_est"] == float(r["exact_intersect"]), r
+
+    big = QUERIES["agg_kmv_intersect"](spark, SF_TEST).collect()
+    assert big
+    for r in big:
+        if r["exact_intersect"] >= KMV_K:
+            err = abs(r["kmv_intersect_est"] - r["exact_intersect"]) / r[
+                "exact_intersect"
+            ]
+            assert err <= tol, (r, err, tol)
