@@ -2462,3 +2462,123 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+SQ_K = 256  # bottom-k sample size per group
+
+
+@query(
+    "agg_sampled_quantile",
+    f"""
+    WITH h AS (
+      SELECT event_type, event_id, value,
+             md5('sq-' || event_id) AS hk
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, value FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hk, event_id) AS rn
+        FROM h
+      ) WHERE rn <= {SQ_K}
+    ),
+    o AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, md5('t-' || value)) AS vr,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM sk
+    ),
+    est AS (
+      SELECT event_type,
+             MAX(CASE WHEN vr = CAST(CEIL(0.5 * m) AS BIGINT)
+                      THEN value END) AS p50_est,
+             MAX(CASE WHEN vr = CAST(CEIL(0.9 * m) AS BIGINT)
+                      THEN value END) AS p90_est
+      FROM o GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             quantile_disc(value, 0.5) AS p50_exact,
+             quantile_disc(value, 0.9) AS p90_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.n_rows,
+           ROUND(est.p50_est, 2) AS p50_est, ROUND(est.p90_est, 2) AS p90_est,
+           ROUND(ex.p50_exact, 2) AS p50_exact,
+           ROUND(ex.p90_exact, 2) AS p90_exact
+    FROM ex JOIN est USING (event_type)
+    ORDER BY ex.event_type
+    """,
+)
+def agg_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE approximate quantiles via a deterministic bottom-k
+    hash sample — the quantile member of the keyed-hash sketch family
+    (agg_kmv_distinct / agg_kmv_intersect): keep the {SQ_K} rows with
+    the smallest md5('sq-'||event_id) per group (bottom-k of a union =
+    merge of bottom-ks — associative, idempotent, the same merge law
+    as KMV), then read exact order statistics OFF THE SAMPLE as the
+    population estimate. Unlike agg_approx_percentile (engine-opaque
+    sketch bytes -> rows-only), every step here is a pure function of
+    the data, so the key is fully hash-oracled; exact quantiles ride
+    along for self-evaluation, the family convention.
+
+    Discrete-quantile definition pinned cross-engine: the sample is
+    ordered by (value, md5 tiebreak) and p_q = element at
+    ceil(q * m) — DuckDB's quantile_disc on the exact side uses the
+    same lower-discrete convention. Scale shape: bottom-k is one
+    WindowGroupLimit pass (map-side k-truncation per group), the
+    quantile read is over |groups| x k bounded metadata; error
+    ~1/sqrt(k) quantile deviation, gated in pytest."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.md5(F.concat(F.lit("sq-"), F.col("event_id"))).alias("hk"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SQ_K)
+        .select("event_type", "value")
+    )
+    wo = Window.partitionBy("event_type").orderBy(
+        "value", F.md5(F.concat(F.lit("t-"), F.col("value")))
+    )
+    o = sk.withColumn("vr", F.row_number().over(wo)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    est = o.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("vr") == F.ceil(0.5 * F.col("m")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("p50_est"),
+        F.max(
+            F.when(
+                F.col("vr") == F.ceil(0.9 * F.col("m")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("p90_est"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx("value", 0.5, 2147483647).alias("p50_exact"),
+        F.percentile_approx("value", 0.9, 2147483647).alias("p90_exact"),
+    )
+    return (
+        ex.join(F.broadcast(est), "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("p50_est", 2).alias("p50_est"),
+            F.round("p90_est", 2).alias("p90_est"),
+            F.round("p50_exact", 2).alias("p50_exact"),
+            F.round("p90_exact", 2).alias("p90_exact"),
+        )
+        .orderBy("event_type")
+    )

@@ -1414,3 +1414,29 @@ def test_kmv_intersect_error_bound_and_small_range(spark):
                 "exact_intersect"
             ]
             assert err <= tol, (r, err, tol)
+
+
+def test_sampled_quantile_within_rank_band(spark):
+    """agg_sampled_quantile: a bottom-k=256 hash sample's p50/p90 must
+    land within the ~3-sigma quantile-rank band of the population
+    (sigma ~ sqrt(q(1-q)/k): p50 within [p40, p60], p90 within
+    [p84, p96]) — the sample is uniform because the hash key is
+    independent of value."""
+    rows = QUERIES["agg_sampled_quantile"](spark, SF_TEST).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    bands = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile_approx(value, 0.40, 2147483647)").alias("p40"),
+            F.expr("percentile_approx(value, 0.60, 2147483647)").alias("p60"),
+            F.expr("percentile_approx(value, 0.84, 2147483647)").alias("p84"),
+            F.expr("percentile_approx(value, 0.96, 2147483647)").alias("p96"),
+        )
+        .collect()
+    }
+    for r in rows:
+        b = bands[r["event_type"]]
+        assert b["p40"] <= r["p50_est"] <= b["p60"], (r, dict(b.asDict()))
+        assert b["p84"] <= r["p90_est"] <= b["p96"], (r, dict(b.asDict()))
