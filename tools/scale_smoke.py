@@ -134,6 +134,11 @@ SMOKE_OPS = {
     # end-to-end retrieval: BM25 + dense passes (corpus-sized), then
     # fusion + MMR over <=50-row bounded metadata
     "pipeline_rag_retrieval": "documents+embeddings",
+    # keyed-hash sketch family: one distinct/window pass, then
+    # |groups| x k bounded metadata (the exact-truth self-join in
+    # kmv_intersect is the corpus-sized cost the sketch replaces)
+    "agg_kmv_intersect": "events",
+    "agg_sampled_quantile": "events",
     "search_mmr_rerank": "embeddings",
     "eval_ann_recall": "embeddings",
 }
