@@ -1520,3 +1520,115 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+LP_ROUNDS = 4
+
+
+def _lp_oracle() -> str:
+    """Unrolled synchronized label-propagation CTE chain generated
+    from the same round template the Spark loop runs (the
+    pagerank/BPE never-fork pattern)."""
+    rounds = []
+    for t in range(1, LP_ROUNDS + 1):
+        rounds.append(f""",
+    p{t} AS MATERIALIZED (
+      SELECT src AS node, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY n DESC, label) AS rk
+        FROM (
+          SELECT e.src, l.label, COUNT(*) AS n
+          FROM edges e JOIN l{t - 1} l ON l.node = e.dst
+          GROUP BY 1, 2
+        )
+      ) WHERE rk = 1
+    ),
+    l{t} AS MATERIALIZED (
+      SELECT node, label FROM seeds
+      UNION ALL
+      SELECT node, label FROM p{t}
+      WHERE node NOT IN (SELECT node FROM seeds)
+    )""")
+    return (
+        """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL SELECT s AS src, c AS dst FROM pairs
+    ),
+    seeds AS MATERIALIZED (
+      SELECT 'c' || c_custkey AS node, CAST(c_nationkey AS INT) AS label
+      FROM customer WHERE c_custkey % 20 = 0
+    ),
+    l0 AS (SELECT node, label FROM seeds)"""
+        + "".join(rounds)
+        + f"""
+    SELECT node, label FROM l{LP_ROUNDS} ORDER BY node, label
+    """
+    )
+
+
+@query("graph_label_propagation", _lp_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over the customer↔supplier
+    trade graph — the community/attribute-spread primitive next to
+    graph_pagerank (influence) and dedup_cluster_cc (connectivity):
+    every 20th customer is seeded with its nation as a label, and for
+    LP_ROUNDS=4 synchronized rounds each node adopts the MAJORITY
+    label of its labeled neighbors (count desc, lowest label on ties)
+    while seeds stay clamped — the standard transductive scheme for
+    propagating sparse ground truth (markets, fraud flags, segments)
+    through an interaction graph.
+
+    Determinism: integer neighbor counts, a total argmax tiebreak,
+    synchronized rounds (every update reads the PREVIOUS round's
+    labels), clamped seeds — the unrolled-CTE oracle replays the
+    identical chain from the shared round template. Scale shape: each
+    round is one (node, label) count shuffle over the edge relation
+    + a WindowGroupLimit argmax — the pagerank cost model (K edge-
+    sized shuffles; persist the edge relation at scale, salt skewed
+    hubs); unlabeled nodes simply stay absent, no sentinel rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    seeds = (
+        c.filter(F.col("c_custkey") % 20 == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            ),
+            F.col("c_nationkey").cast("int").alias("label"),
+        )
+    )
+    lab = seeds
+    wlp = Window.partitionBy("src").orderBy(F.desc("n"), "label")
+    for _ in range(LP_ROUNDS):
+        cnt = (
+            edges.join(lab, edges["dst"] == lab["node"])
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        picked = (
+            cnt.withColumn("rk", F.row_number().over(wlp))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+        lab = seeds.unionByName(
+            picked.join(seeds.select("node"), "node", "left_anti")
+        )
+    return lab.orderBy("node", "label")

@@ -1440,3 +1440,50 @@ def test_sampled_quantile_within_rank_band(spark):
         b = bands[r["event_type"]]
         assert b["p40"] <= r["p50_est"] <= b["p60"], (r, dict(b.asDict()))
         assert b["p84"] <= r["p90_est"] <= b["p96"], (r, dict(b.asDict()))
+
+
+def test_label_propagation_matches_pure_python(spark):
+    """graph_label_propagation against a from-scratch python LP on the
+    collected sf0.001 graph: dict-of-neighbors, Counter majority vote
+    with (count desc, label asc) ties, clamped seeds, 4 synchronized
+    rounds — pins the vote, the tiebreak, the clamping, and the
+    synchronized (not in-place) update order."""
+    from collections import Counter, defaultdict
+
+    from kinesis_adapter_spark.operators.insights import LP_ROUNDS
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = {
+        (f"c{r['o_custkey']}", f"s{r['l_suppkey']}")
+        for r in li.join(o, li["l_orderkey"] == o["o_orderkey"]).collect()
+    }
+    nbrs = defaultdict(set)
+    for c, s in pairs:
+        nbrs[c].add(s)
+        nbrs[s].add(c)
+    seeds = {
+        f"c{r['c_custkey']}": int(r["c_nationkey"])
+        for r in spark.read.parquet(f"{sf}/customer.parquet")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .collect()
+    }
+    lab = dict(seeds)
+    for _ in range(LP_ROUNDS):
+        nxt = {}
+        for node, ns in nbrs.items():
+            votes = Counter(lab[n] for n in ns if n in lab)
+            if votes:
+                nxt[node] = min(votes, key=lambda v: (-votes[v], v))
+        nxt.update(seeds)  # clamp
+        lab = nxt
+    got = {
+        r["node"]: r["label"]
+        for r in QUERIES["graph_label_propagation"](spark, sf).collect()
+    }
+    assert got == lab

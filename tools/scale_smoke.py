@@ -139,6 +139,9 @@ SMOKE_OPS = {
     # kmv_intersect is the corpus-sized cost the sketch replaces)
     "agg_kmv_intersect": "events",
     "agg_sampled_quantile": "events",
+    # K synchronized rounds, each one (node,label) count shuffle over
+    # the edge relation + WindowGroupLimit argmax (pagerank cost model)
+    "graph_label_propagation": "lineitem",
     "search_mmr_rerank": "embeddings",
     "eval_ann_recall": "embeddings",
 }
