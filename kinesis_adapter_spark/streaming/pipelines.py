@@ -1819,3 +1819,124 @@ from kinesis_adapter_spark.operators import embeddings_ops as _eops  # noqa: E40
 ORACLES["stream_pq_maintain"] = ORACLES["emb_pq_encode"]
 
 ORACLES["stream_bm25_maintain"] = ORACLES["text_bm25_topk"]
+
+
+@query("stream_kmv_maintain", "__SHARED_WITH_AGG_KMV_DISTINCT__")
+def stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL KMV sketch maintenance — the merge law
+    (bottom-k of a union = bottom-k of the per-part bottom-ks,
+    pinned for the batch key in pytest) exercised as the ingest path
+    it exists for: events arrive in 3 micro-batches, each batch
+    appends only its LOCAL per-type bottom-k candidate rows
+    (k rows per (type, batch) — bounded, the sketch property; the
+    batch never ships its full distinct set), and the query merges
+    the stored candidates into the global k-min to produce the same
+    (exact, estimate) pair as the one-shot batch sketch. The oracle
+    IS agg_kmv_distinct's — convergence through the merge law is the
+    check. Exactness caveat handled the way real sketch stores do:
+    the EXACT count is maintained as its own append-only distinct
+    tier (type, user) — the thing the sketch replaces at 100 TB is
+    that tier, and the key keeps both precisely to show they agree
+    below k and diverge within the error band above it."""
+    from kinesis_adapter_spark.operators.aggregates import (
+        KMV_K,
+        kmv_u_expr,
+    )
+
+    import pyarrow.parquet as pq
+
+    work = Path(tempfile.mkdtemp(prefix="kas_kmvstream_"))
+    src = work / "src"
+    src.mkdir()
+    sk_path = str(work / "sketch")
+    d_path = str(work / "distinct")
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    rows = list(
+        zip(
+            tbl.column("event_id").to_pylist(),
+            tbl.column("event_type").to_pylist(),
+            tbl.column("user_id").to_pylist(),
+        )
+    )
+    for b in range(3):
+        (src / f"arrivals_{b}.json").write_text(
+            "\n".join(
+                json.dumps({"event_id": e, "event_type": t, "user_id": u})
+                for e, t, u in rows
+                if e % 3 == b
+            )
+        )
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        if not batch_df.take(1):
+            return
+        d = batch_df.select("event_type", "user_id").distinct()
+        d.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(d_path)
+        w = Window.partitionBy("event_type").orderBy("u", "user_id")
+        (
+            d.select("event_type", "user_id", kmv_u_expr().alias("u"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)  # LOCAL bottom-k: bounded append
+            .select("event_type", "user_id", "u")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sk_path)
+        )
+
+    q = (
+        spark.readStream.schema("event_id bigint, event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 180)
+
+    from pyspark.sql import Window
+
+    # merge: global bottom-k of the stored per-batch bottom-ks
+    cand = (
+        _dedup_replays(spark.read.parquet(sk_path), "event_type", "user_id")
+        .select("event_type", "user_id", "u")
+        .distinct()  # a user sketched in several batches collapses
+    )
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    r = cand.withColumn("rn", F.row_number().over(w))
+    ex = (
+        _dedup_replays(spark.read.parquet(d_path), "event_type", "user_id")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    s = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("u"))).alias("u_k")
+    )
+    return (
+        ex.join(s, "event_type")
+        .select(
+            "event_type",
+            "exact",
+            F.coalesce(
+                F.round(F.lit(KMV_K - 1) / F.col("u_k"), 4),
+                F.col("exact").cast("double"),
+            ).alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Same registration-order guard as the embeddings_ops import above:
+# importing the module registers the batch key whose oracle we share.
+from kinesis_adapter_spark.operators import aggregates as _aggs  # noqa: E402,F401
+
+ORACLES["stream_kmv_maintain"] = ORACLES["agg_kmv_distinct"]

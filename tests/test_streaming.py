@@ -669,3 +669,22 @@ def test_bm25_maintain_converges_to_batch_ranking(spark):
     ]
     assert got == ref
     assert len(got) > 0
+
+
+def test_kmv_maintain_converges_via_merge_law(spark):
+    """stream_kmv_maintain (3 batches, LOCAL bottom-k appends) must
+    produce the identical (exact, estimate) pairs as the one-shot
+    batch sketch — only possible if bottom-k of the per-batch
+    bottom-ks equals bottom-k of the union (the merge law)."""
+    from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        tuple(r) for r in QUERIES["stream_kmv_maintain"](spark, sf).collect()
+    ]
+    ref = [
+        tuple(r) for r in QUERIES["agg_kmv_distinct"](spark, sf).collect()
+    ]
+    assert got == ref
+    assert len(got) > 0

@@ -142,6 +142,9 @@ SMOKE_OPS = {
     # K synchronized rounds, each one (node,label) count shuffle over
     # the edge relation + WindowGroupLimit argmax (pagerank cost model)
     "graph_label_propagation": "lineitem",
+    # streaming sketch maintenance: per-batch LOCAL bottom-k appends
+    # (bounded), query merges stored candidates via the merge law
+    "stream_kmv_maintain": "events",
     "search_mmr_rerank": "embeddings",
     "eval_ann_recall": "embeddings",
 }
