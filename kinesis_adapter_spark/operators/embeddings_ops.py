@@ -1555,11 +1555,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVAL_PROBES = 8  # probe set: vec_id < 8 (bounded model metadata)
 
-
-@query(
-    "eval_ann_recall",
-    f"""
-    WITH {_PQ_SUB_CTE},
+# Shared oracle CTE block: per-probe EXACT top-10 (brute-force L2,
+# rank rn) and APPROX top-10 (PQ-ADC, rank arn). ONE text used by
+# every retrieval-eval oracle (eval_ann_recall, eval_retrieval_ndcg)
+# — the MMR/BPE never-fork pattern: metric oracles can disagree on
+# the metric, never on the lists being measured.
+_EVAL_LISTS_CTE = f"""{_PQ_SUB_CTE},
     p AS (SELECT vec_id AS pid, pos, xv FROM x WHERE vec_id < {EVAL_PROBES}),
     exact AS (
       SELECT pid, vec_id,
@@ -1595,7 +1596,13 @@ EVAL_PROBES = 8  # probe set: vec_id < 8 (bounded model metadata)
         WHERE c.vec_id <> d0.pid
       )
       QUALIFY arn <= 10
-    ),
+    )"""
+
+
+@query(
+    "eval_ann_recall",
+    f"""
+    WITH {_EVAL_LISTS_CTE},
     rec AS (
       SELECT e.pid, COUNT(a.vec_id) / 10.0 AS recall
       FROM exact e LEFT JOIN approx a
@@ -1630,6 +1637,38 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe distance tables riding four broadcast joins; everything after
     the two top-10 lists is 80-row metadata joins. Determinism: both
     rank orders are (6-dp-rounded distance, vec_id)."""
+    exact, approx = _eval_rank_lists(spark, sf_dir)
+
+    # --- metrics over the two bounded top-10 lists
+    hit = exact.join(approx, ["pid", "vec_id"], "left")
+    rec = hit.groupBy("pid").agg(
+        F.round(F.count("arn") / 10.0, 6).alias("recall_at_10")
+    )
+    mrr = (
+        hit.filter(F.col("rn") == 1)
+        .select(
+            "pid",
+            F.round(F.coalesce(1.0 / F.col("arn"), F.lit(0.0)), 6).alias(
+                "mrr"
+            ),
+        )
+    )
+    return (
+        rec.join(mrr, "pid")
+        .select(F.col("pid").alias("probe_id"), "recall_at_10", "mrr")
+        .orderBy("probe_id")
+    )
+
+
+def _eval_rank_lists(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two per-probe rank lists every retrieval-eval key measures:
+    ``exact(pid, vec_id, rn)`` — brute-force L2 top-10 — and
+    ``approx(pid, vec_id, arn)`` — the PQ-ADC top-10 over shared
+    pq_codes. Factored so eval_ann_recall and eval_retrieval_ndcg
+    measure THE SAME lists by construction (mirror of
+    ``_EVAL_LISTS_CTE`` on the oracle side)."""
     import numpy as np
 
     books = _pq_books(spark, sf_dir)
@@ -1698,24 +1737,75 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= 10)
         .select("pid", "vec_id", "arn")
     )
+    return exact, approx
 
-    # --- metrics over the two bounded top-10 lists
-    hit = exact.join(approx, ["pid", "vec_id"], "left")
-    rec = hit.groupBy("pid").agg(
-        F.round(F.count("arn") / 10.0, 6).alias("recall_at_10")
+
+@query(
+    "eval_retrieval_ndcg",
+    f"""
+    WITH {_EVAL_LISTS_CTE},
+    gains AS (
+      SELECT e.pid, e.rn, a.arn, CAST(11 - e.rn AS DOUBLE) AS rel
+      FROM exact e LEFT JOIN approx a
+        ON a.pid = e.pid AND a.vec_id = e.vec_id
     )
-    mrr = (
-        hit.filter(F.col("rn") == 1)
+    SELECT pid AS probe_id,
+           ROUND(COALESCE(SUM(CASE WHEN arn IS NOT NULL
+                               THEN rel / log2(arn + 1.0) END), 0.0), 6)
+             AS dcg_at_10,
+           ROUND(COALESCE(SUM(CASE WHEN arn IS NOT NULL
+                               THEN rel / log2(arn + 1.0) END), 0.0)
+                 / SUM(rel / log2(rn + 1.0)), 6) AS ndcg_at_10
+    FROM gains
+    GROUP BY pid
+    ORDER BY probe_id
+    """,
+)
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the PQ-ADC index against brute-force ground truth —
+    the GRADED companion to eval_ann_recall's set-based recall: an
+    approximate list that returns all ten true neighbors but inverts
+    their order scores recall 1.0 yet NDCG < 1, which is why ranking
+    evals report both. Relevance is graded from the exact rank
+    (rel = 11 - rn: the true nearest neighbor is worth 10, the 10th
+    worth 1); DCG discounts each hit by log2(position + 1) at its
+    APPROX position; IDCG is the same sum over the ideal (exact)
+    ordering, so ndcg = dcg / idcg in [0, 1].
+
+    Shares ``_eval_rank_lists`` (Spark) / ``_EVAL_LISTS_CTE`` (oracle)
+    with eval_ann_recall — the two evals measure the same lists by
+    construction and only the metric differs. Scale shape identical:
+    everything after the two top-10 lists is an 80-row metadata join;
+    the log-discount aggregate is per-probe over <=10 rows. 6-dp
+    rounding absorbs float-sum reordering (<=10 O(10) terms: 1e-15
+    noise against a 1e-6 grid)."""
+    exact, approx = _eval_rank_lists(spark, sf_dir)
+    g = (
+        exact.join(approx, ["pid", "vec_id"], "left")
         .select(
             "pid",
-            F.round(F.coalesce(1.0 / F.col("arn"), F.lit(0.0)), 6).alias(
-                "mrr"
-            ),
+            "rn",
+            "arn",
+            (11 - F.col("rn")).cast("double").alias("rel"),
         )
     )
+    dcg = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("arn").isNotNull(),
+                F.col("rel") / F.log2(F.col("arn") + 1.0),
+            )
+        ),
+        F.lit(0.0),
+    )  # a probe with ZERO hits reports 0, not NULL
+    idcg = F.sum(F.col("rel") / F.log2(F.col("rn") + 1.0))
     return (
-        rec.join(mrr, "pid")
-        .select(F.col("pid").alias("probe_id"), "recall_at_10", "mrr")
+        g.groupBy("pid")
+        .agg(
+            F.round(dcg, 6).alias("dcg_at_10"),
+            F.round(dcg / idcg, 6).alias("ndcg_at_10"),
+        )
+        .select(F.col("pid").alias("probe_id"), "dcg_at_10", "ndcg_at_10")
         .orderBy("probe_id")
     )
 

@@ -1487,3 +1487,44 @@ def test_label_propagation_matches_pure_python(spark):
         for r in QUERIES["graph_label_propagation"](spark, sf).collect()
     }
     assert got == lab
+
+
+def test_ndcg_matches_pure_python_reference(spark):
+    """eval_retrieval_ndcg against a from-scratch NDCG on the two
+    collected rank lists (math.log2, explicit per-probe loops) — pins
+    the graded-gain formula (rel = 11 - rn), the log2(position + 1)
+    discount at the APPROX position, and the data-derived IDCG
+    (discount over the exact ordering). Also gates the range: every
+    ndcg in [0, 1], and dcg <= idcg by construction."""
+    import math
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _eval_rank_lists,
+    )
+
+    exact, approx = _eval_rank_lists(spark, SF_TEST)
+    ex = [(r["pid"], r["vec_id"], r["rn"]) for r in exact.collect()]
+    ap = {(r["pid"], r["vec_id"]): r["arn"] for r in approx.collect()}
+
+    ref = {}
+    for pid in sorted({p for p, _, _ in ex}):
+        dcg = idcg = 0.0
+        for p, vid, rn in ex:
+            if p != pid:
+                continue
+            rel = float(11 - rn)
+            idcg += rel / math.log2(rn + 1)
+            arn = ap.get((pid, vid))
+            if arn is not None:
+                dcg += rel / math.log2(arn + 1)
+        ref[pid] = (round(dcg, 6), round(dcg / idcg, 6))
+
+    got = {
+        r["probe_id"]: (r["dcg_at_10"], r["ndcg_at_10"])
+        for r in QUERIES["eval_retrieval_ndcg"](spark, SF_TEST).collect()
+    }
+    assert got == ref
+    assert len(got) == 8
+    for dcg, ndcg in got.values():
+        assert 0.0 <= ndcg <= 1.0
+        assert dcg >= 0.0
