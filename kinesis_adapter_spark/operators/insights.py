@@ -886,14 +886,43 @@ def user_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "graph_triangle_count",
-    """
-    WITH e AS (
+# Canonical (u < v) distinct edge set of the part co-purchase graph
+# (parts sharing an order) — ONE text shared by every oracle over this
+# graph (graph_triangle_count, graph_link_prediction): metric oracles
+# can disagree on the metric, never on the graph being measured.
+_COPURCHASE_E_CTE = """e AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), deg AS (
+    )"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_COPURCHASE_E_CTE``: canonical (u < v)
+    distinct co-purchase edges, shared by graph_triangle_count and
+    graph_link_prediction. Edge generation is bounded by order size
+    (<=13 parts per order here); production caps pathological baskets
+    the same way the shingle df cap bounds hot shingles."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH {_COPURCHASE_E_CTE}, deg AS (
       SELECT node, COUNT(*) * 1.0 AS d FROM (
         SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
       ) GROUP BY node
@@ -930,21 +959,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; clustering = 3T / wedges. Edge generation is bounded by
     order size (≤13 parts here); production caps pathological baskets
     the same way the shingle df cap bounds hot shingles."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    return triangle_stats(e)
+    return triangle_stats(_copurchase_edges(spark, sf_dir))
 
 
 def triangle_stats(e: DataFrame) -> DataFrame:
@@ -1632,3 +1647,115 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             picked.join(seeds.select("node"), "node", "left_anti")
         )
     return lab.orderBy("node", "label")
+
+
+LP_QUERY_MAX = 8  # link-prediction query set: part ids <= 8 (bounded)
+
+
+@query(
+    "graph_link_prediction",
+    f"""
+    WITH {_COPURCHASE_E_CTE},
+    sym AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v AS node, u AS nbr FROM e
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY node),
+    qn AS (
+      SELECT node AS src, nbr AS hop FROM sym WHERE node <= {LP_QUERY_MAX}
+    ),
+    cn AS (
+      SELECT q.src, s.nbr AS dst, COUNT(*) AS common_nbrs
+      FROM qn q JOIN sym s ON s.node = q.hop
+      WHERE s.nbr <> q.src
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT c.src, c.dst, c.common_nbrs
+      FROM cn c LEFT JOIN sym x ON x.node = c.src AND x.nbr = c.dst
+      WHERE x.node IS NULL
+    ),
+    scored AS (
+      SELECT c.src, c.dst, c.common_nbrs,
+             ROUND(c.common_nbrs * 1.0 / (dq.d + dd.d - c.common_nbrs), 6)
+               AS jaccard
+      FROM cand c
+      JOIN deg dq ON dq.node = c.src
+      JOIN deg dd ON dd.node = c.dst
+    )
+    SELECT src, dst, CAST(common_nbrs AS BIGINT) AS common_nbrs, jaccard,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src
+        ORDER BY jaccard DESC, common_nbrs DESC, dst) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    ORDER BY src, rank
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the part co-purchase graph
+    (shared ``_copurchase_edges``): for each node in a bounded query
+    set, the top-5 NON-adjacent nodes ranked by Jaccard similarity of
+    neighborhoods — cn / (deg(src) + deg(dst) - cn) — the classic
+    "customers who bought these parts also bought" recommender
+    primitive and the baseline every learned link predictor is
+    measured against.
+
+    Scale shape: this is deliberately the QUERY-BATCHED variant, not
+    all-pairs — all-pairs common-neighbor counting materializes
+    Σ deg² wedge rows (the explosion triangle_stats' sorted-adjacency
+    orientation exists to avoid; 144M rows at sf0.1 on this graph).
+    Two-hop expansion for a bounded query set is linear in
+    |S|·d̄² and every step is an edge-relation equi-join that
+    shuffles on node — co-partitioned, AQE-coalesced, no
+    single-partition stage. The existing-edge screen is a left-anti
+    on the same adjacency; top-5 per src plans as WindowGroupLimit
+    over the |S|-keyed candidate scores. Determinism: rank order is
+    (6-dp jaccard DESC, cn DESC, dst)."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    qn = sym.filter(F.col("node") <= LP_QUERY_MAX).select(
+        F.col("node").alias("src"), F.col("nbr").alias("hop")
+    )
+    cn = (
+        qn.join(sym, qn["hop"] == sym["node"])
+        .filter(F.col("nbr") != F.col("src"))
+        .groupBy("src", F.col("nbr").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("common_nbrs"))
+    )
+    cand = cn.join(
+        sym.select(F.col("node").alias("src"), F.col("nbr").alias("dst")),
+        ["src", "dst"],
+        "left_anti",
+    )
+    dq = deg.select(F.col("node").alias("src"), F.col("d").alias("dq"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))
+    scored = (
+        cand.join(dq, "src")
+        .join(dd, "dst")
+        .select(
+            "src",
+            "dst",
+            "common_nbrs",
+            F.round(
+                F.col("common_nbrs")
+                / (F.col("dq") + F.col("dd") - F.col("common_nbrs")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("jaccard"), F.desc("common_nbrs"), "dst"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("src", "dst", "common_nbrs", "jaccard", "rank")
+        .orderBy("src", "rank")
+    )

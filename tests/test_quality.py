@@ -1528,3 +1528,45 @@ def test_ndcg_matches_pure_python_reference(spark):
     for dcg, ndcg in got.values():
         assert 0.0 <= ndcg <= 1.0
         assert dcg >= 0.0
+
+
+def test_link_prediction_matches_pure_python(spark):
+    """graph_link_prediction against a from-scratch common-neighbor /
+    Jaccard ranker on the collected edge set (python sets, explicit
+    loops) — pins the two-hop candidate generation, the existing-edge
+    screen, the cn/(d_src + d_dst - cn) formula, and the
+    (jaccard, cn, dst) tiebreak."""
+    from collections import defaultdict
+
+    from kinesis_adapter_spark.operators.insights import (
+        LP_QUERY_MAX,
+        _copurchase_edges,
+    )
+
+    edges = {
+        (r["u"], r["v"])
+        for r in _copurchase_edges(spark, SF_TEST).collect()
+    }
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+
+    ref = []
+    for src in sorted(n for n in nbrs if n <= LP_QUERY_MAX):
+        cands = []
+        for dst in {c for h in nbrs[src] for c in nbrs[h]}:
+            if dst == src or dst in nbrs[src]:
+                continue
+            cn = len(nbrs[src] & nbrs[dst])
+            jac = round(cn / (len(nbrs[src]) + len(nbrs[dst]) - cn), 6)
+            cands.append((-jac, -cn, dst))
+        for rank, (nj, ncn, dst) in enumerate(sorted(cands)[:5], 1):
+            ref.append((src, dst, -ncn, -nj, rank))
+
+    got = [
+        (r["src"], r["dst"], r["common_nbrs"], r["jaccard"], r["rank"])
+        for r in QUERIES["graph_link_prediction"](spark, SF_TEST).collect()
+    ]
+    assert got == ref
+    assert len(got) > 0

@@ -142,6 +142,10 @@ SMOKE_OPS = {
     # K synchronized rounds, each one (node,label) count shuffle over
     # the edge relation + WindowGroupLimit argmax (pagerank cost model)
     "graph_label_propagation": "lineitem",
+    # query-batched two-hop CN/Jaccard: edge-relation equi-joins only;
+    # candidate set linear in |S|·deg² (replication densifies the
+    # graph, so deg grows with copies — watch the cn groupBy)
+    "graph_link_prediction": "lineitem",
     # streaming sketch maintenance: per-batch LOCAL bottom-k appends
     # (bounded), query merges stored candidates via the merge law
     "stream_kmv_maintain": "events",
