@@ -276,6 +276,87 @@ def anonymize_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anonymize_l_diversity",
+    """
+    WITH buckets AS (
+      SELECT c_mktsegment, CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             c_nationkey
+      FROM customer
+    ),
+    grouped AS (
+      SELECT c_mktsegment, bal_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS l_distinct
+      FROM buckets GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, CAST(bal_bucket AS VARCHAR) AS bal_bucket, n, l_distinct
+    FROM grouped WHERE n >= 5 AND l_distinct >= 3
+    UNION ALL
+    SELECT '*' AS c_mktsegment, '*' AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT b.c_nationkey) AS BIGINT) AS l_distinct
+    FROM buckets b
+    JOIN grouped g
+      ON g.c_mktsegment = b.c_mktsegment AND g.bal_bucket = b.bal_bucket
+    WHERE g.n < 5 OR g.l_distinct < 3
+    ORDER BY c_mktsegment, bal_bucket
+    """,
+)
+def anonymize_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diverse release (k=5, l=3): anonymize_k_suppress's group-size
+    floor plus the HOMOGENEITY-ATTACK guard k-anonymity lacks — a
+    group of 50 customers is still a disclosure if they all share one
+    nation, so a group is released only when it also spans >= l
+    distinct values of the sensitive attribute (c_nationkey). Failing
+    groups collapse into one '*' row whose n and l_distinct are
+    re-aggregated over their BASE rows (a semi-join back, not a sum of
+    group stats — distinct counts don't add).
+
+    Same quasi-identifiers and generalization as anonymize_k_suppress
+    so the two keys audit the same release plan at two privacy bars.
+    Scale: one groupBy carrying (count, distinct-sensitive) per QI
+    group; the suppressed re-aggregate touches only failing groups'
+    rows via a broadcast-able failed-key semi-join. At 100 TB the
+    distinct-count per group is exact (sensitive domains are small);
+    swap in approx_count_distinct only if the sensitive attribute is
+    high-cardinality — the release threshold tolerates sketch error
+    poorly, so prefer coarser QI buckets first."""
+    c = load(spark, sf_dir, "customer")
+    b = c.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+        "c_nationkey",
+    )
+    g = b.groupBy("c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_nationkey").alias("l_distinct"),
+    )
+    ok = (F.col("n") >= 5) & (F.col("l_distinct") >= 3)
+    released = g.filter(ok).select(
+        "c_mktsegment",
+        F.col("bal_bucket").cast("string").alias("bal_bucket"),
+        "n",
+        "l_distinct",
+    )
+    failed_keys = g.filter(~ok).select("c_mktsegment", "bal_bucket")
+    suppressed = (
+        b.join(F.broadcast(failed_keys), ["c_mktsegment", "bal_bucket"], "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_nationkey").alias("l_distinct"),
+        )
+        .select(
+            F.lit("*").alias("c_mktsegment"),
+            F.lit("*").alias("bal_bucket"),
+            "n",
+            "l_distinct",
+        )
+    )
+    return released.unionByName(suppressed).orderBy(
+        "c_mktsegment", "bal_bucket"
+    )
+
+
+@query(
     "agg_linear_trend",
     """
     SELECT event_type,

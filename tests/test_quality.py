@@ -1570,3 +1570,44 @@ def test_link_prediction_matches_pure_python(spark):
     ]
     assert got == ref
     assert len(got) > 0
+
+
+def test_l_diversity_release_properties(spark):
+    """anonymize_l_diversity against a from-scratch reference over the
+    collected customer rows (python dict grouping) — pins the QI
+    generalization, both release thresholds (n >= 5 AND l_distinct >=
+    3), and the '*' row's base-row re-aggregation (distinct counts
+    don't add across suppressed groups). Then the privacy property
+    itself: every released row isolates >= 5 people spanning >= 3
+    sensitive values, and released + suppressed mass equals the
+    population."""
+    import math
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/customer.parquet")
+        .select("c_mktsegment", "c_acctbal", "c_nationkey")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        qi = (r["c_mktsegment"], math.floor(r["c_acctbal"] / 2000))
+        groups[qi].append(r["c_nationkey"])
+    ref, sup_n, sup_nations = [], 0, set()
+    for (seg, bucket), nations in groups.items():
+        if len(nations) >= 5 and len(set(nations)) >= 3:
+            ref.append((seg, str(bucket), len(nations), len(set(nations))))
+        else:
+            sup_n += len(nations)
+            sup_nations |= set(nations)
+    ref.append(("*", "*", sup_n, len(sup_nations)))
+
+    got = [
+        (r["c_mktsegment"], r["bal_bucket"], r["n"], r["l_distinct"])
+        for r in QUERIES["anonymize_l_diversity"](spark, SF_TEST).collect()
+    ]
+    assert sorted(got) == sorted(ref)
+    for seg, bucket, n, ldiv in got:
+        if seg != "*":
+            assert n >= 5 and ldiv >= 3
+    assert sum(n for _, _, n, _ in got) == len(rows)
