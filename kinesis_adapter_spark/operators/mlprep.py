@@ -590,3 +590,67 @@ def mlprep_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat", "fold")
     )
+
+
+@query(
+    "eval_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT ROUND(1.0 / (1.0 + EXP(-(o_totalprice - 150000.0) / 50000.0)), 6)
+               AS score,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS label
+      FROM orders
+    )
+    SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(AVG(label), 6) AS pos_rate,
+           ROUND(ABS(AVG(score) - AVG(label)), 6) AS calib_gap
+    FROM scored
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table (the calibration eval every deployed
+    classifier gets): scores bucketed into 10 equal-width bins, each
+    reporting mean predicted score vs observed positive rate and the
+    |gap| — the per-bin terms of Expected Calibration Error
+    (ECE = Σ n_b/N · gap_b, one weighted sum over this output). The
+    score here is a deterministic logistic stand-in over o_totalprice
+    and the label an order-priority indicator: price doesn't predict
+    priority, so the table EXHIBITS miscalibration — which is the
+    point; the operator contract is (score, label) in, reliability
+    table out.
+
+    Scale: a map-only score/label projection into a 10-group
+    aggregate — partial-agg combines map-side, the shuffle carries 10
+    groups x 4 counters no matter the row count. Determinism: the
+    score is 6-dp-rounded BEFORE binning in both engines, so bin
+    membership compares on the same 1e-6 grid (libm-vs-JVM exp ulp
+    noise cannot flip a bin)."""
+    o = load(spark, sf_dir, "orders")
+    score = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - 150000.0) / 50000.0)), 6
+    )
+    label = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    s = o.select(score.alias("score"), label.alias("label"))
+    return (
+        s.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg("label"), 6).alias("pos_rate"),
+            F.round(F.abs(F.avg("score") - F.avg("label")), 6).alias(
+                "calib_gap"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -1611,3 +1611,36 @@ def test_l_diversity_release_properties(spark):
         if seg != "*":
             assert n >= 5 and ldiv >= 3
     assert sum(n for _, _, n, _ in got) == len(rows)
+
+
+def test_calibration_bins_matches_pure_python(spark):
+    """eval_calibration_bins against a from-scratch reference over the
+    collected orders (math.exp, explicit binning) — pins the 6-dp
+    pre-round before binning, the LEAST(...,9) top-edge clamp, and
+    every per-bin statistic. Population must be conserved across
+    bins."""
+    import math
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/orders.parquet")
+        .select("o_totalprice", "o_orderpriority")
+        .collect()
+    )
+    bins = defaultdict(list)
+    for r in rows:
+        s = round(1.0 / (1.0 + math.exp(-(r["o_totalprice"] - 150000.0) / 50000.0)), 6)
+        y = 1 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0
+        bins[min(int(s * 10), 9)].append((s, y))
+    ref = {}
+    for b, sy in bins.items():
+        ms = sum(s for s, _ in sy) / len(sy)
+        pr = sum(y for _, y in sy) / len(sy)
+        ref[b] = (len(sy), round(ms, 6), round(pr, 6), round(abs(ms - pr), 6))
+
+    got = {
+        r["bin"]: (r["n"], r["mean_score"], r["pos_rate"], r["calib_gap"])
+        for r in QUERIES["eval_calibration_bins"](spark, SF_TEST).collect()
+    }
+    assert got == ref
+    assert sum(v[0] for v in got.values()) == len(rows)
