@@ -716,10 +716,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11-style important stock (partsupp absent → traded value
     sum(extendedprice×quantity) by NATION_3's suppliers per part):
     keep parts whose value exceeds a fraction of the national total.
-    The scalar total is a 1-row broadcast joined cross-wise — the
-    per-part aggregate is computed ONCE and reused for both the rows
-    and the threshold (no second scan of lineitem). The HAVING
-    comparison happens on the raw double; output rounds after."""
+    The scalar total is collected as 1-row metadata and folded into
+    the filter as a literal — two passes over the filtered broadcast
+    join, nothing cached (cache-hygiene rule: a returned lazy frame
+    cannot own a persist). The HAVING comparison happens on the raw
+    double; output rounds after."""
     li = load(spark, sf_dir, "lineitem")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     s = (
@@ -732,11 +733,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )
-    val = val.persist()  # one compute feeds both the threshold and the rows
-    total = val.agg(F.sum("value").alias("total"))
+    # Scalar threshold via one bounded 1-row collect — the oracle's
+    # scalar subquery, as two passes. (An earlier cut persisted val to
+    # share one scan, but the returned lazy frame could never release
+    # the cache, so a long-lived session held a |parts|-sized cache
+    # entry per sf_dir forever — the r8 cache-hygiene rule: caches are
+    # scoped inside the call or not taken at all. One extra scan of a
+    # filtered broadcast join buys a leak-free engine.)
+    total = val.agg(F.sum("value").alias("total")).collect()[0]["total"]
     return (
-        val.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > 0.0012 * F.col("total"))
+        val.filter(F.col("value") > 0.0012 * F.lit(total))
         .select(
             F.col("l_partkey").alias("p_key"), F.round("value", 2).alias("part_value")
         )
@@ -870,7 +876,26 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same order, different supplier); both hash on l_orderkey with the
     supplier inequality as residual, and the late set is computed ONCE
     (persisted) for both sides of the anti join. Supplier names
-    broadcast; top-20 is TakeOrderedAndProject."""
+    broadcast; top-20 is TakeOrderedAndProject. The top-20 result is
+    bounded, so the call materializes it and releases the late cache
+    before returning (cache-hygiene rule: a returned lazy frame cannot
+    own a persist) — the lazy plan lives in _q21_plan for the plan
+    pin."""
+    plan, late = _q21_plan(spark, sf_dir)
+    try:
+        rows = plan.collect()  # <=20 rows: bounded result
+    finally:
+        late.unpersist()
+    return spark.createDataFrame(rows, plan.schema).orderBy(
+        F.col("numwait").desc(), "s_name"
+    )
+
+
+def _q21_plan(spark: SparkSession, sf_dir: str):
+    """q21's lazy plan plus the persisted late-set handle the caller
+    must release after materializing (the _mmr_pool pattern: expose
+    the corpus-shaped plan for pinning; the key function owns the
+    cache lifecycle)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = (
@@ -895,7 +920,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey") != F.col("o_supp")
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
+    plan = (
         late.join(multi, "l_orderkey", "left_semi")
         .join(other_late, anti_cond, "left_anti")
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -904,6 +929,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+    return plan, late
 
 
 # Fixed-bin bucket expression shared VERBATIM by Spark and the oracle

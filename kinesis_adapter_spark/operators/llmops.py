@@ -2009,9 +2009,27 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    cur = words.select(
+    pinned = words.select(
         "w", F.regexp_replace("w", "(.)", "{$1}").alias("enc"), "freq"
     ).persist()  # type-sized: safe to pin for the K rounds
+    cur = pinned
+    merges = []
+    try:
+        cur, merges = _bpe_rounds(cur)
+    finally:
+        # every argmax round has read the pinned type table by now;
+        # both callers consume only the (local) merge list, so release
+        # the cache here — a long-lived session must not accumulate
+        # cached blocks (the mmr_select contract). A future consumer of
+        # the returned type frame just recomputes the one corpus pass.
+        pinned.unpersist()
+    return merges, cur
+
+
+def _bpe_rounds(cur):
+    """The K merge rounds over the (persisted) word-type frame —
+    split out of _bpe_train so the cache release wraps the whole loop
+    in one try/finally."""
     merges = []
     for k in range(1, BPE_MERGES + 1):
         syms = F.split(
@@ -2047,7 +2065,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             ).alias("enc"),
             "freq",
         )
-    return merges, cur
+    return cur, merges
 
 
 @query("vocab_bpe_encode", _BPE_ENCODE_SQL)

@@ -336,12 +336,30 @@ def test_q21_correlation_pair_plans_as_semi_plus_anti(spark):
     """q21's EXISTS/NOT-EXISTS pair must plan as a semi join (multi-
     supplier orders) plus an anti self-join of the persisted late set —
     both hashed on l_orderkey with the supplier inequality as residual;
-    the late relation is computed once (InMemoryRelation)."""
-    plan = plan_of(spark, "q21_waiting_supplier", executed=True)
-    final = plan.split("== Initial Plan ==")[0]
-    assert "LeftSemi" in final, final[:3000]
-    assert "LeftAnti" in final, final[:3000]
-    assert "InMemoryTableScan" in final, final[:3000]
+    the late relation is computed once (InMemoryRelation). Pins the
+    lazy _q21_plan helper (the key function materializes the bounded
+    top-20 and releases the cache — the _mmr_pool pattern), and checks
+    the release actually happened after a key-function call."""
+    from kinesis_adapter_spark.operators.analytics import _q21_plan
+
+    df, late = _q21_plan(spark, SF_TEST)
+    try:
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "LeftSemi" in final, final[:3000]
+        assert "LeftAnti" in final, final[:3000]
+        assert "InMemoryTableScan" in final, final[:3000]
+    finally:
+        late.unpersist()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    QUERIES["q21_waiting_supplier"](spark, SF_TEST)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)
 
 
 def test_ivf_probe_reads_only_nprobe_partitions(spark):

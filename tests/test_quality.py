@@ -1387,6 +1387,12 @@ def test_rag_pipeline_matches_python_composition(spark):
         for r in QUERIES["pipeline_rag_retrieval"](spark, SF_TEST).collect()
     ]
     assert got == [(i + 1, d, fused[d]) for i, d in enumerate(sel)], (got, sel)
+    # VERDICT r8 item #5: a long-lived session must not accumulate
+    # cached blocks across invocations — mmr_select releases its pool
+    # and pair caches in a finally, and the fused list is localized
+    # (bounded collect) instead of persisted. Nothing may linger.
+    leftover = spark.sparkContext._jsc.getPersistentRDDs()
+    assert leftover.size() == 0, f"{leftover.size()} persisted RDDs leaked"
 
 
 def test_kmv_intersect_error_bound_and_small_range(spark):

@@ -96,6 +96,17 @@ def main() -> int:
         n_fail += rec["status"] == "fail"
         print(f"{rec['status']:<9} {key} ({rec['sec']}s)", flush=True)
 
+    # Freshness refusal (VERDICT r8 item #1): the artifact this tool
+    # writes is the repo's claim of full-registry coverage, so it must
+    # cover EXACTLY the registry that was live when the sweep ran — a
+    # partial or filtered sweep may never masquerade as the committed
+    # replica. (tests/test_freshness.py holds the committed artifact to
+    # the same key-set equality against the registry at HEAD.)
+    if set(results) != set(qs):
+        raise SystemExit(
+            f"refusing to write {out_path.name}: swept "
+            f"{len(results)} keys but the live registry has {len(qs)}"
+        )
     zero_rows = sorted(
         k for k, r in results.items() if r.get("rows") == 0
     )

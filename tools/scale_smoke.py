@@ -151,6 +151,12 @@ SMOKE_OPS = {
     "stream_kmv_maintain": "events",
     "search_mmr_rerank": "embeddings",
     "eval_ann_recall": "embeddings",
+    # r9 (VERDICT r8 item #4): the two late-r8 keys that landed without
+    # a smoke. Both are bounded-output aggregates — l-diversity is one
+    # QI-group agg + a broadcast semi-join re-aggregate of failing
+    # groups; calibration is a map-only 10-bin agg — expected ~flat.
+    "anonymize_l_diversity": "customer",
+    "eval_calibration_bins": "orders",
 }
 
 # (table, id columns to offset, per-replica offset)
