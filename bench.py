@@ -95,6 +95,16 @@ EXTRAS = {
     # (fusion bounds, partition pruning, broadcast ADC) surface here
     "rag_retrieval": "pipeline_rag_retrieval",
     "ivfpq": "ann_ivfpq_topk",
+    # round-9 additions (VERDICT r8 items #6/#7): the heaviest
+    # streaming-maintain key (incremental inverted index — none of the
+    # 5 maintain twins was benched), the iterative label spread, and
+    # the two binary-decode paths (video frame extraction, composed
+    # image curation) that had never been anchored. Anchors:
+    # BASELINE.md "Round-9 anchor adoption".
+    "bm25_maintain": "stream_bm25_maintain",
+    "label_prop": "graph_label_propagation",
+    "video_frames": "mm_video_frame_extract",
+    "image_curation": "pipeline_image_curation",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -117,7 +127,12 @@ ANCHORS = {
     "merge_upsert": 1.0017,
     "doc_chunking": 0.3766,
     # round-2 additions, anchored at their r02 measurements (BASELINE.md)
-    "q21_semi_anti": 1.09,
+    # q21 re-anchored r9: the old 1.09 measured a plan whose persisted
+    # late set leaked across bench iterations (warm-up cache reused by
+    # every timed run); r9 releases the cache per call, so each timed
+    # run honestly recomputes the late set (BASELINE.md "Round-9
+    # re-anchors")
+    "q21_semi_anti": 1.84,
     "ann_ivf_pruned": 0.5454,
     "unigram_logprob": 0.3953,
     "dpp_prune": 0.3201,
@@ -146,8 +161,20 @@ ANCHORS = {
     "pagerank": 4.95,
     "kmeans": 1.29,
     "winnowing": 1.33,
-    "rag_retrieval": 2.21,
+    # rag re-anchored r9 for the same cache-honesty reason as q21: the
+    # r8 anchor's timed runs reused the warm-up's leaked MMR pool/pair
+    # caches; r9 releases them per call
+    "rag_retrieval": 2.97,
     "ivfpq": 1.34,
+    # round-9 additions, anchored at the mean of two idle FULL-bench
+    # runs' medians-of-5 (BASELINE.md "Round-9 anchor adoption" — the
+    # driver measures via full bench runs, so anchors now come from
+    # the same context; standalone timing read up to 30% lower for
+    # the late-in-suite keys)
+    "bm25_maintain": 2.01,
+    "label_prop": 5.34,
+    "video_frames": 2.82,
+    "image_curation": 0.87,
 }
 
 
