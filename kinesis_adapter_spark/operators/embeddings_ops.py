@@ -2076,3 +2076,109 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("mmr_rank", "doc_id", "rrf_score")
         .orderBy("mmr_rank")
     )
+
+
+MRL_DIMS = (8, 16, 32)  # truncation prefixes of the 64-dim embeddings
+
+
+def _mrl_oracle() -> str:
+    """Per-truncation recall@10 CTEs generated from one template (the
+    _eval_rank_lists discipline: every list ranks by 6-dp-rounded
+    cosine with a vec_id tiebreak, self-probe excluded)."""
+    lists = []
+    unions = []
+    for d in MRL_DIMS:
+        lists.append(f""",
+    t{d} AS MATERIALIZED (
+      SELECT p.pid, x.vec_id
+      FROM x CROSS JOIN p
+      WHERE x.vec_id <> p.pid
+      QUALIFY row_number() OVER (
+        PARTITION BY p.pid
+        ORDER BY ROUND(list_cosine_similarity(x.xv[1:{d}], p.xv[1:{d}]), 6)
+                   DESC, x.vec_id) <= 10
+    )""")
+        unions.append(
+            f"""SELECT {d} AS trunc_dim,
+           ROUND(COUNT(*) / ({EVAL_PROBES} * 10.0), 6) AS recall_at_10
+      FROM exact e JOIN t{d} t ON t.pid = e.pid AND t.vec_id = e.vec_id"""
+        )
+    u = "\n      UNION ALL ".join(unions)
+    return (
+        f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv FROM embeddings
+    ),
+    p AS MATERIALIZED (
+      SELECT vec_id AS pid, xv FROM x WHERE vec_id < {EVAL_PROBES}
+    ),
+    exact AS MATERIALIZED (
+      SELECT p.pid, x.vec_id
+      FROM x CROSS JOIN p
+      WHERE x.vec_id <> p.pid
+      QUALIFY row_number() OVER (
+        PARTITION BY p.pid
+        ORDER BY ROUND(list_cosine_similarity(x.xv, p.xv), 6)
+                   DESC, x.vec_id) <= 10
+    )"""
+        + "".join(lists)
+        + f"""
+    SELECT CAST(trunc_dim AS INT) AS trunc_dim, recall_at_10
+    FROM ({u})
+    ORDER BY trunc_dim
+    """
+    )
+
+
+@query("eval_dim_truncation_recall", _mrl_oracle())
+def eval_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation (Matryoshka-style) retrieval eval: for
+    each prefix length d in MRL_DIMS, recall@10 of cosine search over
+    the FIRST d dimensions against the full-64-dim ground truth,
+    averaged over the shared EVAL_PROBES probe set — the measurement
+    behind every 'can we serve the 16-dim prefix and re-rank with the
+    full vector' storage/latency decision (matryoshka embeddings make
+    prefixes semantically meaningful; this eval is how you verify a
+    given corpus actually tolerates the cut).
+
+    Scale shape: the eval_ann_recall class — bounded probe set
+    broadcast against the corpus, per-probe top-10s as
+    WindowGroupLimit, truncation is a map-side array slice (no
+    re-embedding, no extra storage); the final join/count touches
+    probes x 10 rows of metadata. Determinism: every list ranks by
+    6-dp-rounded cosine with vec_id tiebreaks, identical CTE template
+    per dim on both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    p = e.filter(F.col("vec_id") < EVAL_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    base = e.crossJoin(F.broadcast(p)).filter(F.col("vec_id") != F.col("pid"))
+    w = Window.partitionBy("pid").orderBy(F.desc("sim"), "vec_id")
+
+    def toplist(dim: int | None) -> DataFrame:
+        xe, xp = F.col("embedding"), F.col("pv")
+        if dim is not None:
+            xe, xp = F.slice(xe, 1, dim), F.slice(xp, 1, dim)
+        return (
+            base.select(
+                "pid", "vec_id", F.round(cosine(xe, xp), 6).alias("sim")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("pid", "vec_id")
+        )
+
+    exact = toplist(None)
+    out = None
+    for d in MRL_DIMS:
+        h = (
+            exact.join(toplist(d), ["pid", "vec_id"])
+            .agg(
+                F.round(
+                    F.count(F.lit(1)) / float(EVAL_PROBES * 10), 6
+                ).alias("recall_at_10")
+            )
+            .select(F.lit(d).cast("int").alias("trunc_dim"), "recall_at_10")
+        )
+        out = h if out is None else out.unionByName(h)
+    return out.orderBy("trunc_dim")

@@ -338,3 +338,117 @@ def apply_mv_delta(mv_old: DataFrame, delta: DataFrame, c: DataFrame) -> DataFra
         "c_name",
         "c_mktsegment",
     )
+
+
+PIT_OFFSET_NS = 1_800_000_000_000  # probe 30 min after each source event
+
+
+@query(
+    "join_point_in_time",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+      WHERE user_id < 50
+    ),
+    changes AS (
+      SELECT * FROM ordered WHERE prev_type IS NULL OR prev_type != event_type
+    ),
+    versions AS (
+      SELECT user_id, event_type, ts_ns AS valid_from,
+             lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+               AS valid_to
+      FROM changes
+    ),
+    probes AS (
+      SELECT user_id, event_id AS probe_id,
+             epoch_ns(ts) + {PIT_OFFSET_NS} AS probe_ts
+      FROM events WHERE user_id < 50 AND event_id % 7 = 0
+    )
+    SELECT p.user_id, p.probe_id, p.probe_ts,
+           v.event_type AS type_at_ts, v.valid_from
+    FROM probes p
+    JOIN versions v
+      ON v.user_id = p.user_id
+     AND v.valid_from <= p.probe_ts
+     AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+    ORDER BY p.user_id, p.probe_id
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 version history (the
+    feature-store correctness join): for each probe (user, ts+30min,
+    every 7th event), the attribute version whose validity interval
+    [valid_from, valid_to) contains the probe timestamp — how
+    training-set assembly must read a versioned dimension to avoid
+    label leakage (joining is_current state instead leaks the
+    future). Versions come from the shared collapse_scd2 (never-fork
+    with scd2_intervals / stream_scd2_maintain).
+
+    Plan shape: the oracle states interval CONTAINMENT (what the
+    semantics ARE); the engine exploits that SCD2 intervals are
+    contiguous and half-open per user, so containment degenerates to
+    AS-OF — one union + one (user, t) sort + last(ignorenulls)
+    window, the join_asof discipline (ONE shuffle, no range
+    BroadcastNestedLoopJoin). Zero-length intervals (two changes at
+    one timestamp) match nothing in the oracle; the as-of tie order
+    (t, version-before-probe, valid_to NULLS LAST) picks the same
+    surviving version. At 100 TB both sides shuffle once on user and
+    the carried state is one version row per user."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .withColumn("ts_ns", ts_us_trunc())
+    )
+    versions = collapse_scd2(ev)
+    vs = versions.select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("is_probe"),
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    pr = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        (F.col("ts_ns") + F.lit(PIT_OFFSET_NS)).alias("t"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.col("event_id").alias("probe_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "t",
+            "is_probe",
+            F.col("valid_to").asc_nulls_last(),
+            "probe_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = vs.unionByName(pr).select(
+        "user_id",
+        "t",
+        "is_probe",
+        "probe_id",
+        F.last("event_type", ignorenulls=True).over(w).alias("type_at_ts"),
+        F.last("valid_from", ignorenulls=True).over(w).alias("valid_from"),
+    )
+    return (
+        merged.filter(
+            (F.col("is_probe") == 1) & F.col("type_at_ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "probe_id",
+            F.col("t").alias("probe_ts"),
+            "type_at_ts",
+            "valid_from",
+        )
+        .orderBy("user_id", "probe_id")
+    )

@@ -1620,6 +1620,47 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LP_ROUNDS = 4
 
+# Symmetric edge list of the bipartite customer↔supplier trade graph —
+# ONE text shared by every oracle over this graph (label propagation,
+# BFS distance): like _COPURCHASE_E_CTE, metric oracles can disagree
+# on the metric, never on the graph being measured.
+_TRADE_EDGES_CTE = """pairs AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL SELECT s AS src, c AS dst FROM pairs
+    )"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_TRADE_EDGES_CTE``: symmetric (src, dst)
+    edges of the customer↔supplier trade graph, shared by
+    graph_label_propagation and graph_bfs_distance."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    # Symmetrize by exploding both directions from ONE pass instead of
+    # a self-union: iterative consumers (label propagation, BFS) embed
+    # this relation once per round, so a union here would double every
+    # round's scan count (the k-core plan audit caught exactly that).
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("z")
+    ).select("z.src", "z.dst")
+
 
 def _lp_oracle() -> str:
     """Unrolled synchronized label-propagation CTE chain generated
@@ -1647,15 +1688,8 @@ def _lp_oracle() -> str:
       WHERE node NOT IN (SELECT node FROM seeds)
     )""")
     return (
-        """
-    WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    edges AS MATERIALIZED (
-      SELECT c AS src, s AS dst FROM pairs
-      UNION ALL SELECT s AS src, c AS dst FROM pairs
-    ),
+        f"""
+    WITH {_TRADE_EDGES_CTE},
     seeds AS MATERIALIZED (
       SELECT 'c' || c_custkey AS node, CAST(c_nationkey AS INT) AS label
       FROM customer WHERE c_custkey % 20 = 0
@@ -1688,20 +1722,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a WindowGroupLimit argmax — the pagerank cost model (K edge-
     sized shuffles; persist the edge relation at scale, salt skewed
     hubs); unlabeled nodes simply stay absent, no sentinel rows."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    edges = _trade_edges(spark, sf_dir)
     seeds = (
         c.filter(F.col("c_custkey") % 20 == 0)
         .select(
@@ -1839,4 +1861,423 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("src", "dst", "common_nbrs", "jaccard", "rank")
         .orderBy("src", "rank")
+    )
+
+
+# --------------------------------------------------------- k-core peeling
+
+KCORE_K = 2       # minimum within-core degree
+KCORE_ROUNDS = 6  # synchronized peel rounds (fixpoint at every test SF)
+
+# Repeat-co-purchase graph: part pairs sharing >= 2 DISTINCT orders —
+# the weight-thresholded sibling of _COPURCHASE_E_CTE (the unweighted
+# graph has min degree 42 at sf0.01, so every node is in every
+# reasonable core; the repeat graph is sparse enough to peel). ONE
+# text so any future metric over this graph measures the same edges.
+_REPEAT_E_CTE = """re AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+    ),
+    rsym AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM re
+      UNION ALL SELECT v AS node, u AS nbr FROM re
+    )"""
+
+
+def _repeat_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_REPEAT_E_CTE``: symmetric (node, nbr) edges
+    of the repeat-co-purchase graph."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("no"))
+        .filter(F.col("no") >= 2)
+        .select("u", "v")
+    )
+    # explode-symmetrized for the same per-round scan-count reason as
+    # _trade_edges (the peel loop embeds this relation once per round)
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("node"), F.col("v").alias("nbr")),
+                F.struct(F.col("v").alias("node"), F.col("u").alias("nbr")),
+            )
+        ).alias("z")
+    ).select("z.node", "z.nbr")
+
+
+def _kcore_oracle() -> str:
+    """Unrolled synchronized peel rounds generated from the same round
+    template the Spark loop runs (the pagerank/LP never-fork pattern):
+    a{i} = nodes with >= k neighbors in a{i-1}."""
+    rounds = []
+    for t in range(1, KCORE_ROUNDS):
+        rounds.append(f""",
+    a{t} AS MATERIALIZED (
+      SELECT e.node FROM rsym e JOIN a{t - 1} x ON x.node = e.nbr
+      GROUP BY e.node HAVING COUNT(*) >= {KCORE_K}
+    )""")
+    return (
+        f"""
+    WITH {_REPEAT_E_CTE},
+    a0 AS MATERIALIZED (SELECT DISTINCT node FROM rsym)"""
+        + "".join(rounds)
+        + f"""
+    SELECT e.node AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM rsym e JOIN a{KCORE_ROUNDS - 1} x ON x.node = e.nbr
+    GROUP BY e.node HAVING COUNT(*) >= {KCORE_K}
+    ORDER BY part
+    """
+    )
+
+
+@query("graph_k_core", _kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) of the repeat-co-purchase graph —
+    the standard dense-substructure / influence-floor primitive (a
+    node is in the k-core iff it has >= k neighbors that are
+    themselves in the k-core): parts that keep being bought together
+    with at least two other repeat partners, after all incidental
+    pairings are peeled away. Emits (part, within-core degree).
+
+    The peel loop exploits monotonicity: alive sets only shrink, so a
+    node dropped in round i can never re-qualify — each round is just
+    ``alive = nodes with >= k alive neighbors``, referencing the
+    previous round ONCE (linear plan growth, the pagerank lineage
+    discipline; the naive formulation that also semi-joins the node
+    side doubles the subtree per round into the MMR 2^k blowup).
+    KCORE_ROUNDS=6 reaches the peeling fixpoint at every test SF
+    (asserted against a run-to-convergence reference in pytest);
+    extra rounds past the fixpoint are no-ops by the same
+    monotonicity. The reported degree is the FINAL round's qualifying
+    count (neighbors in round R-1's alive set), which at the fixpoint
+    IS the within-core degree — reporting it directly keeps the whole
+    chain single-reference instead of re-joining the core against
+    itself (which doubled the final plan in the first cut: 62 scans
+    of lineitem; now ~R+2, pinned in test_plans). Scale shape: K
+    edge-sized count shuffles after one weighted-edge derivation —
+    persist the edge relation at scale. Determinism: integer degree
+    thresholds only, no floats anywhere."""
+    sym = _repeat_sym_edges(spark, sf_dir)
+    alive = sym.select("node").distinct()
+    for _ in range(KCORE_ROUNDS - 1):
+        a = alive.select(F.col("node").alias("anode"))
+        alive = (
+            sym.join(a, F.col("nbr") == F.col("anode"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("node")
+        )
+    a = alive.select(F.col("node").alias("anode"))
+    return (
+        sym.join(a, F.col("nbr") == F.col("anode"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter(F.col("core_deg") >= KCORE_K)
+        .select(F.col("node").alias("part"), "core_deg")
+        .orderBy("part")
+    )
+
+
+# ------------------------------------------------- multi-source BFS levels
+
+BFS_ROUNDS = 4  # expansion rounds => exact distances 0..4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled frontier-expansion chain from the same round template
+    the Spark loop runs: e{i} = distinct neighbors of e{i-1}; the
+    final group-min over all levels recovers exact BFS distance (see
+    the bipartite-parity argument in graph_bfs_distance)."""
+    rounds = []
+    for t in range(1, BFS_ROUNDS + 1):
+        rounds.append(f""",
+    e{t} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN e{t - 1} f
+        ON f.node = e.src
+    )""")
+    levels = "\n      UNION ALL ".join(
+        f"SELECT node, {t} AS d FROM e{t}" for t in range(BFS_ROUNDS + 1)
+    )
+    return (
+        f"""
+    WITH {_TRADE_EDGES_CTE},
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || c_custkey AS node
+      FROM customer WHERE c_custkey % 50 = 0
+    )"""
+        + "".join(rounds)
+        + f"""
+    SELECT node, CAST(MIN(d) AS INT) AS dist
+    FROM ({levels})
+    GROUP BY node
+    ORDER BY node
+    """
+    )
+
+
+@query("graph_bfs_distance", _bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distance over the bipartite customer↔supplier
+    trade graph — hop count from the nearest seed customer (every
+    50th), the blast-radius / nearest-hub primitive behind fraud
+    proximity scores and supply-chain exposure maps.
+
+    The loop is pure frontier expansion: e_i = N(e_{i-1}), each round
+    referencing the previous level ONCE (no union with the reached
+    set inside the loop — that double reference is the MMR 2^k plan
+    blowup); the final group-min over all levels recovers exact
+    distance because the graph is BIPARTITE: sources are all c-side,
+    so a node's appearances in the level chain alternate parity and
+    its FIRST appearance is at exactly its BFS distance (a dist-d
+    node is in e_d, and cannot be in any earlier e_i since e_i only
+    holds nodes with a length-i walk from a source, which parity
+    forbids for i < d of the other parity and minimality forbids for
+    same-parity i < d). BFS_ROUNDS=4 spans the graph at every test SF
+    (checked against a run-to-convergence reference in pytest).
+    Scale shape: K edge-sized equi-join shuffles, distinct per level
+    for frontier dedup — the pagerank cost model. Determinism:
+    integer MIN only."""
+    edges = _trade_edges(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    level = (
+        c.filter(F.col("c_custkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    levels = [level.select("node", F.lit(0).alias("d"))]
+    for t in range(1, BFS_ROUNDS + 1):
+        level = (
+            edges.join(level.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(level.select("node", F.lit(t).alias("d")))
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionByName(lv)
+    return (
+        allv.groupBy("node")
+        .agg(F.min("d").cast("int").alias("dist"))
+        .orderBy("node")
+    )
+
+
+# ----------------------------------------------------------- t-closeness
+
+T_CLOSE_K = 5      # group-size floor shared with the k-suppress family
+T_CLOSE_T = 0.28   # max total-variation distance to the global table
+
+
+@query(
+    "anonymize_t_closeness",
+    f"""
+    WITH buckets AS (
+      SELECT c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             c_nationkey
+      FROM customer
+    ),
+    overall AS (
+      SELECT c_nationkey,
+             COUNT(*) * 1.0 / (SELECT COUNT(*) FROM buckets) AS p
+      FROM buckets GROUP BY 1
+    ),
+    grp AS (
+      SELECT c_mktsegment, bal_bucket, c_nationkey, COUNT(*) * 1.0 AS c
+      FROM buckets GROUP BY 1, 2, 3
+    ),
+    gn AS (
+      SELECT c_mktsegment, bal_bucket, c, c_nationkey,
+             SUM(c) OVER (PARTITION BY c_mktsegment, bal_bucket) AS n
+      FROM grp
+    )
+    SELECT g.c_mktsegment, g.bal_bucket, CAST(MAX(g.n) AS BIGINT) AS n,
+           ROUND(0.5 * (SUM(ABS(g.c / g.n - o.p)) + 1 - SUM(o.p)), 6)
+             AS tvd,
+           (MAX(g.n) >= {T_CLOSE_K}
+            AND 0.5 * (SUM(ABS(g.c / g.n - o.p)) + 1 - SUM(o.p))
+                <= {T_CLOSE_T}) AS releasable
+    FROM gn g JOIN overall o ON o.c_nationkey = g.c_nationkey
+    GROUP BY 1, 2
+    ORDER BY c_mktsegment, bal_bucket
+    """,
+)
+def anonymize_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the k-anonymity release (same QI buckets
+    as anonymize_k_suppress / anonymize_l_diversity — never-fork the
+    quasi-identifier scheme): per (segment, balance-bucket) group, the
+    TOTAL VARIATION DISTANCE between the group's sensitive-attribute
+    (nation) distribution and the whole table's, with the release
+    verdict n >= k AND tvd <= t. l-diversity counts distinct sensitive
+    values; t-closeness is the stronger guard it escalates to — a
+    group can be 3-diverse yet still leak via a SKEWED distribution
+    (the skewness attack), which TVD catches.
+
+    The absent-category trick keeps the distance computation on
+    PRESENT categories only: TVD = ½(Σ_present |p_g - p| + (1 -
+    Σ_present p)) — the absent categories' |0 - p| mass is exactly
+    the complement of the present global mass, so no dense
+    group×category grid is ever materialized (at 100 TB with
+    high-cardinality sensitive values, the dense grid is the thing
+    that doesn't scale; this stays linear in observed (group,
+    value) pairs). Global frequencies are a |values|-sized broadcast.
+    Determinism: counts are integers, one rounded division chain per
+    present pair, 6-dp on both engines."""
+    c = load(spark, sf_dir, "customer")
+    b = c.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
+        "c_nationkey",
+    )
+    n_total = b.count()  # 1 scalar: table size for global frequencies
+    overall = b.groupBy("c_nationkey").agg(
+        (F.count(F.lit(1)) / F.lit(float(n_total))).alias("p")
+    )
+    grp = b.groupBy("c_mktsegment", "bal_bucket", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    wg = Window.partitionBy("c_mktsegment", "bal_bucket")
+    gn = grp.withColumn("n", F.sum("c").over(wg))
+    tvd = 0.5 * (
+        F.sum(F.abs(F.col("c") / F.col("n") - F.col("p")))
+        + 1
+        - F.sum("p")
+    )
+    return (
+        gn.join(F.broadcast(overall), "c_nationkey")
+        .groupBy("c_mktsegment", "bal_bucket")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(tvd, 6).alias("tvd"),
+            (
+                (F.max("n") >= T_CLOSE_K) & (tvd <= T_CLOSE_T)
+            ).alias("releasable"),
+        )
+        .orderBy("c_mktsegment", "bal_bucket")
+    )
+
+
+# ----------------------------------------------- seasonal decomposition
+
+SD_HALF = 12  # centered moving-average half-width => 25-hour trend window
+
+
+@query(
+    "ts_seasonal_decompose",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+             ROUND(AVG(value), 6) AS hourly_mean
+      FROM events GROUP BY event_type, hour_idx
+    ),
+    tr AS (
+      SELECT event_type, hour_idx, hourly_mean,
+             CASE WHEN COUNT(*) OVER w = {2 * SD_HALF + 1}
+                  THEN ROUND(AVG(hourly_mean) OVER w, 6) END AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                   ROWS BETWEEN {SD_HALF} PRECEDING AND {SD_HALF} FOLLOWING)
+    ),
+    se AS (
+      SELECT event_type, hour_idx % 24 AS hod,
+             ROUND(AVG(hourly_mean - trend), 6) AS seasonal
+      FROM tr WHERE trend IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT t.event_type, CAST(t.hour_idx AS BIGINT) AS hour_idx,
+           t.hourly_mean, t.trend, s.seasonal,
+           ROUND(t.hourly_mean - t.trend - s.seasonal, 6) AS resid
+    FROM tr t
+    LEFT JOIN se s ON s.event_type = t.event_type
+                  AND s.hod = t.hour_idx % 24
+    ORDER BY t.event_type, hour_idx
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each metric's
+    hourly series — value = trend + seasonal + residual, the
+    monitoring primitive behind 'is this dip real or just 3 AM':
+    trend is a centered 25-hour moving average (NULL at the series
+    edges where the window is partial), the seasonal index is the
+    mean DETRENDED value per hour-of-day, and the residual is what
+    anomaly detectors should actually alarm on (ts_anomaly_zscore
+    over resid instead of raw value stops the every-morning page).
+
+    Scale shape: one row-proportional hourly rollup, then every pass
+    runs on the rolled-up (type, hour) grid — the trend window, the
+    24-group seasonal agg, and the final broadcast-sized join are all
+    grid-sized, never corpus-sized. Determinism: hourly means round
+    to 6 dp BEFORE the trend window; trend and seasonal round before
+    the residual subtraction, so both engines difference identical
+    6-dp values (the resample_1h_gapfill discipline). The row-frame
+    trend assumes the observed grid is gap-free per type (true for
+    this fixture; production composes resample_1h_gapfill first)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.round(F.avg("value"), 6).alias("hourly_mean"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-SD_HALF, SD_HALF)
+    )
+    tr = hourly.select(
+        "event_type",
+        "hour_idx",
+        "hourly_mean",
+        F.when(
+            F.count(F.lit(1)).over(w) == 2 * SD_HALF + 1,
+            F.round(F.avg("hourly_mean").over(w), 6),
+        ).alias("trend"),
+    )
+    se = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("se_type"),
+            (F.col("hour_idx") % 24).alias("hod"),
+        )
+        .agg(
+            F.round(F.avg(F.col("hourly_mean") - F.col("trend")), 6).alias(
+                "seasonal"
+            )
+        )
+    )
+    return (
+        tr.join(
+            F.broadcast(se),
+            (tr["event_type"] == se["se_type"])
+            & (se["hod"] == tr["hour_idx"] % 24),
+            "left",
+        )
+        .select(
+            tr["event_type"],
+            F.col("hour_idx").cast("bigint").alias("hour_idx"),
+            "hourly_mean",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("hourly_mean") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+        .orderBy("event_type", "hour_idx")
     )

@@ -592,16 +592,37 @@ def mlprep_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "eval_calibration_bins",
-    """
-    WITH scored AS (
+# The deterministic (score, label) projection shared VERBATIM by every
+# classifier-eval oracle (calibration bins, ROC AUC, PR AUC): a 6-dp
+# logistic stand-in over o_totalprice, an order-priority indicator
+# label. ONE text (never-fork) so the evals can disagree on the metric,
+# never on the scored frame being measured.
+EVAL_SCORED_CTE = """scored AS (
       SELECT ROUND(1.0 / (1.0 + EXP(-(o_totalprice - 150000.0) / 50000.0)), 6)
                AS score,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                   THEN 1 ELSE 0 END AS label
       FROM orders
+    )"""
+
+
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``EVAL_SCORED_CTE`` — the shared (score, label)
+    frame for eval_calibration_bins / eval_auc_roc / eval_pr_auc."""
+    o = load(spark, sf_dir, "orders")
+    score = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - 150000.0) / 50000.0)), 6
     )
+    label = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return o.select(score.alias("score"), label.alias("label"))
+
+
+@query(
+    "eval_calibration_bins",
+    f"""
+    WITH {EVAL_SCORED_CTE}
     SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(AVG(score), 6) AS mean_score,
@@ -630,14 +651,7 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is 6-dp-rounded BEFORE binning in both engines, so bin
     membership compares on the same 1e-6 grid (libm-vs-JVM exp ulp
     noise cannot flip a bin)."""
-    o = load(spark, sf_dir, "orders")
-    score = F.round(
-        1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - 150000.0) / 50000.0)), 6
-    )
-    label = F.when(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-    ).otherwise(0)
-    s = o.select(score.alias("score"), label.alias("label"))
+    s = _eval_scored(spark, sf_dir)
     return (
         s.groupBy(
             F.least(F.floor(F.col("score") * 10), F.lit(9))
@@ -654,3 +668,227 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "eval_auc_roc",
+    f"""
+    WITH {EVAL_SCORED_CTE},
+    pv AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM scored GROUP BY score
+    ),
+    mr AS (
+      SELECT n_all, n_pos,
+             SUM(n_all) OVER (ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_all AS n_less
+      FROM pv
+    ),
+    s AS (
+      SELECT SUM(n_pos) AS p, SUM(n_all - n_pos) AS neg,
+             SUM(n_pos * (2 * n_less + n_all + 1)) AS r2
+      FROM mr
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+           ROUND((CAST(r2 AS DOUBLE) - CAST(p AS DOUBLE) * (p + 1))
+                 / (2.0 * p * neg), 6) AS auc_roc,
+           ROUND((CAST(r2 AS DOUBLE) - CAST(p AS DOUBLE) * (p + 1))
+                 / (1.0 * p * neg) - 1.0, 6) AS gini
+    FROM s
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the shared (score, label) eval frame via the
+    rank-statistic identity AUC = (R⁺ - P(P+1)/2) / (P·N) with
+    average ranks for ties (exactly Mann-Whitney U normalized — the
+    probability a random positive outscores a random negative), plus
+    the Gini coefficient 2·AUC - 1. The standard threshold-free
+    classifier eval next to eval_calibration_bins (which measures
+    calibration; AUC measures discrimination — here ~0.509, price
+    barely predicts priority, which is the point of the fixture).
+
+    Scale shape: the agg_mann_whitney compressed-domain discipline —
+    group by DISTINCT score first (row-proportional partial agg), so
+    the ordered cumulative pass runs over the distinct-value frame,
+    never the corpus. Determinism: doubled-rank arithmetic keeps
+    every aggregate INTEGER (2·rank-sum avoids the ±0.5 tie term) —
+    the only float op is the final division, rounded to 6 dp on both
+    engines."""
+    s = _eval_scored(spark, sf_dir)
+    pv = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("label").alias("n_pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    mr = pv.select(
+        "n_all",
+        "n_pos",
+        (F.sum("n_all").over(w) - F.col("n_all")).alias("n_less"),
+    )
+    agg = mr.agg(
+        F.sum("n_pos").alias("p"),
+        F.sum(F.col("n_all") - F.col("n_pos")).alias("neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("n_less") + F.col("n_all") + 1)
+        ).alias("r2"),
+    )
+    p, neg, r2 = F.col("p"), F.col("neg"), F.col("r2")
+    auc = (r2.cast("double") - p.cast("double") * (p + 1)) / (2.0 * p * neg)
+    return agg.select(
+        p.cast("bigint").alias("n_pos"),
+        neg.cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc_roc"),
+        F.round(auc * 2.0 - 1.0, 6).alias("gini"),
+    )
+
+
+@query(
+    "eval_pr_auc",
+    f"""
+    WITH {EVAL_SCORED_CTE},
+    pv AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM scored GROUP BY score
+    ),
+    mr AS (
+      SELECT n_pos,
+             SUM(n_all) OVER (ORDER BY score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n,
+             SUM(n_pos) OVER (ORDER BY score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos
+      FROM pv
+    ),
+    tot AS (SELECT SUM(n_pos) AS p FROM pv)
+    SELECT CAST(tot.p AS BIGINT) AS n_pos,
+           ROUND(SUM((CAST(n_pos AS DOUBLE) / tot.p)
+                     * (CAST(cum_pos AS DOUBLE) / cum_n)), 6) AS pr_auc
+    FROM mr CROSS JOIN tot
+    GROUP BY tot.p
+    """,
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve with
+    step interpolation) of the shared (score, label) eval frame —
+    the eval of record for imbalanced retrieval/classification, where
+    ROC AUC flatters (here AP ~0.408 against a ~0.4 base rate: the
+    score adds almost nothing, matching AUC ~0.509). Defined over
+    DISTINCT score thresholds (ties form one block), so it is
+    total-order-free: AP = Σ_t ΔR(t) · P(t) with ΔR = block
+    positives / P and P(t) = cumulative precision at the threshold.
+
+    Scale shape: same compressed-domain pass as eval_auc_roc — one
+    corpus-proportional groupBy(score), then cumulative windows over
+    the distinct-score frame only. Determinism: cumulative counts are
+    exact integers; the per-threshold terms are double products
+    summed once and rounded 6 dp (the agg-of-doubles class every
+    power-sum oracle here already accepts)."""
+    s = _eval_scored(spark, sf_dir)
+    pv = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("label").alias("n_pos"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mr = pv.select(
+        "n_pos",
+        F.sum("n_all").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    )
+    tot = mr.agg(F.sum("n_pos").alias("p"))
+    return (
+        mr.crossJoin(F.broadcast(tot))
+        .groupBy("p")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n_pos").cast("double") / F.col("p"))
+                    * (F.col("cum_pos").cast("double") / F.col("cum_n"))
+                ),
+                6,
+            ).alias("pr_auc")
+        )
+        .select(F.col("p").cast("bigint").alias("n_pos"), "pr_auc")
+    )
+
+
+EVAL_THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+def _confusion_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t!r} AS DOUBLE) AS threshold" for t in EVAL_THRESHOLDS
+    )
+    return f"""
+    WITH {EVAL_SCORED_CTE},
+    th AS ({rows}),
+    cm AS (
+      SELECT th.threshold,
+             SUM(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN score >= threshold AND label = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN score <  threshold AND label = 1 THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN score <  threshold AND label = 0 THEN 1 ELSE 0 END) AS tn
+      FROM scored CROSS JOIN th
+      GROUP BY th.threshold
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           ROUND(tp * 1.0 / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(tp * 1.0 / NULLIF(tp + fn, 0), 6) AS recall,
+           ROUND(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1,
+           ROUND((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cm
+    ORDER BY threshold
+    """
+
+
+@query("eval_threshold_confusion", _confusion_oracle())
+def eval_threshold_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrices and the derived operating-point metrics
+    (precision / recall / F1 / accuracy) of the shared (score, label)
+    eval frame at three decision thresholds — the last member of the
+    classifier-eval family: calibration (bins), discrimination (ROC /
+    PR AUC), and now the deployable operating points a threshold
+    choice actually ships. F1 uses the 2tp/(2tp+fp+fn) form so a
+    zero-division can only occur when the slice is empty of
+    predictions AND positives (NULL then, on both engines).
+
+    Scale shape: one map-only cross join against a 3-row literal
+    threshold table, aggregated into 3 groups x 4 integer counters —
+    the eval_calibration_bins class; the shuffle carries 12 numbers
+    regardless of corpus size. Determinism: integer counts, one
+    rounded division per metric."""
+    s = _eval_scored(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(float(t),) for t in EVAL_THRESHOLDS], "threshold double"
+    )
+    pred = F.col("score") >= F.col("threshold")
+    cm = (
+        s.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum((pred & (F.col("label") == 1)).cast("long")).alias("tp"),
+            F.sum((pred & (F.col("label") == 0)).cast("long")).alias("fp"),
+            F.sum((~pred & (F.col("label") == 1)).cast("long")).alias("fn"),
+            F.sum((~pred & (F.col("label") == 0)).cast("long")).alias("tn"),
+        )
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "threshold",
+        tp,
+        fp,
+        fn,
+        tn,
+        F.round(tp / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+        F.round(2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6).alias(
+            "f1"
+        ),
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+    ).orderBy("threshold")

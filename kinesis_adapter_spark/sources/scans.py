@@ -449,7 +449,7 @@ def scan_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.schema(schema).json(str(path)).cache()
     good = df.filter(F.col("_corrupt_record").isNull())
     bad = df.filter(F.col("_corrupt_record").isNotNull())
-    return (
+    plan = (
         good.agg(
             F.count(F.lit(1)).alias("n_good"),
             F.count_distinct("user_id").alias("n_users"),
@@ -457,6 +457,14 @@ def scan_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(bad.agg(F.count(F.lit(1)).alias("n_corrupt")))
         .select("n_good", "n_corrupt", "n_users")
     )
+    # 1-row result: materialize and release the split cache before
+    # returning (cache-hygiene rule — a returned lazy frame cannot own
+    # a persist; this was the last lingering cache in the engine)
+    try:
+        rows = plan.collect()
+    finally:
+        df.unpersist()
+    return spark.createDataFrame(rows, plan.schema)
 
 
 def ensure_parquet_evolving(sf_dir: str) -> Path:

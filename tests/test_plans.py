@@ -356,10 +356,21 @@ def test_q21_correlation_pair_plans_as_semi_plus_anti(spark):
         assert "InMemoryTableScan" in final, final[:3000]
     finally:
         late.unpersist()
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        it = m.keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persistent_ids()
     QUERIES["q21_waiting_supplier"](spark, SF_TEST)
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before, (before, after)
+    # delta on ids, not counts: unrelated localCheckpoint entries from
+    # earlier tests are removed asynchronously by the ContextCleaner,
+    # so a count comparison is flaky in a full-suite run
+    leaked = persistent_ids() - before
+    assert not leaked, leaked
 
 
 def test_ivf_probe_reads_only_nprobe_partitions(spark):
@@ -952,3 +963,60 @@ def test_ivfpq_prunes_partitions_then_broadcast_adc(spark):
     assert "SortMergeJoin" not in final, final[:3000]
     assert "Exchange hashpartitioning" not in final, final[:3000]
     assert "TakeOrderedAndProject" in final, final[:3000]
+
+
+def test_kcore_rounds_grow_plan_linearly(spark):
+    """graph_k_core's peel rounds reference the previous alive set
+    ONCE each, so the executed plan embeds the lineitem-derived edge
+    relation O(R) times — not 2^R (the MMR lazy-chain blowup class).
+    A double-reference regression (e.g. adding a node-side semi join
+    back) trips this immediately: 6 rounds would jump ~8 -> ~64
+    scans."""
+    from kinesis_adapter_spark.operators.insights import KCORE_ROUNDS
+
+    plan = plan_of(spark, "graph_k_core", executed=True)
+    n_scans = plan.count("lineitem.parquet")
+    # each round embeds the edge relation once; the relation itself is
+    # a 2-scan self-join, so linear growth is <= 2 scans per round
+    # (the first cut's core-vs-itself final join read 62)
+    assert 1 <= n_scans <= 2 * KCORE_ROUNDS + 4, n_scans
+
+
+def test_bfs_levels_grow_plan_linearly(spark):
+    """graph_bfs_distance: each expansion level references the
+    previous level once and the final union once — polynomial plan
+    growth, never exponential. Same anti-blowup pin as k-core."""
+    from kinesis_adapter_spark.operators.insights import BFS_ROUNDS
+
+    plan = plan_of(spark, "graph_bfs_distance", executed=True)
+    n_scans = plan.count("lineitem.parquet")
+    # level e_i's subtree appears (R - i + 1) times (once per deeper
+    # level plus once in the final union) and the explode-symmetrized
+    # edge relation costs ONE lineitem scan per embedding => at most
+    # R(R+1)/2 scans — quadratic in the (tiny) round count, never
+    # exponential
+    bound = BFS_ROUNDS * (BFS_ROUNDS + 1) // 2 + 3
+    assert 1 <= n_scans <= bound, n_scans
+
+
+def test_tclose_and_decompose_bounded_sides_broadcast(spark):
+    """anonymize_t_closeness's global-frequency table (|nations| rows)
+    and ts_seasonal_decompose's seasonal index (types x 24 rows) must
+    join as broadcasts — at 100 TB these are the model-metadata sides;
+    a silent flip to a shuffle join would re-shuffle the corpus-
+    or grid-sized left side on a 25-row key."""
+    for key in ("anonymize_t_closeness", "ts_seasonal_decompose"):
+        plan = plan_of(spark, key, executed=True)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, (key, final[:2000])
+
+
+def test_point_in_time_join_is_asof_not_range_join(spark):
+    """join_point_in_time must plan as the as-of shape (union + one
+    keyed sort window), never as a range-predicate join — Spark plans
+    interval containment as BroadcastNestedLoopJoin, which is
+    O(probes x versions) per user at 100 TB."""
+    plan = plan_of(spark, "join_point_in_time", executed=True)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

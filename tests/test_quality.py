@@ -1382,6 +1382,15 @@ def test_rag_pipeline_matches_python_composition(spark):
             if best is None or key < best[0]:
                 best = (key, c)
         sel.append(best[1])
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        it = m.keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persistent_ids()
     got = [
         (r["mmr_rank"], r["doc_id"], r["rrf_score"])
         for r in QUERIES["pipeline_rag_retrieval"](spark, SF_TEST).collect()
@@ -1390,9 +1399,13 @@ def test_rag_pipeline_matches_python_composition(spark):
     # VERDICT r8 item #5: a long-lived session must not accumulate
     # cached blocks across invocations — mmr_select releases its pool
     # and pair caches in a finally, and the fused list is localized
-    # (bounded collect) instead of persisted. Nothing may linger.
-    leftover = spark.sparkContext._jsc.getPersistentRDDs()
-    assert leftover.size() == 0, f"{leftover.size()} persisted RDDs leaked"
+    # (bounded collect) instead of persisted. The check is DELTA-based
+    # (no new ids after the call): earlier tests' localCheckpoint
+    # entries legitimately linger until driver GC, and the async
+    # ContextCleaner may remove them mid-test, so absolute counts and
+    # size-equality are both flaky.
+    leaked = persistent_ids() - before
+    assert not leaked, f"pipeline_rag_retrieval leaked RDD ids {leaked}"
 
 
 def test_kmv_intersect_error_bound_and_small_range(spark):
@@ -1650,3 +1663,350 @@ def test_calibration_bins_matches_pure_python(spark):
     }
     assert got == ref
     assert sum(v[0] for v in got.values()) == len(rows)
+
+
+def test_kcore_matches_run_to_convergence_reference(spark):
+    """graph_k_core against a from-scratch python peel run TO
+    CONVERGENCE (not to KCORE_ROUNDS) — proves the fixed round count
+    reaches the true k-core fixpoint at this SF, and that the
+    monotone single-reference round (nodes with >= k alive neighbors)
+    computes the same core and within-core degrees."""
+    import collections
+
+    from kinesis_adapter_spark.operators.insights import (
+        KCORE_K,
+        _repeat_sym_edges,
+    )
+
+    adj = collections.defaultdict(set)
+    for r in _repeat_sym_edges(spark, SF_TEST).collect():
+        adj[r["node"]].add(r["nbr"])
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    ref = sorted((n, len(adj[n] & alive)) for n in alive)
+    got = [
+        (r["part"], r["core_deg"])
+        for r in QUERIES["graph_k_core"](spark, SF_TEST).collect()
+    ]
+    assert got == ref, (len(got), len(ref))
+    assert alive, "degenerate fixture: empty core proves nothing"
+
+
+def test_bfs_distance_matches_python_bfs(spark):
+    """graph_bfs_distance against a queue BFS on the collected trade
+    graph — pins the frontier/level recombination (group-min over
+    expansion levels) to textbook BFS, and that BFS_ROUNDS covers the
+    whole reachable set at this SF."""
+    import collections
+
+    from kinesis_adapter_spark.operators.insights import (
+        BFS_ROUNDS,
+        _trade_edges,
+    )
+
+    adj = collections.defaultdict(set)
+    for r in _trade_edges(spark, SF_TEST).collect():
+        adj[r["src"]].add(r["dst"])
+    src = {
+        f"c{r['c_custkey']}"
+        for r in spark.read.parquet(f"{SF_TEST}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+        if r["c_custkey"] % 50 == 0
+    }
+    dist = {s: 0 for s in src}
+    frontier = set(src)
+    d = 0
+    while frontier:
+        d += 1
+        frontier = {
+            v for u in frontier for v in adj[u] if v not in dist
+        }
+        for v in frontier:
+            dist[v] = d
+    assert d - 1 <= BFS_ROUNDS, "BFS_ROUNDS no longer spans the graph"
+    got = {
+        r["node"]: r["dist"]
+        for r in QUERIES["graph_bfs_distance"](spark, SF_TEST).collect()
+    }
+    assert got == dist
+
+
+def test_auc_roc_matches_python_rank_formula(spark):
+    """eval_auc_roc against a pure-python average-rank AUC on the
+    collected (score, label) frame — pins the doubled-rank integer
+    arithmetic and the tie handling to the textbook Mann-Whitney
+    identity."""
+    from kinesis_adapter_spark.operators.mlprep import _eval_scored
+
+    rows = [(r["score"], r["label"]) for r in _eval_scored(spark, SF_TEST).collect()]
+    rows.sort()
+    # average rank per tie group (1-based)
+    ranks = {}
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j][0] == rows[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2  # mean of ranks i+1 .. j
+        ranks[rows[i][0]] = avg
+        i = j
+    p = sum(lb for _, lb in rows)
+    n = len(rows) - p
+    r_pos = sum(ranks[s] for s, lb in rows if lb == 1)
+    auc = (r_pos - p * (p + 1) / 2) / (p * n)
+    got = QUERIES["eval_auc_roc"](spark, SF_TEST).collect()[0]
+    assert got["n_pos"] == p and got["n_neg"] == n
+    assert got["auc_roc"] == round(auc, 6)
+    assert got["gini"] == round(2 * auc - 1, 6)
+
+
+def test_pr_auc_matches_python_threshold_blocks(spark):
+    """eval_pr_auc against a pure-python threshold-block average
+    precision (ties form one block; AP = sum block_recall *
+    cumulative precision) on the collected frame."""
+    import collections
+
+    from kinesis_adapter_spark.operators.mlprep import _eval_scored
+
+    agg = collections.Counter()
+    pos = collections.Counter()
+    for r in _eval_scored(spark, SF_TEST).collect():
+        agg[r["score"]] += 1
+        pos[r["score"]] += r["label"]
+    p = sum(pos.values())
+    cum_n = cum_pos = 0
+    ap = 0.0
+    for s in sorted(agg, reverse=True):
+        cum_n += agg[s]
+        cum_pos += pos[s]
+        ap += (pos[s] / p) * (cum_pos / cum_n)
+    got = QUERIES["eval_pr_auc"](spark, SF_TEST).collect()[0]
+    assert got["n_pos"] == p
+    assert abs(got["pr_auc"] - ap) < 2e-6, (got["pr_auc"], ap)
+
+
+def test_t_closeness_matches_dense_python_tvd(spark):
+    """anonymize_t_closeness against the DENSE-grid python TVD
+    (0.5 * sum over ALL categories of |p_group - p_global|, absent
+    categories included) — proves the present-categories-only
+    complement trick computes the same distance."""
+    import collections
+
+    from kinesis_adapter_spark.operators.insights import (
+        T_CLOSE_K,
+        T_CLOSE_T,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/customer.parquet")
+        .select("c_mktsegment", "c_acctbal", "c_nationkey")
+        .collect()
+    )
+    total = collections.Counter()
+    groups = collections.defaultdict(collections.Counter)
+    for r in rows:
+        g = (r["c_mktsegment"], int(r["c_acctbal"] // 2000))
+        total[r["c_nationkey"]] += 1
+        groups[g][r["c_nationkey"]] += 1
+    nt = sum(total.values())
+    ref = {}
+    for g, cnt in groups.items():
+        ng = sum(cnt.values())
+        tvd = 0.5 * sum(
+            abs(cnt.get(v, 0) / ng - c / nt) for v, c in total.items()
+        )
+        ref[g] = (ng, round(tvd, 6), ng >= T_CLOSE_K and tvd <= T_CLOSE_T)
+    got = {
+        (r["c_mktsegment"], r["bal_bucket"]): (
+            r["n"],
+            r["tvd"],
+            r["releasable"],
+        )
+        for r in QUERIES["anonymize_t_closeness"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(ref)
+    for g in ref:
+        assert got[g][0] == ref[g][0], g
+        assert abs(got[g][1] - ref[g][1]) <= 1e-6, (g, got[g], ref[g])
+        assert got[g][2] == ref[g][2], g
+    assert any(v[2] for v in ref.values()) and not all(
+        v[2] for v in ref.values()
+    ), "threshold no longer splits the groups: fixture degenerate"
+
+
+def test_seasonal_decompose_matches_python_reference(spark):
+    """ts_seasonal_decompose against a from-scratch python
+    decomposition (centered 25-hour moving average on the rounded
+    hourly means, hour-of-day seasonal index over complete windows,
+    residual from the rounded components) — and the additive identity
+    hourly_mean == trend + seasonal + resid within rounding wherever
+    trend is defined."""
+    import collections
+
+    from kinesis_adapter_spark.operators.insights import SD_HALF
+
+    got = QUERIES["ts_seasonal_decompose"](spark, SF_TEST).collect()
+    series = collections.defaultdict(dict)
+    for r in got:
+        series[r["event_type"]][r["hour_idx"]] = r
+    for et, hs in series.items():
+        idxs = sorted(hs)
+        vals = [hs[i]["hourly_mean"] for i in idxs]
+        trend = {}
+        for k, i in enumerate(idxs):
+            if k >= SD_HALF and k + SD_HALF < len(idxs):
+                win = vals[k - SD_HALF : k + SD_HALF + 1]
+                trend[i] = round(sum(win) / len(win), 6)
+        season_acc = collections.defaultdict(list)
+        for i in idxs:
+            if i in trend:
+                season_acc[i % 24].append(hs[i]["hourly_mean"] - trend[i])
+        seasonal = {
+            h: round(sum(v) / len(v), 6) for h, v in season_acc.items()
+        }
+        for i in idxs:
+            r = hs[i]
+            if i in trend:
+                assert abs(r["trend"] - trend[i]) <= 1e-6, (et, i)
+                assert abs(r["seasonal"] - seasonal[i % 24]) <= 1e-6
+                assert (
+                    abs(
+                        r["hourly_mean"]
+                        - (r["trend"] + r["seasonal"] + r["resid"])
+                    )
+                    <= 3e-6
+                ), (et, i)
+            else:
+                assert r["trend"] is None and r["resid"] is None
+
+
+def test_threshold_confusion_matches_python_counts(spark):
+    """eval_threshold_confusion against brute-force python counting at
+    each threshold, including every derived metric."""
+    from kinesis_adapter_spark.operators.mlprep import (
+        EVAL_THRESHOLDS,
+        _eval_scored,
+    )
+
+    rows = [(r["score"], r["label"]) for r in _eval_scored(spark, SF_TEST).collect()]
+    got = {
+        r["threshold"]: r
+        for r in QUERIES["eval_threshold_confusion"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(EVAL_THRESHOLDS)
+    for t in EVAL_THRESHOLDS:
+        tp = sum(1 for s, lb in rows if s >= t and lb == 1)
+        fp = sum(1 for s, lb in rows if s >= t and lb == 0)
+        fn = sum(1 for s, lb in rows if s < t and lb == 1)
+        tn = sum(1 for s, lb in rows if s < t and lb == 0)
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), t
+        assert r["precision"] == round(tp / (tp + fp), 6)
+        assert r["recall"] == round(tp / (tp + fn), 6)
+        assert r["f1"] == round(2 * tp / (2 * tp + fp + fn), 6)
+        assert r["accuracy"] == round((tp + tn) / len(rows), 6)
+
+
+def test_dim_truncation_recall_matches_numpy(spark):
+    """eval_dim_truncation_recall against a numpy re-computation of
+    both rank lists per truncation — pins the slice semantics (prefix
+    dims), the rounded-cosine tiebreaks, and the recall denominator.
+    Also sanity: recall must be monotone non-decreasing in dims and
+    below 1 for the shortest prefix (else the fixture shows nothing)."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        EVAL_PROBES,
+        MRL_DIMS,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+
+    def top10(pid, dim=None):
+        q = vecs[pid] if dim is None else vecs[pid][:dim]
+        sims = []
+        for vid, v in vecs.items():
+            if vid == pid:
+                continue
+            x = v if dim is None else v[:dim]
+            s = round(float(x @ q / (np.linalg.norm(x) * np.linalg.norm(q))), 6)
+            sims.append((-s, vid))
+        return {vid for _, vid in sorted(sims)[:10]}
+
+    ref = {}
+    for d in MRL_DIMS:
+        hits = sum(
+            len(top10(p) & top10(p, d)) for p in range(EVAL_PROBES)
+        )
+        ref[d] = round(hits / (EVAL_PROBES * 10), 6)
+    got = {
+        r["trunc_dim"]: r["recall_at_10"]
+        for r in QUERIES["eval_dim_truncation_recall"](spark, SF_TEST).collect()
+    }
+    assert got == ref, (got, ref)
+    vals = [got[d] for d in sorted(got)]
+    assert vals == sorted(vals), "recall not monotone in prefix length"
+    assert vals[0] < 1.0 <= vals[-1] + 1e-9 or vals[0] < vals[-1], (
+        "fixture degenerate: truncation shows no effect"
+    )
+
+
+def test_point_in_time_join_matches_python_lookup(spark):
+    """join_point_in_time against a per-user python version-history
+    walk with bisect lookups — independently re-deriving the SCD2
+    intervals AND the containment semantics (so it also re-proves the
+    engine's as-of == containment reduction on this data)."""
+    import bisect
+    import collections
+
+    from kinesis_adapter_spark.catalog import load as cat_load, ts_us_trunc
+
+    ev = (
+        cat_load(spark, SF_TEST, "events")
+        .withColumn("ts_ns", ts_us_trunc())
+        .select("user_id", "event_id", "event_type", "ts_ns")
+        .filter("user_id < 50")
+        .collect()
+    )
+    rows = [
+        (r["user_id"], r["ts_ns"], r["event_id"], r["event_type"]) for r in ev
+    ]
+    by_user = collections.defaultdict(list)
+    for u, t, eid, et in rows:
+        by_user[u].append((t, eid, et))
+    versions = collections.defaultdict(list)  # user -> [(from, to, type)]
+    for u, evs in by_user.items():
+        evs.sort()
+        hist = []
+        for t, eid, et in evs:
+            if not hist or hist[-1][2] != et:
+                hist.append([t, None, et])
+            # close previous interval at the next CHANGE time
+        for i in range(len(hist) - 1):
+            hist[i][1] = hist[i + 1][0]
+        versions[u] = [(f, to, et) for f, to, et in hist]
+    ref = []
+    for u, t, eid, et in rows:
+        if eid % 7 != 0:
+            continue
+        pts = t + 1_800_000_000_000
+        for f, to, vt in versions[u]:
+            if f <= pts and (to is None or pts < to):
+                ref.append((u, eid, pts, vt, f))
+    ref.sort()
+    got = [
+        (r["user_id"], r["probe_id"], r["probe_ts"], r["type_at_ts"], r["valid_from"])
+        for r in QUERIES["join_point_in_time"](spark, SF_TEST).collect()
+    ]
+    assert sorted(got) == ref, (len(got), len(ref))
+    assert ref, "degenerate fixture: no probes matched"

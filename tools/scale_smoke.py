@@ -157,6 +157,23 @@ SMOKE_OPS = {
     # groups; calibration is a map-only 10-bin agg — expected ~flat.
     "anonymize_l_diversity": "customer",
     "eval_calibration_bins": "orders",
+    # r9 new keys: k-core peeling (R edge-sized count shuffles over
+    # the repeat-co-purchase graph, disjoint replicas), multi-source
+    # BFS (K edge-sized equi-joins; %50 sources replicate per copy),
+    # rank-statistic evals (distinct-score domain grows ~linearly),
+    # dense-grid-free t-closeness, grid-sized decomposition
+    "graph_k_core": "lineitem",
+    "graph_bfs_distance": "lineitem+orders",
+    "eval_auc_roc": "orders",
+    "eval_pr_auc": "orders",
+    "anonymize_t_closeness": "customer",
+    "ts_seasonal_decompose": "events",
+    # r9 second batch: operating-point confusion (3-group agg, flat),
+    # Matryoshka truncation recall (probe-bounded corpus passes),
+    # point-in-time SCD2 join (as-of union + one keyed window)
+    "eval_threshold_confusion": "orders",
+    "eval_dim_truncation_recall": "embeddings",
+    "join_point_in_time": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
