@@ -2582,3 +2582,201 @@ def agg_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------- one-way ANOVA family
+
+# F-statistic from power sums over a relation z(grp, x) — ONE template
+# shared by agg_anova_oneway (raw values) and agg_brown_forsythe
+# (absolute deviations from group medians): the tests disagree on the
+# input transform, never on the F arithmetic.
+_ANOVA_F_SQL = """
+    g AS (
+      SELECT grp, COUNT(*) * 1.0 AS n, SUM(x) AS s, SUM(x * x) AS ss
+      FROM z GROUP BY grp
+    ),
+    t AS (
+      SELECT COUNT(*) * 1.0 AS k, SUM(n) AS nn, SUM(s) AS stot,
+             SUM(ss) AS sstot, SUM(s * s / n) AS sb
+      FROM g
+    )
+    SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           ROUND(sb - stot * stot / nn, 6) AS ss_between,
+           ROUND(sstot - sb, 6) AS ss_within,
+           ROUND(((sb - stot * stot / nn) / (k - 1))
+                 / ((sstot - sb) / (nn - k)), 6) AS f_stat
+    FROM t"""
+
+
+def _anova_f(z: DataFrame) -> DataFrame:
+    """Spark mirror of ``_ANOVA_F_SQL`` over a frame z(grp, x)."""
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("stot"),
+        F.sum("ss").alias("sstot"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    k, nn, stot = F.col("k"), F.col("nn"), F.col("stot")
+    sstot, sb = F.col("sstot"), F.col("sb")
+    ssb = sb - stot * stot / nn
+    ssw = sstot - sb
+    return t.select(
+        k.cast("int").alias("k_groups"),
+        nn.cast("bigint").alias("n"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (nn - k)), 6).alias("f_stat"),
+    )
+
+
+@query(
+    "agg_anova_oneway",
+    f"""
+    WITH z AS (
+      SELECT event_type AS grp, value AS x FROM events
+    ),
+    {_ANOVA_F_SQL}
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across the event-type cohorts on
+    value — does ANY cohort mean differ — completing the inference
+    family next to the two-sample tests (agg_ttest_welch for two
+    means, agg_mann_whitney for two distributions): F = between-group
+    variance over within-group variance, computed entirely from the
+    five power sums (n, Σx, Σx²) per group.
+
+    Scale shape: one partial-agg shuffle carrying 3 numbers per group,
+    then a k-row reduce — the agg_weighted_stats float-path class.
+    Determinism: both engines expand the identical power-sum formula
+    (shared template with agg_brown_forsythe), round 6 dp at output."""
+    ev = load(spark, sf_dir, "events")
+    return _anova_f(
+        ev.select(F.col("event_type").alias("grp"), F.col("value").alias("x"))
+    )
+
+
+@query(
+    "agg_brown_forsythe",
+    f"""
+    WITH med AS (
+      SELECT event_type AS grp, MEDIAN(value) AS m
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type AS grp, ABS(e.value - med.m) AS x
+      FROM events e JOIN med ON med.grp = e.event_type
+    ),
+    {_ANOVA_F_SQL}
+    """,
+)
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with MEDIAN centers): one-way ANOVA
+    on the absolute deviations |x - median(group)| — do the cohorts
+    have equal VARIANCE, the assumption check behind pooled t-tests
+    and standard ANOVA (median centering keeps it robust to the skewed
+    value distributions real metrics have).
+
+    Scale shape: one per-group exact median (interpolated percentile,
+    the agg_percentile_exact semantics both engines share), broadcast
+    back as a |groups|-row table for the map-side deviation, then the
+    shared power-sum F template. Determinism: identical interpolation
+    and the shared _ANOVA_F_SQL arithmetic, 6 dp at output."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    z = (
+        ev.join(F.broadcast(med), ev["event_type"] == med["grp"])
+        .select(
+            F.col("event_type").alias("grp"),
+            F.abs(F.col("value") - F.col("m")).alias("x"),
+        )
+    )
+    return _anova_f(z)
+
+
+@query(
+    "drift_wasserstein_1d",
+    """
+    WITH ev AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), pv AS (
+      SELECT value, SUM(g1) * 1.0 AS n1, SUM(1 - g1) * 1.0 AS n2
+      FROM ev GROUP BY value
+    ), tot AS (
+      SELECT value,
+             SUM(n1) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(n2) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+             SUM(n1) OVER () AS t1,
+             SUM(n2) OVER () AS t2,
+             LEAD(value) OVER (ORDER BY value) - value AS gap
+      FROM pv
+    )
+    SELECT CAST(MAX(t1) AS BIGINT) AS n_click,
+           CAST(MAX(t2) AS BIGINT) AS n_purchase,
+           ROUND(SUM(ABS(c1 / t1 - c2 / t2) * gap), 6) AS wasserstein_1
+    FROM tot WHERE gap IS NOT NULL
+    """,
+)
+def drift_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the click and
+    purchase value distributions — the drift metric that, unlike
+    PSI/JS (drift_psi, drift_js_divergence), needs no binning and
+    reports in the METRIC'S OWN UNITS (how far probability mass must
+    move): W1 = ∫|F1 - F2| dx, computed exactly as the sum of
+    |CDF difference| x gap over consecutive distinct values — same
+    cohorts as agg_ks_test (which takes the MAX of the same CDF gap
+    where this integrates it; never-fork the cohort choice).
+
+    Scale shape: the compressed-domain discipline — per-value counts
+    first (row-proportional partial agg), cumulative + lead windows
+    over the DISTINCT-value frame only. Determinism: integer counts
+    into exactly-representable fractions; the final sum of doubles is
+    the agg-of-doubles class every power-sum oracle accepts, 6 dp."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        )
+    )
+    pv = ev.groupBy("value").agg(
+        (F.sum("g1") * 1.0).alias("n1"),
+        (F.sum(1 - F.col("g1")) * 1.0).alias("n2"),
+    )
+    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = pv.select(
+        "value",
+        F.sum("n1").over(wc).alias("c1"),
+        F.sum("n2").over(wc).alias("c2"),
+        F.sum("n1").over(wall).alias("t1"),
+        F.sum("n2").over(wall).alias("t2"),
+        (F.lead("value").over(Window.orderBy("value")) - F.col("value")).alias(
+            "gap"
+        ),
+    )
+    return tot.filter(F.col("gap").isNotNull()).agg(
+        F.max("t1").cast("bigint").alias("n_click"),
+        F.max("t2").cast("bigint").alias("n_purchase"),
+        F.round(
+            F.sum(
+                F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))
+                * F.col("gap")
+            ),
+            6,
+        ).alias("wasserstein_1"),
+    )

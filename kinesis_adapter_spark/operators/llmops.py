@@ -1877,9 +1877,13 @@ _BPE_SQL = (
     + "\n    ORDER BY merge_rank"
 )
 
-_BPE_ENCODE_SQL = (
-    _bpe_chain(carry="word, ")
-    + f"""
+def _bpe_tok_ctes(doc_cols: str = "doc_id") -> str:
+    """The tok (word → BPE token count from the replayed chain) and
+    docwords (corpus explode) CTEs shared by the encode and fertility
+    oracles — ONE text so both consume identical tokenizations;
+    ``doc_cols`` threads extra document columns (lang, for
+    fertility)."""
+    return f"""
     , tok AS MATERIALIZED (
       SELECT word,
              len(str_split(regexp_replace(enc, '^\\{{|\\}}$', '', 'g'), '}}{{'))
@@ -1887,17 +1891,38 @@ _BPE_ENCODE_SQL = (
       FROM w{BPE_MERGES}
     ),
     docwords AS (
-      SELECT doc_id, w AS word
+      SELECT {doc_cols}, w AS word
       FROM documents,
            LATERAL unnest(str_split_regex(lower(text), '[^a-z]+')) AS t(w)
       WHERE w ~ '^[a-z]+$'
-    )
+    )"""
+
+
+_BPE_ENCODE_SQL = (
+    _bpe_chain(carry="word, ")
+    + _bpe_tok_ctes()
+    + """
     SELECT dw.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(tok.n_tok) AS BIGINT) AS n_bpe_tokens
     FROM docwords dw JOIN tok USING (word)
     GROUP BY dw.doc_id
     ORDER BY dw.doc_id
+    """
+)
+
+_BPE_FERTILITY_SQL = (
+    _bpe_chain(carry="word, ")
+    + _bpe_tok_ctes("doc_id, lang")
+    + """
+    SELECT dw.lang,
+           CAST(COUNT(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(tok.n_tok) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(tok.n_tok) * 1.0 / COUNT(*), 6) AS fertility
+    FROM docwords dw JOIN tok USING (word)
+    GROUP BY dw.lang
+    ORDER BY dw.lang
     """
 )
 
@@ -2089,6 +2114,26 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the rounds) via the shared CTE generator, so the merge
     sequence still cannot fork — the artifact itself is fingerprint-
     staged against the corpus, so both engines see the same merges."""
+    return (
+        _bpe_doc_word_tok(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_doc_word_tok(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The shared encode read path: published merges unrolled into one
+    map-only replace chain over the distinct-word type table, token
+    counts broadcast, corpus explode joined against them — returns
+    (doc_id, *extra_cols, word, n_tok) rows. ONE copy for
+    vocab_bpe_encode and vocab_tokenizer_fertility (mirror of
+    ``_bpe_tok_ctes`` on the oracle side)."""
     import pyarrow.parquet as pq
 
     path = bpe_merges_table(spark, sf_dir)
@@ -2109,16 +2154,42 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip = F.split(F.regexp_replace(enc, r"^\{|\}$", ""), r"\}\{")
     tok = words.select("word", F.size(strip).alias("n_tok"))
     docwords = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        "doc_id",
+        *extra_cols,
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
     ).filter(F.col("word").rlike("^[a-z]+$"))
+    return docwords.join(F.broadcast(tok), "word")
+
+
+@query("vocab_tokenizer_fertility", _BPE_FERTILITY_SQL)
+def vocab_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE tokens per word under
+    the published merge table, the number multilingual-tokenizer
+    papers report to show which languages a vocabulary taxes (high
+    fertility = more tokens per word = higher serving cost and less
+    effective context for that language). Composes the train→publish→
+    broadcast artifact chain end-to-end: same merges, same replayed
+    encode path as vocab_bpe_encode (shared ``_bpe_doc_word_tok`` /
+    ``_bpe_tok_ctes`` — never-fork), aggregated per documents.lang
+    instead of per doc.
+
+    Scale shape: identical to encode — one corpus explode, a
+    vocabulary-sized broadcast, and a |langs|-group aggregate; lang
+    rides the explode projection so no second corpus join is needed.
+    Determinism: integer token counts; one rounded division per
+    group."""
     return (
-        docwords.join(F.broadcast(tok), "word")
-        .groupBy("doc_id")
+        _bpe_doc_word_tok(spark, sf_dir, extra_cols=("lang",))
+        .groupBy("lang")
         .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_tok").alias("n_bpe_tokens"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias(
+                "fertility"
+            ),
         )
-        .orderBy("doc_id")
+        .orderBy("lang")
     )
 
 

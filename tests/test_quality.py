@@ -2010,3 +2010,117 @@ def test_point_in_time_join_matches_python_lookup(spark):
     ]
     assert sorted(got) == ref, (len(got), len(ref))
     assert ref, "degenerate fixture: no probes matched"
+
+
+def test_anova_and_brown_forsythe_match_python(spark):
+    """agg_anova_oneway / agg_brown_forsythe against from-scratch
+    python F computations (explicit group means / medians, no power
+    sums) — pins the power-sum expansion and the median-centered
+    deviations to the textbook definitions."""
+    import collections
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["value"])
+
+    def f_stat(by_group):
+        k = len(by_group)
+        nn = sum(len(v) for v in by_group.values())
+        grand = sum(sum(v) for v in by_group.values()) / nn
+        ssb = sum(
+            len(v) * (sum(v) / len(v) - grand) ** 2 for v in by_group.values()
+        )
+        ssw = sum(
+            sum((x - sum(v) / len(v)) ** 2 for x in v)
+            for v in by_group.values()
+        )
+        return k, nn, (ssb / (k - 1)) / (ssw / (nn - k))
+
+    k, nn, f = f_stat(groups)
+    got = QUERIES["agg_anova_oneway"](spark, SF_TEST).collect()[0]
+    assert (got["k_groups"], got["n"]) == (k, nn)
+    assert abs(got["f_stat"] - f) < 1e-4, (got["f_stat"], f)
+
+    def median(v):
+        s = sorted(v)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    zgroups = {
+        g: [abs(x - median(v)) for x in v] for g, v in groups.items()
+    }
+    k, nn, f = f_stat(zgroups)
+    got = QUERIES["agg_brown_forsythe"](spark, SF_TEST).collect()[0]
+    assert (got["k_groups"], got["n"]) == (k, nn)
+    assert abs(got["f_stat"] - f) < 1e-4, (got["f_stat"], f)
+
+
+def test_wasserstein_matches_python_cdf_integral(spark):
+    """drift_wasserstein_1d against the explicit CDF-integral python
+    computation over the pooled sorted support — and the analytic
+    relation to agg_ks_test: W1 <= D * range must hold (the integral
+    of a function bounded by its max)."""
+    a, b = [], []
+    for r in (
+        spark.read.parquet(f"{SF_TEST}/events.parquet")
+        .select("event_type", "value")
+        .filter("event_type IN ('click', 'purchase')")
+        .collect()
+    ):
+        (a if r["event_type"] == "click" else b).append(r["value"])
+    support = sorted(set(a) | set(b))
+    ca = cb = 0.0
+    import bisect
+
+    sa, sb = sorted(a), sorted(b)
+    w1 = 0.0
+    for i in range(len(support) - 1):
+        v, nxt = support[i], support[i + 1]
+        fa = bisect.bisect_right(sa, v) / len(sa)
+        fb = bisect.bisect_right(sb, v) / len(sb)
+        w1 += abs(fa - fb) * (nxt - v)
+    got = QUERIES["drift_wasserstein_1d"](spark, SF_TEST).collect()[0]
+    assert (got["n_click"], got["n_purchase"]) == (len(a), len(b))
+    assert abs(got["wasserstein_1"] - w1) < 1e-5, (got["wasserstein_1"], w1)
+    d = QUERIES["agg_ks_test"](spark, SF_TEST).collect()[0]["d_stat"]
+    rng = support[-1] - support[0]
+    assert got["wasserstein_1"] <= d * rng + 1e-9
+
+
+def test_tokenizer_fertility_consistent_with_encode(spark):
+    """vocab_tokenizer_fertility must equal the per-lang aggregation
+    of vocab_bpe_encode's (already python-referenced) per-doc counts
+    joined to documents.lang — an independent composition check over
+    the same published merge artifact."""
+    import collections
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    words = collections.Counter()
+    toks = collections.Counter()
+    docs = collections.Counter()
+    for r in QUERIES["vocab_bpe_encode"](spark, SF_TEST).collect():
+        lg = langs[r["doc_id"]]
+        words[lg] += r["n_words"]
+        toks[lg] += r["n_bpe_tokens"]
+        docs[lg] += 1
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_bpe_tokens"], r["fertility"])
+        for r in QUERIES["vocab_tokenizer_fertility"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(words)
+    for lg in got:
+        assert got[lg][:3] == (docs[lg], words[lg], toks[lg]), lg
+        assert got[lg][3] == round(toks[lg] / words[lg], 6), lg
+    assert len(got) > 1 and len({v[3] for v in got.values()}) > 1, (
+        "fixture degenerate: fertility identical across languages"
+    )

@@ -174,6 +174,14 @@ SMOKE_OPS = {
     "eval_threshold_confusion": "orders",
     "eval_dim_truncation_recall": "embeddings",
     "join_point_in_time": "events",
+    # r9 third batch: power-sum inference (3 numbers per group),
+    # median-centered variance test (percentile + broadcast + power
+    # sums), compressed-domain CDF integral, artifact-composed
+    # per-lang tokenizer fertility (corpus explode + broadcast vocab)
+    "agg_anova_oneway": "events",
+    "agg_brown_forsythe": "events",
+    "drift_wasserstein_1d": "events",
+    "vocab_tokenizer_fertility": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
