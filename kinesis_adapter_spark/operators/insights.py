@@ -2180,9 +2180,9 @@ def anonymize_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 SD_HALF = 12  # centered moving-average half-width => 25-hour trend window
 
 
-@query(
-    "ts_seasonal_decompose",
-    f"""
+# The full decomposition SELECT — ONE text shared by the
+# ts_seasonal_decompose oracle and the strength rollup over it.
+_SEASONAL_DECOMP_SQL = f"""
     WITH hourly AS (
       SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
              ROUND(AVG(value), 6) AS hourly_mean
@@ -2207,9 +2207,12 @@ SD_HALF = 12  # centered moving-average half-width => 25-hour trend window
            ROUND(t.hourly_mean - t.trend - s.seasonal, 6) AS resid
     FROM tr t
     LEFT JOIN se s ON s.event_type = t.event_type
-                  AND s.hod = t.hour_idx % 24
-    ORDER BY t.event_type, hour_idx
-    """,
+                  AND s.hod = t.hour_idx % 24"""
+
+
+@query(
+    "ts_seasonal_decompose",
+    _SEASONAL_DECOMP_SQL + "\n    ORDER BY t.event_type, hour_idx\n    ",
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of each metric's
@@ -2281,3 +2284,79 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_idx")
     )
+
+
+@query(
+    "ts_seasonal_strength",
+    f"""
+    WITH dec AS ({_SEASONAL_DECOMP_SQL}
+    ),
+    p AS (
+      SELECT event_type, COUNT(*) * 1.0 AS n,
+             SUM(resid) AS sr, SUM(resid * resid) AS srr,
+             SUM(seasonal + resid) AS ss,
+             SUM((seasonal + resid) * (seasonal + resid)) AS sss,
+             SUM(trend + resid) AS st,
+             SUM((trend + resid) * (trend + resid)) AS stt
+      FROM dec WHERE resid IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           ROUND(GREATEST(0, 1 - (srr - sr * sr / n)
+                               / (sss - ss * ss / n)), 6)
+             AS seasonal_strength,
+           ROUND(GREATEST(0, 1 - (srr - sr * sr / n)
+                               / (stt - st * st / n)), 6)
+             AS trend_strength
+    FROM p
+    ORDER BY event_type
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH per metric (Hyndman's F_s / F_t
+    from 'Forecasting: Principles and Practice'): 1 - var(resid) /
+    var(seasonal + resid) and 1 - var(resid) / var(trend + resid),
+    clamped at 0 — the scalar rollups of ts_seasonal_decompose that
+    answer 'is this series actually seasonal / trending enough to
+    model', and the routing signal for forecast-model selection.
+    Composes the decompose KEY FUNCTION verbatim; the oracle wraps
+    the shared _SEASONAL_DECOMP_SQL text, so the components can never
+    fork from the decomposition the strengths claim to summarize.
+
+    Scale shape: the decompose grid reduced by one more
+    power-sum aggregate per type (variances expanded identically on
+    both engines — the agg_ttest_welch float discipline, never the
+    engines' own one-pass variance kernels). Rows with NULL trend
+    (series edges) are excluded on both sides."""
+    dec = ts_seasonal_decompose(spark, sf_dir).filter(
+        F.col("resid").isNotNull()
+    )
+    p = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("resid").alias("sr"),
+        F.sum(F.col("resid") * F.col("resid")).alias("srr"),
+        F.sum(F.col("seasonal") + F.col("resid")).alias("ss"),
+        F.sum(
+            (F.col("seasonal") + F.col("resid"))
+            * (F.col("seasonal") + F.col("resid"))
+        ).alias("sss"),
+        F.sum(F.col("trend") + F.col("resid")).alias("st"),
+        F.sum(
+            (F.col("trend") + F.col("resid"))
+            * (F.col("trend") + F.col("resid"))
+        ).alias("stt"),
+    )
+    n = F.col("n")
+    vr = F.col("srr") - F.col("sr") * F.col("sr") / n
+    vs = F.col("sss") - F.col("ss") * F.col("ss") / n
+    vt = F.col("stt") - F.col("st") * F.col("st") / n
+    return p.select(
+        "event_type",
+        n.cast("bigint").alias("n_hours"),
+        F.round(F.greatest(F.lit(0.0), 1 - vr / vs), 6).alias(
+            "seasonal_strength"
+        ),
+        F.round(F.greatest(F.lit(0.0), 1 - vr / vt), 6).alias(
+            "trend_strength"
+        ),
+    ).orderBy("event_type")

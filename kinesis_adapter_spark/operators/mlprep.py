@@ -619,17 +619,23 @@ def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(score.alias("score"), label.alias("label"))
 
 
+# The 10-bin reliability table body — ONE text shared by the
+# eval_calibration_bins oracle and the ECE/MCE rollup over it.
+_CALIB_BINS_SQL = """
+      SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(score), 6) AS mean_score,
+             ROUND(AVG(label), 6) AS pos_rate,
+             ROUND(ABS(AVG(score) - AVG(label)), 6) AS calib_gap
+      FROM scored
+      GROUP BY 1"""
+
+
 @query(
     "eval_calibration_bins",
     f"""
     WITH {EVAL_SCORED_CTE}
-    SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(score), 6) AS mean_score,
-           ROUND(AVG(label), 6) AS pos_rate,
-           ROUND(ABS(AVG(score) - AVG(label)), 6) AS calib_gap
-    FROM scored
-    GROUP BY 1
+    {_CALIB_BINS_SQL}
     ORDER BY bin
     """,
 )
@@ -892,3 +898,216 @@ def eval_threshold_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
     ).orderBy("threshold")
+
+
+@query(
+    "eval_expected_calibration_error",
+    f"""
+    WITH {EVAL_SCORED_CTE},
+    bins AS ({_CALIB_BINS_SQL}
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           ROUND(SUM(n * calib_gap) / SUM(n), 6) AS ece,
+           ROUND(MAX(calib_gap), 6) AS mce
+    FROM bins
+    """,
+)
+def eval_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected and Maximum Calibration Error — the scalar rollups of
+    eval_calibration_bins' reliability table (ECE = Σ n_b/N · gap_b,
+    MCE = max_b gap_b), the two numbers calibration papers and model
+    cards actually report. Composes the bins KEY FUNCTION verbatim
+    (the rag-reuses-rrf pattern) and the oracle wraps the shared
+    _CALIB_BINS_SQL text, so the binning can never fork from the
+    table the scalar claims to summarize.
+
+    Scale shape: the 10-row bins aggregate reduced to one row —
+    nothing beyond eval_calibration_bins' map-only pass. Determinism:
+    the rollup consumes the 6-dp-rounded per-bin gaps on both
+    engines."""
+    bins = eval_calibration_bins(spark, sf_dir)
+    return bins.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("n") * F.col("calib_gap")) / F.sum("n"), 6
+        ).alias("ece"),
+        F.round(F.max("calib_gap"), 6).alias("mce"),
+    )
+
+
+@query(
+    "agg_cuped_variance_reduction",
+    """
+    WITH b AS (
+      SELECT (epoch_ns(MIN(ts)) + epoch_ns(MAX(ts))) // 2 AS mid FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             AVG(CASE WHEN epoch_ns(ts) < b.mid THEN value END) AS x,
+             AVG(CASE WHEN epoch_ns(ts) >= b.mid THEN value END) AS y
+      FROM events CROSS JOIN b
+      GROUP BY user_id
+    ),
+    p AS (
+      SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM u WHERE x IS NOT NULL AND y IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND((sxy / n - sx * sy / (n * n))
+                 / (sxx / n - sx * sx / (n * n)), 6) AS theta,
+           ROUND(syy / n - sy * sy / (n * n), 6) AS var_y,
+           ROUND((syy / n - sy * sy / (n * n))
+                 - POW(sxy / n - sx * sy / (n * n), 2)
+                   / (sxx / n - sx * sx / (n * n)), 6) AS var_cuped,
+           ROUND(POW(sxy / n - sx * sy / (n * n), 2)
+                 / ((sxx / n - sx * sx / (n * n))
+                    * (syy / n - sy * sy / (n * n))), 6)
+             AS variance_reduction
+    FROM p
+    """,
+)
+def agg_cuped_variance_reduction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data) — the
+    experimentation-platform variance-reduction workhorse: per user,
+    the pre-period mean metric x (first half of the time range) is
+    used as a covariate for the post-period mean y; the adjusted
+    metric y - θ(x - x̄) with θ = cov(x,y)/var(x) has variance
+    var(y)·(1 - ρ²). Emits θ, the raw and CUPED-adjusted variances,
+    and the variance_reduction fraction ρ² — the number that decides
+    how much smaller an A/B test's sample size can be.
+
+    Scale shape: one bounds pass (2-number aggregate), one per-user
+    conditional-mean pass, then a 6-power-sum reduce over users — the
+    agg_corr_covar float class, nothing wider than six doubles past
+    the user aggregate. Population (1/n) moments are expanded
+    identically on both engines; users active in only one period drop
+    out of the covariance (NULL-safe by the WHERE)."""
+    from kinesis_adapter_spark.catalog import ts_us_trunc
+
+    # µs-truncate like every cross-engine ts comparison (DuckDB reads
+    # parquet NANOS at µs precision; 99.9% of fixture timestamps carry
+    # sub-µs residue, so a raw-ns midpoint puts the two engines'
+    # period boundaries a hair apart)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", ts_us_trunc().alias("ts_ns"), "value"
+    )
+    # integer midpoint: (min+max)/2 through Spark's `/` is a DOUBLE,
+    # which cannot represent ~3.4e18 exactly (2^53 mantissa) — the mid
+    # would land up to ~512 ns away from DuckDB's exact `// 2`
+    bounds = ev.agg(
+        F.shiftright(F.min("ts_ns") + F.max("ts_ns"), 1).alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("ts_ns") < F.col("mid"), F.col("value"))).alias(
+                "x"
+            ),
+            F.avg(
+                F.when(F.col("ts_ns") >= F.col("mid"), F.col("value"))
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    p = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = sxy / n - sx * sy / (n * n)
+    vx = sxx / n - sx * sx / (n * n)
+    vy = syy / n - sy * sy / (n * n)
+    return p.select(
+        n.cast("bigint").alias("n_users"),
+        F.round(cov / vx, 6).alias("theta"),
+        F.round(vy, 6).alias("var_y"),
+        F.round(vy - cov * cov / vx, 6).alias("var_cuped"),
+        F.round(cov * cov / (vx * vy), 6).alias("variance_reduction"),
+    )
+
+
+NEG_ANCHORS = 20  # anchor batch: vec_id < 20 (bounded model metadata)
+NEG_K = 4         # negatives per anchor
+
+
+@query(
+    "sample_negative_pairs",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings WHERE vec_id < {NEG_ANCHORS}
+    )
+    SELECT anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT a.anchor_id, e.vec_id, e.label,
+             row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY md5(a.anchor_id || ':' || e.vec_id)) AS rk
+      FROM anchors a JOIN embeddings e ON e.label <> a.anchor_label
+    ) e
+    WHERE rk <= {NEG_K}
+    ORDER BY anchor_id, rk
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling for contrastive training: for
+    each anchor in a BOUNDED batch, k={NEG_K} label-different
+    negatives chosen by md5(anchor:candidate) order — the
+    hash-thresholding discipline every sampler in this repo uses
+    (pure function of the ids: reproducible across runs, engines,
+    partitionings, and retries, unlike rand(seed) under task retry;
+    and each anchor draws an INDEPENDENT permutation of candidates,
+    unlike a single global shuffle).
+
+    Scale shape: the anchor set is a bounded BATCH (the probe-set
+    discipline of knn_join/eval_ann_recall) broadcast against the
+    corpus with the label-inequality as the join residual; per-anchor
+    top-k is WindowGroupLimit on the |anchors|-keyed window, so cost
+    is |batch| x corpus — a full training epoch processes anchors in
+    such batches, each linear in the corpus (a corpus-proportional
+    anchor set in ONE pass would be quadratic: the first cut smoked
+    at 4.5x for 8x data for exactly that reason). At 10^9 candidates
+    add a hash-range candidate gate so the window input is sampled —
+    same plan, one more map-side predicate. Determinism: md5 is md5
+    everywhere."""
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("vec_id").cast("string"),
+            )
+        )
+    )
+    return (
+        e.join(
+            F.broadcast(anchors), F.col("label") != F.col("anchor_label")
+        )
+        .select("anchor_id", "vec_id", "label")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEG_K)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("anchor_id", "rk")
+    )

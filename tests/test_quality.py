@@ -2124,3 +2124,122 @@ def test_tokenizer_fertility_consistent_with_encode(spark):
     assert len(got) > 1 and len({v[3] for v in got.values()}) > 1, (
         "fixture degenerate: fertility identical across languages"
     )
+
+
+def test_ece_matches_python_rollup_of_bins(spark):
+    """eval_expected_calibration_error against the python weighted sum
+    over the (already referenced) calibration bins."""
+    bins = QUERIES["eval_calibration_bins"](spark, SF_TEST).collect()
+    n = sum(b["n"] for b in bins)
+    ece = round(sum(b["n"] * b["calib_gap"] for b in bins) / n, 6)
+    mce = round(max(b["calib_gap"] for b in bins), 6)
+    got = QUERIES["eval_expected_calibration_error"](spark, SF_TEST).collect()[0]
+    assert (got["n"], got["ece"], got["mce"]) == (n, ece, mce)
+    assert 0.0 <= got["ece"] <= got["mce"] <= 1.0
+
+
+def test_cuped_matches_python_covariate_adjustment(spark):
+    """agg_cuped_variance_reduction against an explicit python CUPED:
+    per-user pre/post means split at the µs-truncated integer
+    midpoint, θ from covariance over users in both periods, and the
+    identity var_cuped == var_y · (1 - ρ²)."""
+    import collections
+
+    from kinesis_adapter_spark.catalog import load as cat_load, ts_us_trunc
+
+    rows = (
+        cat_load(spark, SF_TEST, "events")
+        .select("user_id", ts_us_trunc().alias("t"), "value")
+        .collect()
+    )
+    mid = (min(r["t"] for r in rows) + max(r["t"] for r in rows)) // 2
+    pre = collections.defaultdict(list)
+    post = collections.defaultdict(list)
+    for r in rows:
+        (pre if r["t"] < mid else post)[r["user_id"]].append(r["value"])
+    xs, ys = [], []
+    for u in set(pre) & set(post):
+        xs.append(sum(pre[u]) / len(pre[u]))
+        ys.append(sum(post[u]) / len(post[u]))
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+    vx = sum((a - mx) ** 2 for a in xs) / n
+    vy = sum((b - my) ** 2 for b in ys) / n
+    got = QUERIES["agg_cuped_variance_reduction"](spark, SF_TEST).collect()[0]
+    assert got["n_users"] == n
+    assert abs(got["theta"] - cov / vx) < 1e-4
+    assert abs(got["var_y"] - vy) < 1e-4
+    assert abs(got["var_cuped"] - (vy - cov * cov / vx)) < 1e-4
+    assert abs(got["variance_reduction"] - cov * cov / (vx * vy)) < 1e-6
+    assert 0.0 <= got["variance_reduction"] < 1.0
+
+
+def test_negative_pairs_match_python_hash_order(spark):
+    """sample_negative_pairs against hashlib md5 ordering — pins the
+    per-anchor independent permutation, the label-inequality screen,
+    and k; every emitted negative must differ in label from its
+    anchor."""
+    import hashlib
+
+    from kinesis_adapter_spark.operators.mlprep import (
+        NEG_ANCHORS,
+        NEG_K,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    ref = []
+    for a in sorted(v for v in labels if v < NEG_ANCHORS):
+        cands = [
+            (hashlib.md5(f"{a}:{v}".encode()).hexdigest(), v)
+            for v in labels
+            if labels[v] != labels[a]
+        ]
+        for rk, (_, v) in enumerate(sorted(cands)[:NEG_K], start=1):
+            ref.append((a, v, labels[v], rk))
+    got = [
+        (r["anchor_id"], r["neg_id"], r["neg_label"], r["rk"])
+        for r in QUERIES["sample_negative_pairs"](spark, SF_TEST).collect()
+    ]
+    assert got == ref, (len(got), len(ref))
+    for a, v, lb, _ in got:
+        assert lb != labels[a]
+
+
+def test_seasonal_strength_matches_python_variances(spark):
+    """ts_seasonal_strength against python variances computed from the
+    (already referenced) decompose output, plus the [0, 1] range
+    property for every series."""
+    import collections
+
+    dec = QUERIES["ts_seasonal_decompose"](spark, SF_TEST).collect()
+    acc = collections.defaultdict(lambda: ([], [], []))
+    for r in dec:
+        if r["resid"] is None:
+            continue
+        a = acc[r["event_type"]]
+        a[0].append(r["resid"])
+        a[1].append(r["seasonal"] + r["resid"])
+        a[2].append(r["trend"] + r["resid"])
+
+    def var(v):
+        m = sum(v) / len(v)
+        return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_seasonal_strength"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(acc)
+    for et, (res, sea, tre) in acc.items():
+        r = got[et]
+        assert r["n_hours"] == len(res)
+        assert abs(r["seasonal_strength"] - max(0.0, 1 - var(res) / var(sea))) < 1e-5
+        assert abs(r["trend_strength"] - max(0.0, 1 - var(res) / var(tre))) < 1e-5
+        assert 0.0 <= r["seasonal_strength"] <= 1.0
+        assert 0.0 <= r["trend_strength"] <= 1.0

@@ -182,6 +182,13 @@ SMOKE_OPS = {
     "agg_brown_forsythe": "events",
     "drift_wasserstein_1d": "events",
     "vocab_tokenizer_fertility": "documents",
+    # r9 fourth batch: scalar rollups of already-smoked component
+    # tables (ECE, strength), 6-power-sum CUPED over per-user means,
+    # broadcast-anchor hash-ordered negative sampling
+    "eval_expected_calibration_error": "orders",
+    "ts_seasonal_strength": "events",
+    "agg_cuped_variance_reduction": "events",
+    "sample_negative_pairs": "embeddings",
 }
 
 # (table, id columns to offset, per-replica offset)
