@@ -2182,3 +2182,74 @@ def eval_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = h if out is None else out.unionByName(h)
     return out.orderBy("trunc_dim")
+
+
+HARDNEG_ANCHORS = 20  # anchor batch: vec_id < 20 (the probe discipline)
+HARDNEG_K = 4         # hard negatives per anchor
+
+
+@query(
+    "search_hard_negatives",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             CAST(embedding AS DOUBLE[]) AS av
+      FROM embeddings WHERE vec_id < {HARDNEG_ANCHORS}
+    )
+    SELECT anchor_id, neg_id, neg_label, sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          a.av), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY ROUND(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), a.av), 6) DESC,
+                        e.vec_id) AS rk
+      FROM anchors a JOIN embeddings e ON e.label <> a.anchor_label
+    )
+    WHERE rk <= {HARDNEG_K}
+    ORDER BY anchor_id, rk
+    """,
+)
+def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining for contrastive training: for each anchor
+    in a bounded batch, the k={HARDNEG_K} most-similar vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives, sample_negative_pairs, are mostly easy;
+    curricula mine hard ones from the current embedding space each
+    epoch, which is exactly this query).
+
+    Scale shape: identical to sim_topk / knn_join — bounded anchor
+    batch broadcast against the corpus, label-inequality as the join
+    residual, per-anchor top-k as WindowGroupLimit; at 10⁹ vectors
+    route the candidate side through the IVF/PQ index read path
+    (ann_ivfpq_topk) and post-filter the label, trading exactness for
+    a pruned scan. Determinism: 6-dp-rounded cosine with vec_id
+    tiebreaks, the retrieval-family discipline."""
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("av"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        e.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("av")), 6).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HARDNEG_K)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("anchor_id", "rk")
+    )

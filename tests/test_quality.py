@@ -2243,3 +2243,52 @@ def test_seasonal_strength_matches_python_variances(spark):
         assert abs(r["trend_strength"] - max(0.0, 1 - var(res) / var(tre))) < 1e-5
         assert 0.0 <= r["seasonal_strength"] <= 1.0
         assert 0.0 <= r["trend_strength"] <= 1.0
+
+
+def test_hard_negatives_match_numpy_ranking(spark):
+    """search_hard_negatives against a numpy cosine ranking with the
+    label screen — pins the rounded-cosine/vec_id order and that every
+    emitted negative differs in label and is genuinely the hardest
+    (no same-label vector excluded would have ranked if allowed is NOT
+    asserted — the screen is the semantics). Also cross-checks against
+    sample_negative_pairs: same anchors, different selection."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        HARDNEG_ANCHORS,
+        HARDNEG_K,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+    labels = {r["vec_id"]: r["label"] for r in emb}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    ref = []
+    for a in sorted(v for v in labels if v < HARDNEG_ANCHORS):
+        cands = sorted(
+            (
+                (-cos(vecs[v], vecs[a]), v)
+                for v in labels
+                if labels[v] != labels[a]
+            )
+        )[:HARDNEG_K]
+        for rk, (negsim, v) in enumerate(cands, start=1):
+            ref.append((a, v, labels[v], -negsim, rk))
+    got = [
+        (r["anchor_id"], r["neg_id"], r["neg_label"], r["sim"], r["rk"])
+        for r in QUERIES["search_hard_negatives"](spark, SF_TEST).collect()
+    ]
+    assert got == ref, (len(got), len(ref))
+    rand = {
+        (r["anchor_id"], r["neg_id"])
+        for r in QUERIES["sample_negative_pairs"](spark, SF_TEST).collect()
+    }
+    hard = {(a, v) for a, v, *_ in got}
+    assert hard != rand, "hard and random negatives identical: degenerate"

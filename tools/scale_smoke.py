@@ -189,6 +189,9 @@ SMOKE_OPS = {
     "ts_seasonal_strength": "events",
     "agg_cuped_variance_reduction": "events",
     "sample_negative_pairs": "embeddings",
+    # bounded anchor batch x corpus cosine with label residual — the
+    # sim_topk cost model
+    "search_hard_negatives": "embeddings",
 }
 
 # (table, id columns to offset, per-replica offset)
