@@ -173,6 +173,38 @@ SHOWCASE = {
         "benchmark side broadcast into both the band join and the "
         "exact-Jaccard verify; probe reads only the signature artifact"
     ),
+    # round-9 additions
+    "graph_k_core": (
+        "R single-reference peel rounds: each round ONE count "
+        "aggregate over the edge relation joined to the previous "
+        "alive set — linear plan growth (scan count pinned), no "
+        "core-vs-itself self-join"
+    ),
+    "join_point_in_time": (
+        "interval containment degenerated to as-of: union + ONE "
+        "(user, t) sort window with last(ignorenulls) — no "
+        "BroadcastNestedLoopJoin, no range join"
+    ),
+    "eval_auc_roc": (
+        "compressed-domain rank statistic: partial+final "
+        "HashAggregate collapse the corpus to distinct scores BEFORE "
+        "the cumulative window; integer doubled-rank arithmetic to "
+        "one final division"
+    ),
+    "anonymize_t_closeness": (
+        "global sensitive-frequency table behind BroadcastExchange; "
+        "TVD via the absent-category complement — no dense "
+        "group x category grid anywhere"
+    ),
+}
+
+# keys whose registry function materializes a bounded result and
+# returns a local frame (cache-hygiene pattern) — showcase the lazy
+# inner plan helper instead of the LocalTableScan
+LAZY_PLAN = {
+    "q21_waiting_supplier": lambda spark: __import__(
+        "kinesis_adapter_spark.operators.analytics", fromlist=["_q21_plan"]
+    )._q21_plan(spark, SF),
 }
 
 
@@ -188,10 +220,18 @@ def main() -> None:
         "",
     ]
     for key, note in SHOWCASE.items():
-        df = QUERIES[key](spark, SF)
+        handle = None
+        if key in LAZY_PLAN:
+            df = LAZY_PLAN[key](spark)
+            if isinstance(df, tuple):  # (plan, cache handle) helpers
+                df, handle = df
+        else:
+            df = QUERIES[key](spark, SF)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
+        if handle is not None:  # release after the explain captured it
+            handle.unpersist()
         out.append(f"## {key}")
         out.append("")
         out.append(f"**Must show:** {note}")
