@@ -81,3 +81,26 @@ def test_readme_counts_match_registry():
     assert int(m.group(2)) == len(oracles), (
         f"README says {m.group(2)} oracled, registry has {len(oracles)}"
     )
+
+
+def test_smoke_and_bench_reference_live_registry_keys():
+    """Every key named by the scale-smoke table and the bench harness
+    must exist in the live registry, and every bench entry must carry
+    an anchor — a renamed/removed key must not silently orphan its
+    evidence (same drift class as the replica gate)."""
+    queries, _ = _registry()
+    from tools.scale_smoke import SMOKE_OPS
+
+    missing = sorted(set(SMOKE_OPS) - set(queries))
+    assert not missing, f"smoke ops not in registry: {missing}"
+
+    import bench
+
+    for name, key in {**bench.HEADLINE, **bench.EXTRAS}.items():
+        assert key in queries, f"bench entry {name} -> unknown key {key}"
+    unanchored = [
+        n
+        for n in {**bench.HEADLINE, **bench.EXTRAS}
+        if n not in bench.ANCHORS
+    ]
+    assert not unanchored, f"bench entries without anchors: {unanchored}"
