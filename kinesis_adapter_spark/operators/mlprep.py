@@ -1111,3 +1111,163 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rk")
     )
+
+
+@query(
+    "pipeline_ab_test_report",
+    """
+    WITH b AS (
+      SELECT (epoch_ns(MIN(ts)) + epoch_ns(MAX(ts))) // 2 AS mid FROM events
+    ),
+    u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+             AVG(CASE WHEN epoch_ns(ts) < b.mid THEN value END) AS x,
+             AVG(CASE WHEN epoch_ns(ts) >= b.mid THEN value END) AS y
+      FROM events CROSS JOIN b
+      GROUP BY user_id
+      HAVING x IS NOT NULL AND y IS NOT NULL
+    ),
+    p AS (
+      SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT (sxy / n - sx * sy / (n * n))
+             / (sxx / n - sx * sx / (n * n)) AS theta
+      FROM p
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) * 1.0 AS n,
+             SUM(y) AS sy, SUM(y * y) AS syy,
+             SUM(y - th.theta * x) AS sa,
+             SUM((y - th.theta * x) * (y - th.theta * x)) AS saa
+      FROM u CROSS JOIN th
+      GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 1 THEN sy / n END) AS m1,
+        MAX(CASE WHEN arm = 0 THEN sy / n END) AS m0,
+        MAX(CASE WHEN arm = 1 THEN (syy - sy * sy / n) / (n - 1) END) AS v1,
+        MAX(CASE WHEN arm = 0 THEN (syy - sy * sy / n) / (n - 1) END) AS v0,
+        MAX(CASE WHEN arm = 1 THEN sa / n END) AS am1,
+        MAX(CASE WHEN arm = 0 THEN sa / n END) AS am0,
+        MAX(CASE WHEN arm = 1 THEN (saa - sa * sa / n) / (n - 1) END) AS av1,
+        MAX(CASE WHEN arm = 0 THEN (saa - sa * sa / n) / (n - 1) END) AS av0
+      FROM arms
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+           ROUND(m1 - m0, 6) AS diff_raw,
+           ROUND((m1 - m0) / SQRT(v1 / n1 + v0 / n0), 6) AS t_raw,
+           ROUND((SELECT theta FROM th), 6) AS theta,
+           ROUND(am1 - am0, 6) AS diff_cuped,
+           ROUND((am1 - am0) / SQRT(av1 / n1 + av0 / n0), 6) AS t_cuped,
+           ROUND(1.0 - (av1 / n1 + av0 / n0) / (v1 / n1 + v0 / n0), 6)
+             AS se2_reduction
+    FROM w
+    """,
+)
+def pipeline_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end A/B test readout in ONE query — what an
+    experimentation platform computes per metric per experiment:
+    deterministic arm assignment (user_id parity — the hash-split
+    discipline), per-user post-period means, the raw Welch t, and the
+    CUPED-adjusted comparison (y - θx with θ pooled across arms, the
+    agg_cuped_variance_reduction machinery composed into an actual
+    decision readout) with the standard-error reduction the adjustment
+    bought. The θ-pooling, the period split, and the Welch arithmetic
+    reuse the established power-sum discipline verbatim, so this key's
+    parity also cross-checks their COMPOSITION.
+
+    Scale shape: one bounds pass, one per-user conditional-mean
+    aggregate, one pooled 5-power-sum reduce, one 2-group arm
+    aggregate — nothing wider than a dozen doubles past the user
+    tier. Determinism: integer µs-truncated midpoint (the CUPED
+    lesson), power sums expanded identically, 6 dp at output."""
+    from kinesis_adapter_spark.catalog import ts_us_trunc
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", ts_us_trunc().alias("ts_ns"), "value"
+    )
+    bounds = ev.agg(
+        F.shiftright(F.min("ts_ns") + F.max("ts_ns"), 1).alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("ts_ns") < F.col("mid"), F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("ts_ns") >= F.col("mid"), F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select((F.col("user_id") % 2).cast("int").alias("arm"), "x", "y")
+    )
+    p = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    th = p.select(
+        (
+            (F.col("sxy") / n - sx * sy / (n * n))
+            / (F.col("sxx") / n - sx * sx / (n * n))
+        ).alias("theta")
+    )
+    adj = F.col("y") - F.col("theta") * F.col("x")
+    arms = (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("na"),
+            F.sum("y").alias("sya"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(adj).alias("sa"),
+            F.sum(adj * adj).alias("saa"),
+            F.max("theta").alias("theta"),
+        )
+    )
+    def pick(c, arm):
+        return F.max(F.when(F.col("arm") == arm, c))
+    na, sya, syy = F.col("na"), F.col("sya"), F.col("syy")
+    sa, saa = F.col("sa"), F.col("saa")
+    w = arms.agg(
+        pick(na, 1).alias("n1"),
+        pick(na, 0).alias("n0"),
+        pick(sya / na, 1).alias("m1"),
+        pick(sya / na, 0).alias("m0"),
+        pick((syy - sya * sya / na) / (na - 1), 1).alias("v1"),
+        pick((syy - sya * sya / na) / (na - 1), 0).alias("v0"),
+        pick(sa / na, 1).alias("am1"),
+        pick(sa / na, 0).alias("am0"),
+        pick((saa - sa * sa / na) / (na - 1), 1).alias("av1"),
+        pick((saa - sa * sa / na) / (na - 1), 0).alias("av0"),
+        F.max("theta").alias("theta"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    m1, m0, v1, v0 = F.col("m1"), F.col("m0"), F.col("v1"), F.col("v0")
+    am1, am0, av1, av0 = (
+        F.col("am1"),
+        F.col("am0"),
+        F.col("av1"),
+        F.col("av0"),
+    )
+    return w.select(
+        n1.cast("bigint").alias("n_treat"),
+        n0.cast("bigint").alias("n_ctrl"),
+        F.round(m1 - m0, 6).alias("diff_raw"),
+        F.round((m1 - m0) / F.sqrt(v1 / n1 + v0 / n0), 6).alias("t_raw"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(am1 - am0, 6).alias("diff_cuped"),
+        F.round((am1 - am0) / F.sqrt(av1 / n1 + av0 / n0), 6).alias(
+            "t_cuped"
+        ),
+        F.round(
+            1.0 - (av1 / n1 + av0 / n0) / (v1 / n1 + v0 / n0), 6
+        ).alias("se2_reduction"),
+    )

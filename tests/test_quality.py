@@ -2292,3 +2292,61 @@ def test_hard_negatives_match_numpy_ranking(spark):
     }
     hard = {(a, v) for a, v, *_ in got}
     assert hard != rand, "hard and random negatives identical: degenerate"
+
+
+def test_ab_report_matches_python_composition(spark):
+    """pipeline_ab_test_report against an explicit python composition:
+    per-user pre/post means, parity arms, pooled θ, Welch t on raw and
+    CUPED-adjusted metrics — and the cross-key consistency that θ
+    equals agg_cuped_variance_reduction's θ (same pooled users)."""
+    import collections
+
+    from kinesis_adapter_spark.catalog import load as cat_load, ts_us_trunc
+
+    rows = (
+        cat_load(spark, SF_TEST, "events")
+        .select("user_id", ts_us_trunc().alias("t"), "value")
+        .collect()
+    )
+    mid = (min(r["t"] for r in rows) + max(r["t"] for r in rows)) // 2
+    pre = collections.defaultdict(list)
+    post = collections.defaultdict(list)
+    for r in rows:
+        (pre if r["t"] < mid else post)[r["user_id"]].append(r["value"])
+    users = sorted(set(pre) & set(post))
+    xs = {u: sum(pre[u]) / len(pre[u]) for u in users}
+    ys = {u: sum(post[u]) / len(post[u]) for u in users}
+    n = len(users)
+    mx = sum(xs.values()) / n
+    my = sum(ys.values()) / n
+    cov = sum((xs[u] - mx) * (ys[u] - my) for u in users) / n
+    vx = sum((xs[u] - mx) ** 2 for u in users) / n
+    theta = cov / vx
+
+    def arm_stats(vals):
+        m = sum(vals) / len(vals)
+        v = sum((a - m) ** 2 for a in vals) / (len(vals) - 1)
+        return len(vals), m, v
+
+    def welch(tr, ct):
+        n1, m1, v1 = arm_stats(tr)
+        n0, m0, v0 = arm_stats(ct)
+        return m1 - m0, (m1 - m0) / (v1 / n1 + v0 / n0) ** 0.5
+
+    raw_t = [ys[u] for u in users if u % 2 == 1]
+    raw_c = [ys[u] for u in users if u % 2 == 0]
+    adj_t = [ys[u] - theta * xs[u] for u in users if u % 2 == 1]
+    adj_c = [ys[u] - theta * xs[u] for u in users if u % 2 == 0]
+    d_raw, t_raw = welch(raw_t, raw_c)
+    d_adj, t_adj = welch(adj_t, adj_c)
+    got = QUERIES["pipeline_ab_test_report"](spark, SF_TEST).collect()[0]
+    assert (got["n_treat"], got["n_ctrl"]) == (len(raw_t), len(raw_c))
+    assert abs(got["diff_raw"] - d_raw) < 1e-5
+    assert abs(got["t_raw"] - t_raw) < 1e-4
+    assert abs(got["theta"] - theta) < 1e-5
+    assert abs(got["diff_cuped"] - d_adj) < 1e-5
+    assert abs(got["t_cuped"] - t_adj) < 1e-4
+    cuped = QUERIES["agg_cuped_variance_reduction"](spark, SF_TEST).collect()[0]
+    assert abs(got["theta"] - cuped["theta"]) < 2e-6
+    # the adjustment must not inflate the standard error on this data
+    assert got["se2_reduction"] >= 0.0

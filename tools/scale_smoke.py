@@ -143,8 +143,8 @@ SMOKE_OPS = {
     # the edge relation + WindowGroupLimit argmax (pagerank cost model)
     "graph_label_propagation": "lineitem",
     # query-batched two-hop CN/Jaccard: edge-relation equi-joins only;
-    # candidate set linear in |S|·deg² (replication densifies the
-    # graph, so deg grows with copies — watch the cn groupBy)
+    # disjoint replicas keep the candidate set FIXED (measured r9:
+    # qn/cn identical at 1x and 8x) — the ratio is linear edge work
     "graph_link_prediction": "lineitem",
     # streaming sketch maintenance: per-batch LOCAL bottom-k appends
     # (bounded), query merges stored candidates via the merge law
@@ -192,6 +192,9 @@ SMOKE_OPS = {
     # bounded anchor batch x corpus cosine with label residual — the
     # sim_topk cost model
     "search_hard_negatives": "embeddings",
+    # composed experiment readout: bounds pass + per-user means +
+    # pooled power sums + 2-arm agg
+    "pipeline_ab_test_report": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
