@@ -2360,3 +2360,91 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend_strength"
         ),
     ).orderBy("event_type")
+
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)  # hourly autocorrelation lags
+
+
+def _acf_oracle() -> str:
+    """Per-lag Pearson-r CTEs generated from one template (the
+    ts_autocorr_lag1 power-sum discipline, per lag)."""
+    lags = []
+    for k in ACF_LAGS:
+        lags.append(f"""
+    SELECT event_type, {k} AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                        * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6)
+             AS acf
+    FROM (
+      SELECT event_type, v AS x,
+             LAG(v, {k}) OVER (PARTITION BY event_type ORDER BY hour_idx)
+               AS y
+      FROM hourly
+    ) WHERE y IS NOT NULL
+    GROUP BY event_type""")
+    u = "\n    UNION ALL".join(lags)
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY event_type, hour_idx
+    )
+    SELECT * FROM ({u})
+    ORDER BY event_type, lag
+    """
+
+
+@query("ts_acf_multi_lag", _acf_oracle())
+def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The autocorrelation FUNCTION of each metric's hourly series at
+    lags (1, 2, 3, 6, 12, 24) — the correlogram behind ARIMA order
+    selection and seasonality detection (a spike at lag 24 says daily
+    cycle; geometric decay says AR(1); ts_autocorr_lag1 is this
+    table's first row, ts_seasonal_decompose is what you run when
+    lag 24 lights up).
+
+    Scale shape: ONE hourly rollup (corpus-proportional partial agg),
+    then per-lag LAG windows over the rolled-up grid sharing the same
+    (event_type → hour_idx) sort — Catalyst plans all six lags inside
+    the same window partitioning, and each lag's Pearson r reduces to
+    six power sums expanded identically on both engines. Determinism:
+    hourly means round 6 dp before any window; the shared-grid union
+    never re-touches raw events."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    lw = Window.partitionBy("event_type").orderBy("hour_idx")
+    out = None
+    for k in ACF_LAGS:
+        lagged = hourly.select(
+            "event_type",
+            F.col("v").alias("x"),
+            F.lag("v", k).over(lw).alias("y"),
+        ).filter(F.col("y").isNotNull())
+        m = lagged.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+        row = m.select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            n.cast("bigint").alias("n_pairs"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("event_type", "lag")

@@ -1271,3 +1271,83 @@ def pipeline_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - (av1 / n1 + av0 / n0) / (v1 / n1 + v0 / n0), 6
         ).alias("se2_reduction"),
     )
+
+
+@query(
+    "eval_brier_decomposition",
+    f"""
+    WITH {EVAL_SCORED_CTE},
+    bins AS ({_CALIB_BINS_SQL}
+    ),
+    base AS (
+      SELECT SUM(n * pos_rate) / SUM(n) AS p FROM bins
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           ROUND((SELECT AVG((score - label) * (score - label)) FROM scored),
+                 6) AS brier,
+           ROUND(SUM(n * (mean_score - pos_rate) * (mean_score - pos_rate))
+                 / SUM(n), 6) AS reliability,
+           ROUND(SUM(n * (pos_rate - base.p) * (pos_rate - base.p))
+                 / SUM(n), 6) AS resolution,
+           ROUND(MAX(base.p) * (1 - MAX(base.p)), 6) AS uncertainty
+    FROM bins CROSS JOIN base
+    GROUP BY base.p
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with its Murphy decomposition — the proper-scoring
+    view of the same reliability table: brier = mean (score-label)²
+    and, over the 10 calibration bins, reliability (how far bin
+    confidence sits from bin accuracy — lower is better), resolution
+    (how far bins pull away from the base rate — higher is better),
+    and uncertainty (base-rate variance, the irreducible floor);
+    brier ≈ reliability - resolution + uncertainty up to the binning
+    residual. Shares the scored CTE and the _CALIB_BINS_SQL text
+    verbatim, so the decomposition can never fork from the bins.
+
+    Scale shape: the eval_calibration_bins pass plus one corpus
+    mean-square — both map-only aggregates; everything after runs on
+    10 bin rows. Determinism: bin stats are 6-dp-rounded before the
+    decomposition on both engines."""
+    s = _eval_scored(spark, sf_dir)
+    brier = s.agg(
+        F.round(
+            F.avg(
+                (F.col("score") - F.col("label"))
+                * (F.col("score") - F.col("label"))
+            ),
+            6,
+        ).alias("brier")
+    )
+    bins = eval_calibration_bins(spark, sf_dir)
+    base = bins.agg(
+        (F.sum(F.col("n") * F.col("pos_rate")) / F.sum("n")).alias("p")
+    )
+    return (
+        bins.crossJoin(F.broadcast(base))
+        .groupBy("p")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * (F.col("mean_score") - F.col("pos_rate"))
+                    * (F.col("mean_score") - F.col("pos_rate"))
+                )
+                / F.sum("n"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * (F.col("pos_rate") - F.col("p"))
+                    * (F.col("pos_rate") - F.col("p"))
+                )
+                / F.sum("n"),
+                6,
+            ).alias("resolution"),
+            F.round(F.max("p") * (1 - F.max("p")), 6).alias("uncertainty"),
+        )
+        .crossJoin(F.broadcast(brier))
+        .select("n", "brier", "reliability", "resolution", "uncertainty")
+    )

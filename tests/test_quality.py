@@ -2350,3 +2350,85 @@ def test_ab_report_matches_python_composition(spark):
     assert abs(got["theta"] - cuped["theta"]) < 2e-6
     # the adjustment must not inflate the standard error on this data
     assert got["se2_reduction"] >= 0.0
+
+
+def test_brier_decomposition_matches_python_and_identity(spark):
+    """eval_brier_decomposition against python recomputation from the
+    scored rows and the bins, plus Murphy's identity: brier ==
+    reliability - resolution + uncertainty up to the within-bin
+    variance the 6-dp bin rounding and binning residual leave (the
+    identity is exact only for the binned forecaster, so assert a
+    loose band plus the component ranges)."""
+    from kinesis_adapter_spark.operators.mlprep import _eval_scored
+
+    rows = [(r["score"], r["label"]) for r in _eval_scored(spark, SF_TEST).collect()]
+    brier = round(sum((s - lb) ** 2 for s, lb in rows) / len(rows), 6)
+    bins = QUERIES["eval_calibration_bins"](spark, SF_TEST).collect()
+    n = sum(b["n"] for b in bins)
+    base = sum(b["n"] * b["pos_rate"] for b in bins) / n
+    rel = round(
+        sum(b["n"] * (b["mean_score"] - b["pos_rate"]) ** 2 for b in bins) / n, 6
+    )
+    res = round(
+        sum(b["n"] * (b["pos_rate"] - base) ** 2 for b in bins) / n, 6
+    )
+    unc = round(base * (1 - base), 6)
+    got = QUERIES["eval_brier_decomposition"](spark, SF_TEST).collect()[0]
+    assert got["n"] == n
+    assert got["brier"] == brier
+    assert abs(got["reliability"] - rel) <= 1e-6
+    assert abs(got["resolution"] - res) <= 1e-6
+    assert abs(got["uncertainty"] - unc) <= 1e-6
+    # Murphy identity within the binning residual (within-bin score
+    # variance): REL - RES + UNC differs from brier by exactly that
+    # variance term, which is small but nonzero for a continuous score
+    assert abs(got["brier"] - (rel - res + unc)) < 0.02
+    assert 0 <= got["reliability"] and 0 <= got["resolution"] <= unc + 1e-9
+
+
+def test_acf_multi_lag_matches_python_and_lag1_twin(spark):
+    """ts_acf_multi_lag against python Pearson r per (type, lag) on
+    the rounded hourly grid, and its lag-1 rows must equal
+    ts_autocorr_lag1's output exactly (the same computation — a fork
+    would be a bug)."""
+    import collections
+
+    from kinesis_adapter_spark.operators.insights import ACF_LAGS
+
+    hourly = collections.defaultdict(dict)
+    for r in (
+        QUERIES["ts_seasonal_decompose"](spark, SF_TEST)
+        .select("event_type", "hour_idx", "hourly_mean")
+        .collect()
+    ):
+        hourly[r["event_type"]][r["hour_idx"]] = r["hourly_mean"]
+
+    def pearson(pairs):
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        return (n * sxy - sx * sy) / (
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        )
+
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in QUERIES["ts_acf_multi_lag"](spark, SF_TEST).collect()
+    }
+    for et, hs in hourly.items():
+        idxs = sorted(hs)
+        vals = [hs[i] for i in idxs]
+        for k in ACF_LAGS:
+            pairs = [(vals[i], vals[i - k]) for i in range(k, len(vals))]
+            np_, acf = got[(et, k)]
+            assert np_ == len(pairs), (et, k)
+            assert abs(acf - pearson(pairs)) < 1e-5, (et, k)
+    lag1 = {
+        r["event_type"]: (r["n_pairs"], r["autocorr_lag1"])
+        for r in QUERIES["ts_autocorr_lag1"](spark, SF_TEST).collect()
+    }
+    for et, (np_, acf) in lag1.items():
+        assert got[(et, 1)] == (np_, acf), et

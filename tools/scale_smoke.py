@@ -195,6 +195,10 @@ SMOKE_OPS = {
     # composed experiment readout: bounds pass + per-user means +
     # pooled power sums + 2-arm agg
     "pipeline_ab_test_report": "events",
+    # bins pass + one corpus mean-square; correlogram = one rollup +
+    # six same-partitioning LAG windows over the grid
+    "eval_brier_decomposition": "orders",
+    "ts_acf_multi_lag": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
