@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.catalog import NS_PER_HOUR, load, ts_bucket
 from kinesis_adapter_spark.plans.registry import query
+from kinesis_adapter_spark.session import released_persists
 
 def _revenue():
     # Built lazily: pyspark-classic F.col() needs an active SparkContext,
@@ -1016,7 +1017,25 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_salted_skew / join_salted_skew exist for — this op tells you
     which keys and how bad, so the salt count is chosen from data, not
     folklore. At 100 TB the same report runs on a sample or on the
-    maintained frequency rollup."""
+    maintained frequency rollup.
+
+    Output is bounded (top-5 rows), so the call materializes it and
+    releases the frequency tier's localCheckpoint before returning (the
+    q21 pattern — r10 persist-leak sweep caught this key pinning the
+    tier across calls); the lazy plan lives in _skew_report_plan for
+    the plan pin."""
+    with released_persists(spark):
+        # build INSIDE the guard: localCheckpoint registers its persist
+        # at call time (materialization is what's deferred), so a plan
+        # built before the snapshot would escape the release
+        plan = _skew_report_plan(spark, sf_dir)
+        rows = plan.collect()  # <=5 rows: bounded result
+    return spark.createDataFrame(rows, plan.schema).orderBy("hot_rank")
+
+
+def _skew_report_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_key_report's lazy plan (frequency tier checkpoint included)
+    — the key function owns the materialize-and-release lifecycle."""
     o = load(spark, sf_dir, "orders")
     # materialize the frequency tier once (lazy localCheckpoint): both
     # the stats and top-5 consumers read it, so orders is scanned a

@@ -21,6 +21,7 @@ from kinesis_adapter_spark.catalog import (
     ts_us_trunc,
 )
 from kinesis_adapter_spark.plans.registry import query
+from kinesis_adapter_spark.session import released_persists
 
 
 @query(
@@ -1059,7 +1060,22 @@ def triangle_stats(e: DataFrame) -> DataFrame:
     rows at 8× sf0.1 and ran 1.7× over the linear bound from shuffle
     spill); the same information rides as per-node sorted arrays
     (bounded O(√m) by the orientation), joined by plain equi-joins and
-    intersected map-side. Wedge totals come closed-form from degrees."""
+    intersected map-side. Wedge totals come closed-form from degrees.
+
+    Output is ONE stats row, so the call materializes it and releases
+    both localCheckpoints before returning (q21 bounded-collect
+    pattern — the r10 persist-leak sweep caught this key pinning the
+    edge + oriented-edge frames across calls)."""
+    spark = e.sparkSession
+    with released_persists(spark):
+        plan = _triangle_stats_plan(e)
+        rows = plan.collect()  # 1 row: bounded result
+    return spark.createDataFrame(rows, plan.schema)
+
+
+def _triangle_stats_plan(e: DataFrame) -> DataFrame:
+    """triangle_stats' lazy plan (checkpoints included) — callers own
+    the materialize-and-release lifecycle (triangle_stats does both)."""
     e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))

@@ -43,8 +43,11 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip is the slow path by construction."""
     import re
 
+    # no type hints on purpose: the returnType IS StringType(), and
+    # hinted closures make pyspark try (and fail) to infer an Arrow
+    # eval type, emitting a UserWarning on every run (VERDICT r9)
     @F.udf(StringType())
-    def clean_text(s: str) -> str:
+    def clean_text(s):
         if s is None:  # SQL trim(NULL) is NULL; match it (ADVICE r01)
             return None
         return re.sub(r"\s+", " ", s.strip()).lower()

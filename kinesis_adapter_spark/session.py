@@ -98,5 +98,64 @@ def prepare_session(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass
+            pass  # conf locked/unknown on this build — keep the rest applied
     return spark
+
+
+def persistent_rdd_ids(spark: SparkSession) -> frozenset:
+    """Ids of every RDD the context currently pins (persist/cache AND
+    localCheckpoint — a local checkpoint registers its backing RDD in
+    the same map). The cache-hygiene gate's measurement surface:
+    tools/replica_check.py snapshots this around every registry key."""
+    return frozenset(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+
+def release_persist_ids(spark: SparkSession, ids) -> None:
+    """Unpersist exactly the given RDD ids (if still pinned). Used by
+    iterative cores to drop a superseded round's localCheckpoint as
+    soon as nothing can reference it — without this, an R-round
+    convergence loop pins R node-sized checkpoints at peak instead
+    of 2 (the r10 in-loop memory fix)."""
+    for rid, jrdd in dict(
+        spark.sparkContext._jsc.getPersistentRDDs()
+    ).items():
+        if rid in ids:
+            jrdd.unpersist(False)
+
+
+def release_new_persists(spark: SparkSession, before: frozenset) -> None:
+    """Unpersist every RDD pinned since ``before`` (a
+    ``persistent_rdd_ids`` snapshot). Non-blocking: the persistentRdds
+    map updates synchronously; executor block removal is async."""
+    for rid, jrdd in dict(
+        spark.sparkContext._jsc.getPersistentRDDs()
+    ).items():
+        if rid not in before:
+            jrdd.unpersist(False)
+
+
+class released_persists:
+    """Scope guard for the r9 cache-hygiene rule ("no returned lazy
+    frame owns a persist"): every persist/cache/localCheckpoint taken
+    inside the block is released on exit, success or error. For use
+    around a fully-materializing action (a bounded collect or an
+    artifact write) — anything lazy that still references a checkpoint
+    taken inside the block would recompute-fail after release, which is
+    the point: the block boundary IS the materialization boundary.
+
+    Snapshot-diff, not handle tracking, so it also catches persists
+    taken by helpers the caller can't see (the way the replica sweep
+    measures). Assumes one driver thread per session — a concurrent
+    query's new persists inside the window would be swept too.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.before = persistent_rdd_ids(self.spark)
+        return self
+
+    def __exit__(self, *exc):
+        release_new_persists(self.spark, self.before)
+        return False

@@ -77,7 +77,7 @@ def create_stream(name: str, shards: int = 4):
     try:
         kin.create_stream(StreamName=name, ShardCount=shards)
     except kin.exceptions.ResourceInUseException:
-        pass
+        pass  # stream already exists — idempotent create, fall through to wait
     for _ in range(50):
         desc = kin.describe_stream_summary(StreamName=name)
         if desc["StreamDescriptionSummary"]["StreamStatus"] == "ACTIVE":

@@ -296,7 +296,7 @@ def source_s3_moto(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         s3.create_bucket(Bucket=bucket)
     except Exception:
-        pass
+        pass  # bucket already exists from a prior call — idempotent staging
     staged = derived_dir(sf_dir) / "s3_download"
     staged.mkdir(exist_ok=True)
     for f in sorted(ndjson.glob("events-*.json")):

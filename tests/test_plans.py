@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
 from tests.oracle import SF_TEST
 
@@ -373,6 +375,33 @@ def test_q21_correlation_pair_plans_as_semi_plus_anti(spark):
     assert not leaked, leaked
 
 
+@pytest.mark.parametrize(
+    "key",
+    [
+        # the four keys the r10 registry-wide persist sweep caught
+        # leaking localCheckpoints (tools/replica_check.py now gates
+        # every key; these are the fast point-regression twins)
+        "skew_key_report",
+        "graph_triangle_count",
+        "dedup_cluster_cc",
+        "dedup_cluster_cc_stars",
+    ],
+)
+def test_fixed_leakers_release_their_persists(spark, key):
+    """Each formerly-leaking key must leave the context's persistent-RDD
+    map exactly as it found it after a full materialization — bounded
+    keys via the q21 collect-and-release pattern, corpus-sized CC via
+    the staged-artifact lifecycle (build under released_persists, serve
+    a persist-free read)."""
+    from kinesis_adapter_spark.session import persistent_rdd_ids
+
+    QUERIES[key](spark, SF_TEST).collect()  # absorb first-call staging
+    before = persistent_rdd_ids(spark)
+    QUERIES[key](spark, SF_TEST).collect()
+    leaked = persistent_rdd_ids(spark) - before
+    assert not leaked, (key, leaked)
+
+
 def test_ivf_probe_reads_only_nprobe_partitions(spark):
     """ann_ivf_partitioned must probe the written cell-partitioned
     layout via partition pruning: the scan's PartitionFilters carries
@@ -614,8 +643,15 @@ def test_skew_report_frequency_tier_only_row_scale_agg(spark):
     1. downstream of the materialized tier: top-5 via TakeOrdered and
        ZERO re-shuffles of the frequency frame;
     2. the frequency tier itself (rebuilt without the checkpoint):
-       exactly one key exchange with map-side partial aggregation."""
-    plan = plan_of(spark, "skew_key_report")
+       exactly one key exchange with map-side partial aggregation.
+
+    Pins the lazy _skew_report_plan helper (r10: the key function now
+    materializes the bounded top-5 and releases the tier's checkpoint
+    — the q21 lifecycle — so its returned frame is a local scan)."""
+    from kinesis_adapter_spark.operators.analytics import _skew_report_plan
+
+    lazy = _skew_report_plan(spark, SF_TEST)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert plan.count("Exchange hashpartitioning") == 0, plan[:3000]
 

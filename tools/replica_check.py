@@ -48,13 +48,29 @@ def main() -> int:
     import __spark_entry__ as E
     from tests.oracle import arrow_type_problems, check_query
 
+    def persist_state() -> tuple[frozenset, bool]:
+        """(persistent RDD ids, cacheManager.isEmpty) — the two surfaces
+        a leaked ``df.persist()`` shows up on: materialized caches hold
+        an RDD id; a persist that was never acted on registers only in
+        the cache manager. Registry rule since r9: no returned lazy
+        frame may own a persist, so after a key's check completes BOTH
+        must be back at the pre-key state (VERDICT r9 item #1 — two
+        rounds of judge-found leaks say sample-testing under-detects)."""
+        ids = frozenset(spark.sparkContext._jsc.getPersistentRDDs().keys())
+        empty = bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+        return ids, empty
+
     t0 = time.time()
     entry_rows = len(E.entry(spark).collect())
     results: dict[str, dict] = {}
+    leaked: dict[str, list] = {}
     qs, osql = E.queries(), E.oracle_sql()
     n_pass = n_rows_only = n_fail = 0
     for key in sorted(qs):
         kt0 = time.time()
+        ids_before, cache_empty_before = persist_state()
         rec: dict = {}
         try:
             if key in osql:
@@ -90,11 +106,31 @@ def main() -> int:
             rec["status"] = "fail"
             rec["problems"] = [f"{type(exc).__name__}: {exc}"[:500]]
         rec["sec"] = round(time.time() - kt0, 2)
+
+        # Cache-hygiene sweep (VERDICT r9 item #1): any persist that
+        # survives the key's check is a leak. Record it, then clean it
+        # up so the next key's baseline (and memory) stays pristine —
+        # the record is the gate, the cleanup just keeps the sweep fair.
+        ids_after, cache_empty_after = persist_state()
+        key_leaks: list = sorted(ids_after - ids_before)
+        if cache_empty_before and not cache_empty_after and not key_leaks:
+            key_leaks = ["unmaterialized_df_cache"]
+        if key_leaks:
+            leaked[key] = key_leaks
+            rec["leaked_persists"] = key_leaks
+            spark.catalog.clearCache()
+            for rid, jrdd in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).items():
+                if rid not in ids_before:
+                    jrdd.unpersist(False)
+
         results[key] = rec
         n_pass += rec["status"] == "pass"
         n_rows_only += rec["status"] == "rows_only"
         n_fail += rec["status"] == "fail"
-        print(f"{rec['status']:<9} {key} ({rec['sec']}s)", flush=True)
+        leak_note = f" LEAKED{key_leaks}" if key_leaks else ""
+        print(f"{rec['status']:<9} {key} ({rec['sec']}s){leak_note}", flush=True)
 
     # Freshness refusal (VERDICT r8 item #1): the artifact this tool
     # writes is the repo's claim of full-registry coverage, so it must
@@ -119,6 +155,7 @@ def main() -> int:
         "pass": n_pass,
         "rows_only": n_rows_only,
         "zero_row_keys": zero_rows,
+        "leaked_persists": leaked,
         "fail": n_fail,
         "wall_sec": round(time.time() - t0, 1),
         "keys": results,

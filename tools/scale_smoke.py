@@ -47,7 +47,10 @@ SMOKE_OPS = {
     "text_repetition_score": "documents",
     "dedup_near_minhash": "documents",
     "pipeline_text_curation": "documents",
-    "dedup_cluster_cc_stars": "documents",
+    # dedup_cluster_cc_stars moved to SPECIAL_SMOKES as cc_stars_build
+    # (r10): the registry key now serves a fingerprint-staged artifact,
+    # so time_op on the key would measure a parquet read — the build is
+    # what must scale, and the special smoke drives the core directly
     "sim_topk": "embeddings",
     "dedup_containment": "documents",
     "agg_bitmap_distinct": "events",
@@ -414,11 +417,59 @@ def smoke_ivm_fixed_delta(spark, factor: int, scaled: str) -> dict:
     }
 
 
+def _smoke_cc_build(spark, factor: int, scaled: str, core, name: str) -> dict:
+    """CC BUILD scaling (r10): the registry keys serve a staged
+    artifact, so time_op on them measures a parquet read — this drives
+    the contraction/propagation core on the pair fixture directly
+    (released_persists, the key's own build guard) at 1× and N×."""
+    from kinesis_adapter_spark.operators.curation import _cc_pairs
+    from kinesis_adapter_spark.session import released_persists
+
+    def run(sf_dir: str) -> int:
+        with released_persists(spark):
+            return core(_cc_pairs(spark, sf_dir)).count()
+
+    n1 = run(BASE_SF)  # warm
+    t0 = time.perf_counter()
+    run(BASE_SF)
+    t1 = time.perf_counter() - t0
+    nn = run(scaled)  # warm
+    t0 = time.perf_counter()
+    run(scaled)
+    tn = time.perf_counter() - t0
+    return {
+        "op": name,
+        "table": "documents (pair fixture; full build, no staging reuse)",
+        "t_1x_sec": round(t1, 3),
+        f"t_{factor}x_sec": round(tn, 3),
+        "ratio": round(tn / t1, 2),
+        "factor": factor,
+        "labels_1x": n1,
+        f"labels_{factor}x": nn,
+    }
+
+
+def smoke_cc_stars_build(spark, factor: int, scaled: str) -> dict:
+    from kinesis_adapter_spark.operators.curation import cc_star_labels
+
+    return _smoke_cc_build(spark, factor, scaled, cc_star_labels, "cc_stars_build")
+
+
+def smoke_cc_prop_build(spark, factor: int, scaled: str) -> dict:
+    from kinesis_adapter_spark.operators.curation import cc_propagate_labels
+
+    return _smoke_cc_build(
+        spark, factor, scaled, cc_propagate_labels, "cc_prop_build"
+    )
+
+
 SPECIAL_SMOKES = {
     "join_spatial_grid_area": lambda spark, factor, scaled: smoke_spatial_area(
         spark, factor
     ),
     "incremental_mv_fixed_delta": smoke_ivm_fixed_delta,
+    "cc_stars_build": smoke_cc_stars_build,
+    "cc_prop_build": smoke_cc_prop_build,
 }
 
 
