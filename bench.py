@@ -105,6 +105,11 @@ EXTRAS = {
     "label_prop": "graph_label_propagation",
     "video_frames": "mm_video_frame_extract",
     "image_curation": "pipeline_image_curation",
+    # round-10 addition (VERDICT r9 item #7): the heaviest streaming-
+    # maintain twin still unbenched after bm25 (per-batch local
+    # bottom-k appends + merge-law query). Anchor: BASELINE.md
+    # "Round-10 anchor adoption" (two idle FULL-bench runs).
+    "kmv_maintain": "stream_kmv_maintain",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -175,6 +180,10 @@ ANCHORS = {
     "label_prop": 5.34,
     "video_frames": 2.82,
     "image_curation": 0.87,
+    # round-10 addition, anchored at the mean of two idle FULL-bench
+    # runs' medians-of-5 (BASELINE.md "Round-10 anchor adoption");
+    # provisional standalone median was 2.79 before adoption
+    "kmv_maintain": 2.79,
 }
 
 

@@ -1007,15 +1007,27 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition) collected as k×d rows — never data — then re-rounded
     and re-broadcast. K rounds = K corpus passes, the Lloyd's floor;
     at 100 TB you mini-batch the update pass, same plumbing."""
-    import numpy as np
-    import pandas as pd
-
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
     )
+    return _kmeans_fit_assign(e).orderBy("vec_id")
+
+
+def _kmeans_fit_assign(e: DataFrame, k: int = KM_K) -> DataFrame:
+    """The Lloyd's fit+assign core over an arbitrary ``(vec_id,
+    x: array<double>)`` frame — factored out (r10) so
+    pipeline_semantic_dedup can cluster its dup-injected corpus with
+    the IDENTICAL loop the emb_kmeans_lloyd oracle replays (never-fork:
+    both oracles reuse the _KM_ROUND CTE template, only the source
+    CTE — and for semantic dedup, the data-dependent ``k`` — differ).
+    Seeds are vec_id < k; the caller guarantees those ids exist.
+    Returns the final (vec_id, cluster) assignment."""
+    import numpy as np
+    import pandas as pd
+
     seeds = (
-        e.filter(F.col("vec_id") < KM_K)
+        e.filter(F.col("vec_id") < k)
         .select("vec_id", "x")
         .collect()  # k rows: model init, never data
     )
@@ -1032,8 +1044,20 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m = np.array([np.asarray(v) for v in pdf["x"]])
                 if not len(m):
                     continue
-                d2 = ((m[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
-                best = np.round(d2, 6).argmin(axis=1)  # tie -> lowest id
+                # row-chunked so the (rows, k, d) broadcast temp stays
+                # bounded at large k (semantic dedup scales k with the
+                # corpus); the per-element float ops are unchanged, so
+                # the 6-dp-rounded distances the oracle replays agree
+                best = np.empty(len(m), dtype=np.int64)
+                step = max(1, 16_000_000 // (mat.shape[0] * mat.shape[1]))
+                for lo in range(0, len(m), step):
+                    blk = m[lo : lo + step]
+                    d2 = ((blk[:, None, :] - mat[None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    best[lo : lo + step] = np.round(d2, 6).argmin(
+                        axis=1
+                    )  # tie -> lowest id
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
@@ -1054,7 +1078,212 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = {}
         for r in upd:
             cents.setdefault(int(r["cluster"]), np.zeros(64))[r["pos"]] = r["w"]
-    return assign_with(cents).orderBy("vec_id")
+    return assign_with(cents)
+
+
+SEMDEDUP_TAU = 0.9  # intra-cluster cosine threshold (near-dup gate)
+SEMDEDUP_TARGET = 1000  # target cluster size: k = max(KM_K, n // this)
+
+# The SemDeDup oracle replays the WHOLE composition: k-means over the
+# dup-injected corpus (the same _KM_ROUND chain as emb_kmeans_lloyd,
+# sourced from the union, with the data-dependent k in c0), intra-
+# cluster cosine pairs, pairwise quality dominance (dedup_keep_best's
+# quality expression verbatim), and the per-lang audit rollup.
+_SEMDEDUP_SQL = (
+    f"""
+    WITH corpus AS ({NEARDUP_EMB_SQL}),
+    kk AS (SELECT GREATEST({KM_K}, COUNT(*) // {SEMDEDUP_TARGET}) AS k
+           FROM corpus),
+    x AS MATERIALIZED (
+      SELECT vec_id, u.i - 1 AS pos, CAST(u.v AS DOUBLE) AS xv
+      FROM corpus,
+           LATERAL (SELECT unnest(emb) AS v,
+                           generate_subscripts(emb, 1) AS i) u
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cluster, pos, ROUND(xv, 6) AS w
+      FROM x WHERE vec_id < (SELECT k FROM kk)
+    )"""
+    + "".join(_KM_ROUND.format(t=t, prev=t - 1) for t in range(1, KM_ITERS + 1))
+    + f""",
+    afin AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rk
+        FROM (
+          SELECT x.vec_id, c.cluster,
+                 ROUND(SUM((x.xv - c.w) * (x.xv - c.w)), 6) AS dist
+          FROM x JOIN c{KM_ITERS} c USING (pos)
+          GROUP BY 1, 2
+        )
+      ) WHERE rk = 1
+    ),
+    docs AS (
+      SELECT doc_id, lang,
+             n_chars - 2 * len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               AS quality
+      FROM documents
+    ),
+    meta AS MATERIALIZED (
+      SELECT c.vec_id, c.emb, a.cluster, d.lang, d.quality
+      FROM corpus c
+      JOIN afin a USING (vec_id)
+      JOIN docs d ON d.doc_id = c.vec_id % 1000000
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.quality AS qa, b.quality AS qb
+      FROM meta a JOIN meta b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {SEMDEDUP_TAU}
+    ),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN qb > qa THEN ia ELSE ib END AS vec_id
+      FROM pairs
+    )
+    SELECT m.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS drop_rate
+    FROM meta m LEFT JOIN dropped dr USING (vec_id)
+    GROUP BY m.lang
+    ORDER BY m.lang
+    """
+)
+
+
+@query("pipeline_semantic_dedup", _SEMDEDUP_SQL)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    public literature), composed end-to-end from the repo's own
+    stages: k-means cluster assignment over the dup-injected embedding
+    corpus (_kmeans_fit_assign — the emb_kmeans_lloyd loop verbatim),
+    intra-CLUSTER cosine near-dup pairs (dedup_embedding_cosine's
+    blocked-equi-join shape with the cluster as the block key — the
+    SemDeDup point: clustering bounds the comparison set), pairwise
+    quality dominance using dedup_keep_best's quality score (a doc is
+    dropped when any ≥τ-similar doc beats it on (quality, lower id) —
+    the greedy one-per-ε-ball reduction), and a per-lang audit rollup
+    (lang, n_vecs, n_dropped, n_kept, drop_rate).
+
+    This is the pipeline a pretraining data curation run actually
+    executes; composing it cross-checks cluster/id/lang plumbing
+    across the three stage families the way pipeline_rag_retrieval
+    did for retrieval. Scale shape: the k-means fit is K corpus
+    passes with k×d broadcast state; the pair join shuffles on the
+    cluster key (never all-pairs); the audit is one |langs|-group
+    aggregate. Output is BOUNDED (one row per lang), so the key
+    materializes it and releases the assignment persist before
+    returning (the q21 lifecycle; _semantic_dedup_plan carries the
+    lazy plan for the pin test).
+
+    Determinism: cluster assignments replay the 6-dp-rounded Lloyd's
+    loop both engines already agree on (emb_kmeans_lloyd); the cosine
+    gate compares 6-dp-rounded sims whose fixture margin is wide
+    (injected 1.001-scaled copies sit at ~1.0, random 64-d pairs far
+    below τ); qualities are integers; counts are integers."""
+    plan, assigned = _semantic_dedup_plan(spark, sf_dir)
+    try:
+        rows = plan.collect()  # ≤|langs| rows: bounded audit
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(rows, plan.schema).orderBy("lang")
+
+
+def _semantic_dedup_plan(spark: SparkSession, sf_dir: str):
+    """The lazy audit plan plus the persisted (corpus ⋈ assignment ⋈
+    docs) handle the caller must release after materializing (the
+    _q21_plan contract). The persist is load-bearing: meta feeds both
+    pair legs AND the audit base — unpersisted, the k-means
+    assignment's mapInPandas would recompute three times."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.001).alias(
+            "emb"
+        ),
+    )
+    corpus = base.unionByName(dup)
+    # k scales with the corpus (SemDeDup's own regime): intra-cluster
+    # pair cost is Σ|cluster|² ≈ n · target — LINEAR in n for fixed
+    # target cluster size, where a fixed k would be O(n²/k). Both
+    # engines derive k from the same integer formula.
+    k = max(KM_K, corpus.count() // SEMDEDUP_TARGET)
+    assign = _kmeans_fit_assign(
+        corpus.select("vec_id", F.col("emb").alias("x")), k=k
+    )
+    quality = (
+        F.col("n_chars")
+        - 2 * F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality.alias("quality")
+    )
+    meta = (
+        corpus.join(assign, "vec_id")
+        .join(docs, F.col("doc_id") == F.col("vec_id") % 1_000_000)
+        .select("vec_id", "emb", "cluster", "lang", "quality")
+        .persist()  # read by both pair legs and the audit base
+    )
+    a = meta.select(
+        F.col("vec_id").alias("ia"),
+        F.col("emb").alias("va"),
+        F.col("cluster").alias("ca"),
+        F.col("quality").alias("qa"),
+    )
+    b = meta.select(
+        F.col("vec_id").alias("ib"),
+        F.col("emb").alias("vb"),
+        F.col("cluster").alias("cb"),
+        F.col("quality").alias("qb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+    pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
+        .filter(F.round(dot / (na * nb), 6) >= SEMDEDUP_TAU)
+        .select("ia", "ib", "qa", "qb")
+    )
+    dropped = (
+        pairs.select(
+            F.when(F.col("qb") > F.col("qa"), F.col("ia"))
+            .otherwise(F.col("ib"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("is_drop", F.lit(1))
+    )
+    audit = (
+        meta.join(dropped, "vec_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce("is_drop", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("is_drop").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(
+                F.sum(F.coalesce("is_drop", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("drop_rate"),
+        )
+        .orderBy("lang")
+    )
+    return audit, meta
 
 
 # RRF CTE block (expects the BM25 chain spliced before it): the two

@@ -2193,6 +2193,318 @@ def vocab_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — the OTHER of
+# the two tokenizer families real pipelines use (Kudo 2018, public
+# literature), completing train/encode/fertility with a probabilistic
+# segmenter beside the merge-based BPE. Hard-EM (Viterbi) variant:
+# E-step segments every word TYPE by best-path DP under the current
+# piece log-probs; M-step re-estimates log-probs from the weighted
+# piece usage counts. K fixed rounds, the vocab set frozen at seeding
+# (unused pieces carry a -99 floor instead of being dropped, so the
+# DP stays total and the round count stays deterministic).
+# ---------------------------------------------------------------------------
+
+UNI_SEED_TOP = 200  # multi-char seed pieces kept (by count desc, piece)
+UNI_PIECE_MAX = 4  # max piece length (chars)
+UNI_MAX_WLEN = 12  # words longer than this are dropped on BOTH engines
+# (the SentencePiece max-length knob; also the oracle's DP unroll bound)
+UNI_EM_ROUNDS = 3  # fixed EM rounds (the BPE K-rounds discipline)
+UNI_FLOOR = -99.0  # log-prob floor for pieces unused in a round
+
+
+def _rnd6_half_away(x: float) -> float:
+    """round(x, 6) with HALF-AWAY-FROM-ZERO ties — DuckDB's (and Spark
+    F.round's) semantics; Python's builtin round is banker's, which
+    would fork the engines exactly at a tie boundary."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def _uni_viterbi(word: str, lp: dict) -> list:
+    """Best segmentation of ``word`` under piece log-probs ``lp``:
+    dp[i] = max over piece lengths L=4..1 of dp[i-L] + lp[word[i-L:i]],
+    ties broken toward the LONGER piece (first seen wins under strict
+    >). Total because every single char is in the vocab. The oracle
+    replays this exact DP (same float additions, same operand order,
+    same tiebreak) as a recursive CTE, so scores are bit-identical."""
+    n = len(word)
+    dp = [None] * (n + 1)
+    back = [0] * (n + 1)
+    dp[0] = 0.0
+    for i in range(1, n + 1):
+        best = None
+        best_len = 0
+        for length in range(UNI_PIECE_MAX, 0, -1):
+            j = i - length
+            if j < 0 or dp[j] is None:
+                continue
+            v = lp.get(word[j:i])
+            if v is None:
+                continue
+            s = dp[j] + v
+            if best is None or s > best:
+                best, best_len = s, length
+        dp[i] = best
+        back[i] = best_len
+    pieces = []
+    i = n
+    while i > 0:
+        pieces.append(word[i - back[i] : i])
+        i -= back[i]
+    pieces.reverse()
+    return pieces
+
+
+def _unigram_em(spark: SparkSession, sf_dir: str):
+    """The seeding + K-round hard-EM loop. Returns ``(counts, total)``
+    for the final round: piece → weighted usage count (ints) over the
+    word-type table, and their sum.
+
+    Distributed shape: one corpus pass builds the word-TYPE table (the
+    only corpus-sized shuffle, shared with the BPE trainer); seeding
+    is a type-sized substring explode into a piece count (lengths
+    1..UNI_PIECE_MAX) whose kept head is BOUNDED (all single chars +
+    top UNI_SEED_TOP multi-char pieces — bounded collect, model
+    metadata). Each EM round is then one mapInPandas Viterbi pass over
+    TYPES with the ≤(26+UNI_SEED_TOP)-entry vocab broadcast, a
+    piece-keyed partial-agg shuffle whose key domain is the vocab, and
+    a vocab-sized collect for the driver-side M-step — at 100 TB the
+    corpus pass dominates; K rounds add type-sized work only, and
+    nothing corpus-sized ever reaches the driver."""
+    import math
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{1,%d}$" % UNI_MAX_WLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    subs = (
+        words.select(
+            "w",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+        )
+        .select(
+            "w",
+            "freq",
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(UNI_PIECE_MAX))).alias("L"),
+        )
+        .filter(F.col("i") + F.col("L") - 1 <= F.length("w"))
+        .select(
+            F.col("w").substr(F.col("i"), F.col("L")).alias("piece"), "freq"
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("n"))
+    )
+    chars = [
+        (r["piece"], r["n"])
+        for r in subs.filter(F.length("piece") == 1).collect()
+    ]  # bounded: the alphabet
+    top = [
+        (r["piece"], r["n"])
+        for r in subs.filter(F.length("piece") >= 2)
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(UNI_SEED_TOP)
+        .collect()
+    ]  # bounded: UNI_SEED_TOP rows of model metadata
+    seed = chars + top
+    total = sum(n for _, n in seed)
+    lp = {p: _rnd6_half_away(math.log(n / total)) for p, n in seed}
+
+    counts: dict = {}
+    for _ in range(UNI_EM_ROUNDS):
+        blp = spark.sparkContext.broadcast(lp)
+
+        def estep(batches):
+            import pandas as pd
+
+            vocab = blp.value
+            for pdf in batches:
+                agg: dict = {}
+                for w, f in zip(pdf["w"], pdf["freq"]):
+                    for pc in _uni_viterbi(w, vocab):
+                        agg[pc] = agg.get(pc, 0) + int(f)
+                yield pd.DataFrame(
+                    {"piece": list(agg), "n": list(agg.values())}
+                )
+
+        rows = (
+            words.mapInPandas(estep, "piece string, n long")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )  # bounded: ≤ |vocab| rows
+        counts = {r["piece"]: r["n"] for r in rows}
+        total = sum(counts.values())
+        lp = {
+            p: (
+                _rnd6_half_away(math.log(counts[p] / total))
+                if counts.get(p)
+                else UNI_FLOOR
+            )
+            for p in lp
+        }
+        blp.unpersist()
+    return counts, total
+
+
+# Oracle: the identical seeding + K Viterbi-EM rounds, unrolled — and
+# the per-word DP is ALSO unrolled, position by position, as plain
+# CTEs (dp{r}_{i} = best score/path over the first i chars of every
+# word of length >= i, argmax over the <=UNI_PIECE_MAX lookback legs
+# via a QUALIFY row_number with the same (score DESC, piece-length
+# DESC) tiebreak as the Python DP). Two reasons there is no recursive
+# CTE here: DuckDB 1.0 silently evaluates a MATERIALIZED CTE as EMPTY
+# when referenced from a recursive term, and without materialization
+# each round's vocab CTE would inline (and so re-run) every prior
+# round per iteration — measured 58 s at sf0.01 / 314 s at sf0.1 for
+# the recursive formulation vs well under a second unrolled. The
+# unroll bound UNI_MAX_WLEN is part of the operator SPEC (both engines
+# drop longer words — the SentencePiece max-sentence-length knob), not
+# an assumption about the fixture. Float semantics per candidate are
+# one addition (dp[j] + lp) of identical rounded doubles on both
+# engines, so scores and paths stay bit-identical.
+
+
+def _uni_dp_cte(r: int, i: int) -> str:
+    """dp{r}_{i}: best (score, path) for the first ``i`` chars under
+    round-r vocab v{r-1}."""
+    legs = []
+    for length in range(1, UNI_PIECE_MAX + 1):
+        if i - length < 0:
+            continue
+        start = i + 1 - length
+        legs.append(
+            f"""
+        SELECT d.word, {length} AS L, d.s + v.lp AS s,
+               d.p || '{{' || substr(d.word, {start}, {length}) || '}}' AS p
+        FROM dp{r}_{i - length} d
+        JOIN v{r - 1} v ON v.piece = substr(d.word, {start}, {length})
+        WHERE len(d.word) >= {i}"""
+        )
+    union = "\n        UNION ALL".join(legs)
+    return f""",
+    dp{r}_{i} AS MATERIALIZED (
+      SELECT word, s, p FROM ({union}
+      ) u
+      QUALIFY row_number() OVER (PARTITION BY word
+                                 ORDER BY s DESC, L DESC) = 1
+    )"""
+
+
+def _uni_round_ctes(r: int) -> str:
+    """One EM round: the position-unrolled Viterbi, per-word final
+    segmentations, weighted piece counts, and the re-estimated vocab."""
+    dp0 = f""",
+    dp{r}_0 AS (SELECT word, CAST(0.0 AS DOUBLE) AS s, '' AS p FROM words)"""
+    dps = "".join(_uni_dp_cte(r, i) for i in range(1, UNI_MAX_WLEN + 1))
+    seg = "\n      UNION ALL ".join(
+        f"SELECT word, p FROM dp{r}_{i} WHERE len(word) = {i}"
+        for i in range(1, UNI_MAX_WLEN + 1)
+    )
+    return (
+        dp0
+        + dps
+        + f""",
+    seg{r} AS (
+      {seg}
+    ),
+    cnt{r} AS MATERIALIZED (
+      SELECT pc AS piece, SUM(freq) AS n
+      FROM (SELECT w.freq,
+                   unnest(str_split(regexp_replace(g.p, '^\\{{|\\}}$', '', 'g'),
+                                    '}}{{')) AS pc
+            FROM seg{r} g JOIN words w ON w.word = g.word)
+      GROUP BY 1
+    ),
+    tot{r} AS (SELECT SUM(n) AS t FROM cnt{r}),
+    v{r} AS MATERIALIZED (
+      SELECT s.piece,
+             CASE WHEN c.n IS NULL THEN -99.0
+                  ELSE round(ln(c.n / (SELECT t FROM tot{r})), 6) END AS lp
+      FROM v0 s LEFT JOIN cnt{r} c USING (piece)
+    )"""
+    )
+
+
+_UNIGRAM_SQL = (
+    f"""
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM documents,
+           LATERAL unnest(str_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE w ~ '^[a-z]{{1,{UNI_MAX_WLEN}}}$'
+      GROUP BY w
+    ),
+    subs AS MATERIALIZED (
+      SELECT substr(word, i, L) AS piece, SUM(freq) AS n
+      FROM words,
+           LATERAL unnest(generate_series(1, len(word))) AS a(i),
+           LATERAL unnest(generate_series(1, {UNI_PIECE_MAX})) AS b(L)
+      WHERE i + L - 1 <= len(word)
+      GROUP BY 1
+    ),
+    seed AS MATERIALIZED (
+      SELECT piece, n FROM subs WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, n FROM (
+        SELECT piece, n FROM subs WHERE len(piece) >= 2
+        ORDER BY n DESC, piece LIMIT {UNI_SEED_TOP})
+    ),
+    tot0 AS (SELECT SUM(n) AS t FROM seed),
+    v0 AS MATERIALIZED (
+      SELECT piece, round(ln(n / (SELECT t FROM tot0)), 6) AS lp FROM seed
+    )"""
+    + "".join(_uni_round_ctes(k) for k in range(1, UNI_EM_ROUNDS + 1))
+    + f"""
+    SELECT piece, CAST(n AS BIGINT) AS n_used,
+           round(ln(n / (SELECT t FROM tot{UNI_EM_ROUNDS})), 6) AS logprob
+    FROM cnt{UNI_EM_ROUNDS}
+    ORDER BY n_used DESC, piece
+    """
+)
+
+
+@query("vocab_unigram_train", _UNIGRAM_SQL)
+def vocab_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece's model family,
+    Kudo 2018 — public literature), hard-EM/Viterbi variant: seed a
+    bounded piece vocabulary (all single chars + the top
+    UNI_SEED_TOP substrings of length ≤ UNI_PIECE_MAX by weighted
+    corpus count), then K = UNI_EM_ROUNDS rounds of
+    E-step (best-path segmentation of every word TYPE under current
+    piece log-probs; broadcast vocab, Arrow-batched mapInPandas — the
+    DP is genuinely sequential per word, the sanctioned Python slot) /
+    M-step (piece log-probs from weighted usage counts; vocab-sized
+    driver metadata). Emits the trained piece table
+    ``(piece, n_used, logprob)`` — the artifact a unigram tokenizer
+    publishes — for pieces the final segmentation actually uses.
+
+    Cross-engine determinism: integer counts throughout; log-probs are
+    round(ln(count/total), 6) with half-away ties on BOTH engines
+    (_rnd6_half_away mirrors DuckDB round); DP scores add the same
+    rounded doubles in the same order with the same
+    (score DESC, piece-length DESC) tiebreak, so segmentations are
+    bit-identical — no tolerance anywhere. The oracle unrolls the
+    identical K rounds as recursive-CTE Viterbi walks (the BPE
+    unrolled-chain discipline, llmops.py _bpe_chain)."""
+    import math
+
+    counts, total = _unigram_em(spark, sf_dir)
+    rows = [
+        (p, int(n), _rnd6_half_away(math.log(n / total)))
+        for p, n in counts.items()
+        if n
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, n_used bigint, logprob double"
+    ).orderBy(F.col("n_used").desc(), "piece")
+
 
 @query(
     "sample_balanced_classes",

@@ -402,6 +402,36 @@ def test_fixed_leakers_release_their_persists(spark, key):
     assert not leaked, (key, leaked)
 
 
+def test_semantic_dedup_plan_shape_and_release(spark):
+    """pipeline_semantic_dedup's post-fit plan: the intra-cluster pair
+    join must be a hash join on the cluster key (never a cartesian),
+    the persisted meta frame must feed all three consumers from cache
+    (both pair legs + the audit base), and the exchange budget stays
+    bounded. The key itself must release the meta persist (q21
+    lifecycle)."""
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _semantic_dedup_plan,
+    )
+    from kinesis_adapter_spark.session import persistent_rdd_ids
+
+    plan, meta = _semantic_dedup_plan(spark, SF_TEST)
+    try:
+        plan.collect()
+        p = plan._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, p[:3000]
+        assert "BroadcastNestedLoop" not in p, p[:3000]
+        assert p.count("InMemoryTableScan") >= 3, p[:3000]
+        assert p.count("Exchange hashpartitioning") <= 8, p[:3000]
+    finally:
+        meta.unpersist()
+
+    QUERIES["pipeline_semantic_dedup"](spark, SF_TEST).collect()
+    before = persistent_rdd_ids(spark)
+    QUERIES["pipeline_semantic_dedup"](spark, SF_TEST).collect()
+    leaked = persistent_rdd_ids(spark) - before
+    assert not leaked, leaked
+
+
 def test_ivf_probe_reads_only_nprobe_partitions(spark):
     """ann_ivf_partitioned must probe the written cell-partitioned
     layout via partition pruning: the scan's PartitionFilters carries

@@ -943,6 +943,127 @@ def test_bpe_train_matches_pure_python_reference(spark):
         ]
 
 
+def test_unigram_train_matches_pure_python_reference(spark):
+    """vocab_unigram_train against a from-scratch pure-Python hard-EM
+    trainer (independent code: Counter-based substring seeding, list
+    DP with explicit backpointers, dict M-step) — every output row
+    (piece, weighted usage count, rounded log-prob) must agree
+    EXACTLY, which pins the seeding cutoff, the Viterbi tiebreak, the
+    frozen-vocab floor, and the half-away 6-dp rounding all at once."""
+    import math
+    import re
+    from collections import Counter
+
+    from kinesis_adapter_spark.operators.llmops import (
+        UNI_EM_ROUNDS,
+        UNI_FLOOR,
+        UNI_MAX_WLEN,
+        UNI_PIECE_MAX,
+        UNI_SEED_TOP,
+    )
+
+    got = [
+        (r["piece"], r["n_used"], r["logprob"])
+        for r in QUERIES["vocab_unigram_train"](spark, SF_TEST).collect()
+    ]
+    assert got, "empty piece table"
+
+    docs = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    freq: Counter = Counter()
+    for r in docs:
+        for w in re.split(r"[^a-z]+", r["text"].lower()):
+            if re.fullmatch(r"[a-z]+", w) and len(w) <= UNI_MAX_WLEN:
+                freq[w] += 1
+
+    sub: Counter = Counter()
+    for w, f in freq.items():
+        for i in range(len(w)):
+            for ln in range(1, UNI_PIECE_MAX + 1):
+                if i + ln <= len(w):
+                    sub[w[i : i + ln]] += f
+    multi = sorted(
+        ((p, n) for p, n in sub.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UNI_SEED_TOP]
+    seed = {p: n for p, n in sub.items() if len(p) == 1}
+    seed.update(dict(multi))
+    total = sum(seed.values())
+
+    def r6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    lp = {p: r6(math.log(n / total)) for p, n in seed.items()}
+
+    def viterbi(w: str) -> list:
+        dp = [None] * (len(w) + 1)
+        back = [0] * (len(w) + 1)
+        dp[0] = 0.0
+        for i in range(1, len(w) + 1):
+            best, bl = None, 0
+            for ln in range(UNI_PIECE_MAX, 0, -1):
+                j = i - ln
+                if j < 0 or dp[j] is None:
+                    continue
+                v = lp.get(w[j:i])
+                if v is None:
+                    continue
+                sc = dp[j] + v
+                if best is None or sc > best:
+                    best, bl = sc, ln
+            dp[i], back[i] = best, bl
+        out, i = [], len(w)
+        while i > 0:
+            out.append(w[i - back[i] : i])
+            i -= back[i]
+        return out[::-1]
+
+    cnt: Counter = Counter()
+    for _ in range(UNI_EM_ROUNDS):
+        cnt = Counter()
+        for w, f in freq.items():
+            for pc in viterbi(w):
+                cnt[pc] += f
+        total = sum(cnt.values())
+        lp = {
+            p: (r6(math.log(cnt[p] / total)) if cnt.get(p) else UNI_FLOOR)
+            for p in lp
+        }
+
+    ref = sorted(
+        ((p, int(n), r6(math.log(n / total))) for p, n in cnt.items() if n),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == ref, (got[:5], ref[:5])
+    # structural sanity: log-probs are proper (negative, exp-sum ≈ 1 —
+    # exactly 1 before the 6-dp rounding, so the tolerance is the
+    # rounding budget |pieces| * 5e-7 with slack)
+    assert all(n > 0 and l < 0 for _, n, l in got)
+    assert abs(sum(math.exp(l) for _, _, l in got) - 1.0) < 1e-4
+
+
+def test_semantic_dedup_drops_exactly_the_injected_copies(spark):
+    """Fixture-level recall for pipeline_semantic_dedup: the corpus is
+    base vectors ∪ 1.001-scaled copies of every 10th vector, and random
+    64-d pairs sit far below the 0.9 cosine gate — so the drop set must
+    be EXACTLY the injected copies: each copy shares its source's
+    cluster (same direction ⇒ same Voronoi cell on this fixture) and
+    loses the quality tie on the higher id. Totals are checked per the
+    audit's own arithmetic."""
+    rows = QUERIES["pipeline_semantic_dedup"](spark, SF_TEST).collect()
+    assert rows
+    e = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    n_base = e.count()
+    n_injected = e.filter("vec_id % 10 = 0").count()
+    assert sum(r["n_vecs"] for r in rows) == n_base + n_injected
+    assert sum(r["n_dropped"] for r in rows) == n_injected
+    for r in rows:
+        assert r["n_kept"] == r["n_vecs"] - r["n_dropped"], r
+
+
 def test_kmv_estimate_error_and_merge_law(spark):
     """agg_kmv_distinct: (1) estimate within 4σ (σ≈1/√(k−2)) of the
     exact distinct count it reports alongside; (2) the MERGE law the

@@ -202,6 +202,16 @@ SMOKE_OPS = {
     # six same-partitioning LAG windows over the grid
     "eval_brier_decomposition": "orders",
     "ts_acf_multi_lag": "events",
+    # r10: unigram-LM trainer — one corpus pass into the word-TYPE
+    # table, then K mapInPandas Viterbi passes over TYPES with a
+    # bounded broadcast vocab; replicated docs share word types, so
+    # only the corpus pass should grow with the factor (the BPE class)
+    "vocab_unigram_train": "documents",
+    # r10: SemDeDup composition — Lloyd's fit (K corpus passes), then
+    # an intra-cluster pair join whose cost is Σ|cluster|² ≈ n·target
+    # (k scales with the corpus, so the join stays linear-in-n), and
+    # a |langs|-group audit
+    "pipeline_semantic_dedup": "embeddings+documents",
 }
 
 # (table, id columns to offset, per-replica offset)
