@@ -147,7 +147,14 @@ ANCHORS = {
     "containment": 1.6668,
     "repetition_score": 0.3994,
     "curation_pipeline": 0.3222,
-    "cc_stars": 0.9397,
+    # cc_stars re-anchored r10: the key moved to the staged-artifact
+    # lifecycle (the persist-leak gate forced an explicit
+    # materialization boundary), so a bench iteration now measures the
+    # artifact READ path — the ann_ivf_pruned precedent — not the
+    # contraction build. The BUILD keeps its own scale evidence via
+    # the cc_stars_build special smoke (SCALE.md r10). Old
+    # build-anchored value was 0.9397.
+    "cc_stars": 0.115,
     "moving_median": 0.6866,
     # round-5 additions, anchored at their r5 idle medians (BASELINE.md)
     "quality_gate": 0.6154,
@@ -181,9 +188,8 @@ ANCHORS = {
     "video_frames": 2.82,
     "image_curation": 0.87,
     # round-10 addition, anchored at the mean of two idle FULL-bench
-    # runs' medians-of-5 (BASELINE.md "Round-10 anchor adoption");
-    # provisional standalone median was 2.79 before adoption
-    "kmv_maintain": 2.79,
+    # runs' medians-of-5 (BASELINE.md "Round-10 anchor adoption")
+    "kmv_maintain": 2.58,
 }
 
 

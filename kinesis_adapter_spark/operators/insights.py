@@ -2201,20 +2201,25 @@ SD_HALF = 12  # centered moving-average half-width => 25-hour trend window
 _SEASONAL_DECOMP_SQL = f"""
     WITH hourly AS (
       SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
-             ROUND(AVG(value), 6) AS hourly_mean
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS hourly_mean
       FROM events GROUP BY event_type, hour_idx
     ),
     tr AS (
       SELECT event_type, hour_idx, hourly_mean,
              CASE WHEN COUNT(*) OVER w = {2 * SD_HALF + 1}
-                  THEN ROUND(AVG(hourly_mean) OVER w, 6) END AS trend
+                  THEN ROUND(CAST(SUM(CAST(hourly_mean AS DECIMAL(24,6)))
+                                    OVER w AS DOUBLE)
+                             / {2 * SD_HALF + 1}, 6) END AS trend
       FROM hourly
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
                    ROWS BETWEEN {SD_HALF} PRECEDING AND {SD_HALF} FOLLOWING)
     ),
     se AS (
       SELECT event_type, hour_idx % 24 AS hod,
-             ROUND(AVG(hourly_mean - trend), 6) AS seasonal
+             ROUND(CAST(SUM(CAST(hourly_mean AS DECIMAL(24,6))
+                            - CAST(trend AS DECIMAL(24,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS seasonal
       FROM tr WHERE trend IS NOT NULL
       GROUP BY 1, 2
     )
@@ -2243,17 +2248,28 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one row-proportional hourly rollup, then every pass
     runs on the rolled-up (type, hour) grid — the trend window, the
     24-group seasonal agg, and the final broadcast-sized join are all
-    grid-sized, never corpus-sized. Determinism: hourly means round
-    to 6 dp BEFORE the trend window; trend and seasonal round before
-    the residual subtraction, so both engines difference identical
-    6-dp values (the resample_1h_gapfill discipline). The row-frame
+    grid-sized, never corpus-sized. Determinism (r10 hardening — the
+    sf0.1 replica sweep caught 2 of ~18k grid rows flipping the 6th
+    decimal under plain AVG, whose float-sum ORDER the engines don't
+    share): every mean is computed as an EXACT decimal sum divided by
+    the count — value is exactly 2-dp (DECIMAL(20,2)) and the rolled
+    means are exactly 6-dp (DECIMAL(24,6)), so both engines sum
+    identical decimals to identical totals and the one double division
+    + 6-dp round is bit-identical at ANY cardinality; trend and
+    seasonal round before the residual subtraction. The row-frame
     trend assumes the observed grid is gap-free per type (true for
     this fixture; production composes resample_1h_gapfill first)."""
     ev = load(spark, sf_dir, "events")
     hourly = (
         ev.withColumn("hour_idx", ts_bucket(NS_PER_HOUR))
         .groupBy("event_type", "hour_idx")
-        .agg(F.round(F.avg("value"), 6).alias("hourly_mean"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hourly_mean")
+        )
     )
     w = (
         Window.partitionBy("event_type")
@@ -2266,7 +2282,13 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hourly_mean",
         F.when(
             F.count(F.lit(1)).over(w) == 2 * SD_HALF + 1,
-            F.round(F.avg("hourly_mean").over(w), 6),
+            F.round(
+                F.sum(F.col("hourly_mean").cast("decimal(24,6)"))
+                .over(w)
+                .cast("double")
+                / (2 * SD_HALF + 1),
+                6,
+            ),
         ).alias("trend"),
     )
     se = (
@@ -2276,9 +2298,14 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hour_idx") % 24).alias("hod"),
         )
         .agg(
-            F.round(F.avg(F.col("hourly_mean") - F.col("trend")), 6).alias(
-                "seasonal"
-            )
+            F.round(
+                F.sum(
+                    F.col("hourly_mean").cast("decimal(24,6)")
+                    - F.col("trend").cast("decimal(24,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seasonal")
         )
     )
     return (

@@ -1138,7 +1138,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dedup AS (
       SELECT lang, n_chars,
-             row_number() OVER (PARTITION BY fp ORDER BY fp) AS rn
+             row_number() OVER (PARTITION BY lang, fp ORDER BY fp) AS rn
       FROM quality
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1152,13 +1152,16 @@ def stream_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 100 TB ingest reality — a crawler drops files continuously),
     and the stream applies the quality gate (token count + uniqueness
     ratio, same thresholds as the batch pipeline_text_curation) and
-    exactly-once content dedup (dropDuplicates on the md5 text digest —
-    16-byte state per distinct doc, the streaming twin of the batch
-    md5-window dedup) BEFORE anything lands. Per-language audit counts
-    are computed over the deduped sink and must equal the batch oracle:
-    duplicate copies differ only in doc_id, so the (lang, n_chars)
-    audit is arrival-order-invariant even though which COPY survives
-    is not. In production the digest state gets a watermark TTL
+    exactly-once content dedup (dropDuplicates on (lang, md5 digest) —
+    16-byte state per distinct doc per language, the streaming twin of
+    the batch md5-window dedup) BEFORE anything lands. Per-language
+    audit counts are computed over the deduped sink and must equal the
+    batch oracle: within a language, duplicate copies differ only in
+    doc_id, so the (lang, n_chars) audit is arrival-order-invariant
+    even though which COPY survives is not — the per-language scope is
+    exactly what makes that invariance hold when the SAME text appears
+    under two languages (real at sf0.1, found by the r10 sweep). In
+    production the digest state gets a watermark TTL
     (dedup-within-horizon) to bound state; here the corpus is finite."""
     import pyarrow.parquet as pq
 
@@ -1206,9 +1209,17 @@ def stream_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("fp", F.md5("text"))
     )
+    # dedup scope is PER LANGUAGE (lang, digest), not digest alone:
+    # the r10 sf0.1 sweep found identical texts under two langs, where
+    # a digest-only dropDuplicates keeps an arrival-order-dependent
+    # survivor and the per-lang audit flips ±1 between engines.
+    # Within-language copies share every audited column, so this scope
+    # is what makes the audit arrival-order-invariant — and it is the
+    # practical crawler-dedup scope anyway (cross-language identical
+    # text, e.g. code blocks, is deliberately kept once per language).
     curated = scored.filter(
         (F.col("n_tokens") >= 25) & (F.col("uniq_ratio") >= 0.4)
-    ).dropDuplicates(["fp"])
+    ).dropDuplicates(["lang", "fp"])
     name, _ = _run_to_memory(curated.select("lang", "n_chars"), "append")
     return (
         spark.table(name)

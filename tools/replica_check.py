@@ -30,6 +30,11 @@ def main() -> int:
     ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--out", default=None)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    # Heap for the HARNESS JVM only (r10): the per-round sf0.01 sweep
+    # stays on the driver's bare default deliberately; the sf0.1
+    # evidence sweep OOMs a 1g heap on the adjacency-array keys —
+    # that's harness sizing, not a conf any query depends on.
+    ap.add_argument("--driver-mem", default=None)
     args = ap.parse_args()
     out_path = Path(args.out) if args.out else REPO / f"REPLICA_r{args.round:02d}.json"
 
@@ -38,12 +43,14 @@ def main() -> int:
     # Bare session on purpose: the driver sets no special confs, so any
     # conf the queries need must be applied by prepare_session() inside
     # the query functions themselves (verify-skill gotcha #1).
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("replica-check")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
 
     import __spark_entry__ as E
     from tests.oracle import arrow_type_problems, check_query
@@ -67,13 +74,24 @@ def main() -> int:
     results: dict[str, dict] = {}
     leaked: dict[str, list] = {}
     qs, osql = E.queries(), E.oracle_sql()
-    n_pass = n_rows_only = n_fail = 0
+    n_pass = n_rows_only = n_fail = n_sf_bound = 0
     for key in sorted(qs):
         kt0 = time.time()
         ids_before, cache_empty_before = persist_state()
         rec: dict = {}
+        # sf-bound oracles (r10): the multimodal/PCA/PQ oracles read
+        # fixture-derived artifacts whose SQL paths are pinned to the
+        # sf0.01 staging dir BY DESIGN (the scale the driver gate runs
+        # at — multimodal.py "oracle SQL paths" note). At any other
+        # --sf-dir those oracles are structurally inapplicable, not
+        # failing, so the sweep downgrades them to the rows-only check
+        # under a distinct, auditable status.
+        sf_bound = (
+            not args.sf_dir.rstrip("/").endswith("sf0.01")
+            and "/tmp/kas_derived" in osql.get(key, "")
+        )
         try:
-            if key in osql:
+            if key in osql and not sf_bound:
                 problems = check_query(spark, key, args.sf_dir)
                 problems += arrow_type_problems(spark, key, args.sf_dir)
                 rec["status"] = "pass" if not problems else "fail"
@@ -101,7 +119,7 @@ def main() -> int:
                 df = qs[key](spark, args.sf_dir)
                 rec["rows"] = df.count()
                 assert len(df.schema.fields) > 0
-                rec["status"] = "rows_only"
+                rec["status"] = "oracle_sf_bound" if sf_bound else "rows_only"
         except Exception as exc:  # noqa: BLE001 — record, don't abort the sweep
             rec["status"] = "fail"
             rec["problems"] = [f"{type(exc).__name__}: {exc}"[:500]]
@@ -128,6 +146,7 @@ def main() -> int:
         results[key] = rec
         n_pass += rec["status"] == "pass"
         n_rows_only += rec["status"] == "rows_only"
+        n_sf_bound += rec["status"] == "oracle_sf_bound"
         n_fail += rec["status"] == "fail"
         leak_note = f" LEAKED{key_leaks}" if key_leaks else ""
         print(f"{rec['status']:<9} {key} ({rec['sec']}s){leak_note}", flush=True)
@@ -154,6 +173,7 @@ def main() -> int:
         "oracled": len(osql),
         "pass": n_pass,
         "rows_only": n_rows_only,
+        "oracle_sf_bound": n_sf_bound,
         "zero_row_keys": zero_rows,
         "leaked_persists": leaked,
         "fail": n_fail,
@@ -163,6 +183,7 @@ def main() -> int:
     out_path.write_text(json.dumps(artifact, indent=1, sort_keys=False) + "\n")
     print(
         f"\n{out_path.name}: {n_pass} pass / {n_rows_only} rows-only / "
+        f"{n_sf_bound} sf-bound / "
         f"{n_fail} FAIL of {len(qs)} keys in {artifact['wall_sec']}s"
     )
     spark.stop()

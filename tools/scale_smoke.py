@@ -56,6 +56,10 @@ SMOKE_OPS = {
     "agg_bitmap_distinct": "events",
     "tfidf_topterms": "documents",
     "contamination_ngram": "documents",
+    # r10 (VERDICT r9 item #3): the minhash-signature decontamination
+    # probe joins the broadcast benchmark band table against the
+    # corpus signature artifact — linear in corpus signatures
+    "contamination_minhash": "documents",
     "fuzzy_match_names": "customer",
     "join_asof": "events+orders",
     # streaming maintenance twins (r5, VERDICT item #2): each call
