@@ -2275,13 +2275,7 @@ def _unigram_em(spark: SparkSession, sf_dir: str):
     nothing corpus-sized ever reaches the driver."""
     import math
 
-    d = load(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
-        .filter(F.col("w").rlike("^[a-z]{1,%d}$" % UNI_MAX_WLEN))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    words = _unigram_words(spark, sf_dir)
     subs = (
         words.select(
             "w",
@@ -2350,7 +2344,20 @@ def _unigram_em(spark: SparkSession, sf_dir: str):
             for p in lp
         }
         blp.unpersist()
-    return counts, total
+    return counts, total, lp
+
+
+def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-TYPE table under the trainer's word spec (lowercase
+    [a-z]+ runs, length-capped at UNI_MAX_WLEN) — shared by the train
+    and encode keys so corpus tokenization can never fork."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{1,%d}$" % UNI_MAX_WLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
 
 
 # Oracle: the identical seeding + K Viterbi-EM rounds, unrolled — and
@@ -2397,9 +2404,12 @@ def _uni_dp_cte(r: int, i: int) -> str:
     )"""
 
 
-def _uni_round_ctes(r: int) -> str:
+def _uni_round_ctes(r: int, mstep: bool = True) -> str:
     """One EM round: the position-unrolled Viterbi, per-word final
-    segmentations, weighted piece counts, and the re-estimated vocab."""
+    segmentations, and (when ``mstep``) the weighted piece counts and
+    re-estimated vocab. ``mstep=False`` emits only the E-step —
+    vocab_unigram_encode's final segmentation pass under the trained
+    v{r-1}, which has no M-step by definition."""
     dp0 = f""",
     dp{r}_0 AS (SELECT word, CAST(0.0 AS DOUBLE) AS s, '' AS p FROM words)"""
     dps = "".join(_uni_dp_cte(r, i) for i in range(1, UNI_MAX_WLEN + 1))
@@ -2407,13 +2417,19 @@ def _uni_round_ctes(r: int) -> str:
         f"SELECT word, p FROM dp{r}_{i} WHERE len(word) = {i}"
         for i in range(1, UNI_MAX_WLEN + 1)
     )
-    return (
+    estep = (
         dp0
         + dps
         + f""",
     seg{r} AS (
       {seg}
-    ),
+    )"""
+    )
+    if not mstep:
+        return estep
+    return (
+        estep
+        + f""",
     cnt{r} AS MATERIALIZED (
       SELECT pc AS piece, SUM(freq) AS n
       FROM (SELECT w.freq,
@@ -2432,8 +2448,10 @@ def _uni_round_ctes(r: int) -> str:
     )
 
 
-_UNIGRAM_SQL = (
-    f"""
+# Seeding head shared VERBATIM by the train and encode oracles (the
+# _bpe_chain never-fork rule): words → substring counts → bounded seed
+# → initial vocab v0.
+_UNIGRAM_HEAD_SQL = f"""
     WITH words AS (
       SELECT w AS word, COUNT(*) AS freq
       FROM documents,
@@ -2460,12 +2478,46 @@ _UNIGRAM_SQL = (
     v0 AS MATERIALIZED (
       SELECT piece, round(ln(n / (SELECT t FROM tot0)), 6) AS lp FROM seed
     )"""
+
+_UNIGRAM_SQL = (
+    _UNIGRAM_HEAD_SQL
     + "".join(_uni_round_ctes(k) for k in range(1, UNI_EM_ROUNDS + 1))
     + f"""
     SELECT piece, CAST(n AS BIGINT) AS n_used,
            round(ln(n / (SELECT t FROM tot{UNI_EM_ROUNDS})), 6) AS logprob
     FROM cnt{UNI_EM_ROUNDS}
     ORDER BY n_used DESC, piece
+    """
+)
+
+# Encode oracle: the full train chain, one MORE E-step (no M-step)
+# under the trained v{R} — segmentation with the published model —
+# then word → token counts joined onto the corpus explode (the
+# _bpe_tok_ctes shape; the docwords cap matches the trainer's word
+# spec on both engines).
+_UNIGRAM_ENCODE_SQL = (
+    _UNIGRAM_HEAD_SQL
+    + "".join(_uni_round_ctes(k) for k in range(1, UNI_EM_ROUNDS + 1))
+    + _uni_round_ctes(UNI_EM_ROUNDS + 1, mstep=False)
+    + f""",
+    tok AS (
+      SELECT word,
+             len(str_split(regexp_replace(p, '^\\{{|\\}}$', '', 'g'),
+                           '}}{{')) AS n_tok
+      FROM seg{UNI_EM_ROUNDS + 1}
+    ),
+    docwords AS (
+      SELECT doc_id, w AS word
+      FROM documents,
+           LATERAL unnest(str_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE w ~ '^[a-z]{{1,{UNI_MAX_WLEN}}}$'
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(tok.n_tok) AS BIGINT) AS n_unigram_tokens
+    FROM docwords dw JOIN tok USING (word)
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
     """
 )
 
@@ -2495,7 +2547,7 @@ def vocab_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-chain discipline, llmops.py _bpe_chain)."""
     import math
 
-    counts, total = _unigram_em(spark, sf_dir)
+    counts, total, _ = _unigram_em(spark, sf_dir)
     rows = [
         (p, int(n), _rnd6_half_away(math.log(n / total)))
         for p, n in counts.items()
@@ -2504,6 +2556,58 @@ def vocab_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "piece string, n_used bigint, logprob double"
     ).orderBy(F.col("n_used").desc(), "piece")
+
+
+@query("vocab_unigram_encode", _UNIGRAM_ENCODE_SQL)
+def vocab_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained unigram-LM model — the consumer half of
+    vocab_unigram_train (the vocab_bpe_encode twin): per document,
+    word count and the exact unigram token count from Viterbi
+    segmentation under the FINAL trained piece log-probs (one more
+    E-step with no M-step — what a published SentencePiece model does
+    at inference).
+
+    Shape: train produces the bounded lp table (driver metadata); the
+    type table gets ONE more mapInPandas Viterbi pass mapping word →
+    token count (vocabulary-sized → broadcast-joined), and the corpus
+    pass is one explode + broadcast join + per-doc aggregate — the
+    vocab_bpe_encode cost model exactly. Determinism: the final
+    segmentation replays the same bit-identical DP as training
+    (_uni_viterbi vs the oracle's dp{R+1} unrolled positions); token
+    counts are integers."""
+    import pandas as pd
+
+    _, _, lp = _unigram_em(spark, sf_dir)
+    blp = spark.sparkContext.broadcast(lp)
+
+    def count_tokens(batches):
+        vocab = blp.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["w"],
+                    "n_tok": [
+                        len(_uni_viterbi(w, vocab)) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    words = _unigram_words(spark, sf_dir)
+    tok = words.mapInPandas(count_tokens, "word string, n_tok long")
+    d = load(spark, sf_dir, "documents")
+    docwords = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z]{1,%d}$" % UNI_MAX_WLEN))
+    return (
+        docwords.join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_unigram_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

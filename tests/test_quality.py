@@ -1044,6 +1044,35 @@ def test_unigram_train_matches_pure_python_reference(spark):
     assert all(n > 0 and l < 0 for _, n, l in got)
     assert abs(sum(math.exp(l) for _, _, l in got) - 1.0) < 1e-4
 
+    # the encode key must segment every doc to exactly the reference
+    # token counts under the FINAL lp (one more E-step, no M-step) —
+    # the vocab_bpe_encode consumer-half check
+    tok_len = {}
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_unigram_tokens"])
+        for r in QUERIES["vocab_unigram_encode"](spark, SF_TEST).collect()
+    }
+    docs2 = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs2:
+        ws = [
+            w
+            for w in re.split(r"[^a-z]+", r["text"].lower())
+            if re.fullmatch(r"[a-z]+", w) and len(w) <= UNI_MAX_WLEN
+        ]
+        if not ws:
+            assert r["doc_id"] not in enc
+            continue
+        for w in set(ws) - set(tok_len):
+            tok_len[w] = len(viterbi(w))
+        assert enc[r["doc_id"]] == (
+            len(ws),
+            sum(tok_len[w] for w in ws),
+        ), r["doc_id"]
+
 
 def test_semantic_dedup_drops_exactly_the_injected_copies(spark):
     """Fixture-level recall for pipeline_semantic_dedup: the corpus is

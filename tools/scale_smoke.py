@@ -211,6 +211,10 @@ SMOKE_OPS = {
     # bounded broadcast vocab; replicated docs share word types, so
     # only the corpus pass should grow with the factor (the BPE class)
     "vocab_unigram_train": "documents",
+    # encode = train + one more type-table Viterbi pass + one corpus
+    # explode with a broadcast token-count join (the vocab_bpe_encode
+    # cost model)
+    "vocab_unigram_encode": "documents",
     # r10: SemDeDup composition — Lloyd's fit (K corpus passes), then
     # an intra-cluster pair join whose cost is Σ|cluster|² ≈ n·target
     # (k scales with the corpus, so the join stays linear-in-n), and
