@@ -196,6 +196,24 @@ SHOWCASE = {
         "TVD via the absent-category complement — no dense "
         "group x category grid anywhere"
     ),
+    # r10 additions
+    "pipeline_semantic_dedup": (
+        "SemDeDup post-fit plan: intra-cluster pair join is a hash "
+        "join on the cluster key (no CartesianProduct), and the "
+        "persisted meta frame feeds both pair legs AND the audit "
+        "base from InMemoryTableScan (3+ reads, one compute)"
+    ),
+    "skew_key_report": (
+        "frequency tier materialized once (checkpoint boundary); "
+        "downstream top-5 via TakeOrderedAndProject with zero "
+        "re-shuffles of the tier"
+    ),
+    "vocab_unigram_encode": (
+        "consumer half of the unigram trainer: one corpus explode "
+        "joined to the vocabulary-sized token-count table via "
+        "BroadcastExchange, then a per-doc partial+final aggregate — "
+        "no type-sized training shuffle in the read path"
+    ),
 }
 
 # keys whose registry function materializes a bounded result and
@@ -205,6 +223,14 @@ LAZY_PLAN = {
     "q21_waiting_supplier": lambda spark: __import__(
         "kinesis_adapter_spark.operators.analytics", fromlist=["_q21_plan"]
     )._q21_plan(spark, SF),
+    "pipeline_semantic_dedup": lambda spark: __import__(
+        "kinesis_adapter_spark.operators.embeddings_ops",
+        fromlist=["_semantic_dedup_plan"],
+    )._semantic_dedup_plan(spark, SF),
+    "skew_key_report": lambda spark: __import__(
+        "kinesis_adapter_spark.operators.analytics",
+        fromlist=["_skew_report_plan"],
+    )._skew_report_plan(spark, SF),
 }
 
 
