@@ -2521,6 +2521,36 @@ _UNIGRAM_ENCODE_SQL = (
     """
 )
 
+# Fertility twin: identical chain and tok/docwords text except lang is
+# carried through the explode and the aggregate groups by it — the
+# vocab_tokenizer_fertility (BPE) readout for the unigram model.
+_UNIGRAM_FERTILITY_SQL = (
+    _UNIGRAM_HEAD_SQL
+    + "".join(_uni_round_ctes(k) for k in range(1, UNI_EM_ROUNDS + 1))
+    + _uni_round_ctes(UNI_EM_ROUNDS + 1, mstep=False)
+    + f""",
+    tok AS (
+      SELECT word,
+             len(str_split(regexp_replace(p, '^\\{{|\\}}$', '', 'g'),
+                           '}}{{')) AS n_tok
+      FROM seg{UNI_EM_ROUNDS + 1}
+    ),
+    docwords AS (
+      SELECT doc_id, lang, w AS word
+      FROM documents,
+           LATERAL unnest(str_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE w ~ '^[a-z]{{1,{UNI_MAX_WLEN}}}$'
+    )
+    SELECT dw.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(tok.n_tok) AS BIGINT) AS n_unigram_tokens,
+           ROUND(SUM(tok.n_tok) * 1.0 / COUNT(*), 6) AS fertility
+    FROM docwords dw JOIN tok USING (word)
+    GROUP BY dw.lang
+    ORDER BY dw.lang
+    """
+)
+
 
 @query("vocab_unigram_train", _UNIGRAM_SQL)
 def vocab_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2607,6 +2637,55 @@ def vocab_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_unigram_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query("vocab_unigram_fertility", _UNIGRAM_FERTILITY_SQL)
+def vocab_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language under the trained unigram-LM
+    model — the vocab_tokenizer_fertility readout for the OTHER
+    tokenizer family, so the two can be compared lang-by-lang (the
+    table a tokenizer-selection study actually publishes; the
+    cross-family comparison itself is asserted in
+    tests/test_quality.py). Identical plan to vocab_unigram_encode —
+    lang rides the corpus explode, the aggregate groups by it; one
+    rounded division per group."""
+    import pandas as pd
+
+    _, _, lp = _unigram_em(spark, sf_dir)
+    blp = spark.sparkContext.broadcast(lp)
+
+    def count_tokens(batches):
+        vocab = blp.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["w"],
+                    "n_tok": [
+                        len(_uni_viterbi(w, vocab)) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    words = _unigram_words(spark, sf_dir)
+    tok = words.mapInPandas(count_tokens, "word string, n_tok long")
+    d = load(spark, sf_dir, "documents")
+    docwords = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z]{1,%d}$" % UNI_MAX_WLEN))
+    return (
+        docwords.join(F.broadcast(tok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_unigram_tokens"),
+            F.round(
+                F.sum("n_tok") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -468,3 +468,62 @@ def test_winnowing_shared_run_guarantees_shared_fingerprint(spark, data):
     a = {r["fp"] for r in fps if r["doc_id"] == 1}
     b = {r["fp"] for r in fps if r["doc_id"] == 2}
     assert a & b, (pre_a, shared, suf_a, pre_b, suf_b)
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_unigram_viterbi_is_optimal_vs_bruteforce(data):
+    """_uni_viterbi (the unigram trainer/encoder's DP) against an
+    exhaustive enumeration of EVERY segmentation of a random word
+    under a random piece vocabulary: the DP's segmentation must
+    attain the maximum total log-prob, and under the DP's own total
+    order (max score, ties to the longest piece at each step,
+    scanning right-to-left) it must be THE argmax. Pure-function
+    property — independent of the replayed-reference test in
+    test_quality, which checks replication, not optimality."""
+    from kinesis_adapter_spark.operators.llmops import (
+        UNI_PIECE_MAX,
+        _uni_viterbi,
+    )
+
+    alphabet = "abc"
+    word = data.draw(
+        st.text(alphabet=alphabet, min_size=1, max_size=9), "word"
+    )
+    # vocab: every single char (totality invariant, as in the seeding)
+    # plus a random subset of the word's own multi-char substrings
+    subs = sorted(
+        {
+            word[i : i + ln]
+            for i in range(len(word))
+            for ln in range(2, UNI_PIECE_MAX + 1)
+            if i + ln <= len(word)
+        }
+    )
+    chosen = data.draw(
+        st.lists(st.sampled_from(subs), max_size=6) if subs else st.just([]),
+        "pieces",
+    )
+    lp = {c: data.draw(st.integers(-60, -1), f"lp_{c}") / 10.0
+          for c in alphabet}
+    for p in chosen:
+        lp[p] = data.draw(st.integers(-60, -1), f"lp_{p}") / 10.0
+
+    got = _uni_viterbi(word, lp)
+    assert "".join(got) == word and all(p in lp for p in got)
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for ln in range(1, min(UNI_PIECE_MAX, len(w)) + 1):
+            if w[:ln] in lp:
+                for rest in all_segs(w[ln:]):
+                    yield [w[:ln]] + rest
+
+    best = max(sum(lp[p] for p in s) for s in all_segs(word))
+    assert sum(lp[p] for p in got) == pytest.approx(best, abs=1e-12), (
+        word,
+        got,
+        best,
+    )

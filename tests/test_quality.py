@@ -1093,6 +1093,37 @@ def test_semantic_dedup_drops_exactly_the_injected_copies(spark):
         assert r["n_kept"] == r["n_vecs"] - r["n_dropped"], r
 
 
+def test_tokenizer_fertility_cross_family_comparison(spark):
+    """The tokenizer-selection readout: BPE vs unigram fertility per
+    language, joined from the two registry keys. Both families must
+    agree on the word universe (the unigram 12-char cap is vacuous on
+    this corpus — max word length 8), report proper fertility
+    (>= 1 token per word, and exactly tokens/words to 6 dp), and stay
+    below the per-word character count (a piece/symbol is at least one
+    char, so tokens <= chars is the sanity ceiling)."""
+    bpe = {
+        r["lang"]: r
+        for r in QUERIES["vocab_tokenizer_fertility"](
+            spark, SF_TEST
+        ).collect()
+    }
+    uni = {
+        r["lang"]: r
+        for r in QUERIES["vocab_unigram_fertility"](spark, SF_TEST).collect()
+    }
+    assert set(bpe) == set(uni) and bpe
+    for lang in bpe:
+        b, u = bpe[lang], uni[lang]
+        assert b["n_words"] == u["n_words"], lang
+        for r, col in ((b, "n_bpe_tokens"), (u, "n_unigram_tokens")):
+            assert r[col] >= r["n_words"], (lang, col)
+            assert r["fertility"] == round(r[col] / r["n_words"], 6), lang
+        # 3 EM rounds over a 226-piece seed vocab reliably beat
+        # 12 BPE merges on this corpus; what the assertion pins is
+        # that both families produce comparable, same-universe numbers
+        assert u["fertility"] <= b["fertility"] * 1.5, lang
+
+
 def test_kmv_estimate_error_and_merge_law(spark):
     """agg_kmv_distinct: (1) estimate within 4σ (σ≈1/√(k−2)) of the
     exact distinct count it reports alongside; (2) the MERGE law the

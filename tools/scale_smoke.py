@@ -215,6 +215,9 @@ SMOKE_OPS = {
     # explode with a broadcast token-count join (the vocab_bpe_encode
     # cost model)
     "vocab_unigram_encode": "documents",
+    # fertility = encode with lang carried through the explode,
+    # |langs|-group aggregate
+    "vocab_unigram_fertility": "documents",
     # r10: SemDeDup composition — Lloyd's fit (K corpus passes), then
     # an intra-cluster pair join whose cost is Σ|cluster|² ≈ n·target
     # (k scales with the corpus, so the join stays linear-in-n), and
