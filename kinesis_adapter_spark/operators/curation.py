@@ -335,12 +335,27 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-artifact SPEC token for the staged CC label tables (ADVICE r10):
+# the marker previously keyed on the SOURCE fingerprint alone, so a
+# change to _cc_pairs or the label semantics without a repo-wide
+# DERIVED_VERSION bump would silently serve stale cluster labels to the
+# registry key, the oracle check, and the bench read-path anchor. Bump
+# the relevant component whenever its semantics change:
+#   pairs-v1  — _cc_pairs fixture (mutated-copy edges + d+3M chains)
+#   prop-v1   — cc_propagate_labels (min-label propagation)
+#   stars-v1  — cc_star_labels (large-star/small-star contraction)
+_CC_PAIRS_SPEC = "pairs-v1"
+_CC_CORE_SPEC = {"cc_labels_prop": "prop-v1", "cc_labels_stars": "stars-v1"}
+
+
 def _staged_cc_labels(spark, sf_dir: str, stem: str, core) -> DataFrame:
     """Build-once staging for a CC label table: run ``core`` on the
     pair fixture inside a persist guard (every in-loop localCheckpoint
     is released once the write materializes), stage the labels under
-    derived_dir keyed by the source fingerprint, and return a lazy read
-    that owns no persist."""
+    derived_dir keyed by the source fingerprint PLUS the algorithm/
+    fixture spec tokens (so a semantics change invalidates the artifact
+    even without a DERIVED_VERSION bump), and return a lazy read that
+    owns no persist."""
     from pathlib import Path
 
     from kinesis_adapter_spark.sources.scans import (
@@ -350,7 +365,8 @@ def _staged_cc_labels(spark, sf_dir: str, stem: str, core) -> DataFrame:
 
     out = derived_dir(sf_dir) / f"{stem}.parquet"
     marker = derived_dir(sf_dir) / f"{stem}.parquet.src"
-    fp = source_fingerprint(Path(sf_dir) / "documents.parquet")
+    src_fp = source_fingerprint(Path(sf_dir) / "documents.parquet")
+    fp = f"{src_fp}|{_CC_PAIRS_SPEC}|{_CC_CORE_SPEC[stem]}"
     if not (out.exists() and marker.exists() and marker.read_text() == fp):
         with released_persists(spark):
             labels = core(_cc_pairs(spark, sf_dir))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from kinesis_adapter_spark.catalog import load
 from kinesis_adapter_spark.plans.registry import query
+from kinesis_adapter_spark.session import released_persists
 
 # ---------------------------------------------------------------- fixtures
 
@@ -2228,7 +2229,9 @@ def _uni_viterbi(word: str, lp: dict) -> list:
     ties broken toward the LONGER piece (first seen wins under strict
     >). Total because every single char is in the vocab. The oracle
     replays this exact DP (same float additions, same operand order,
-    same tiebreak) as a recursive CTE, so scores are bit-identical."""
+    same tiebreak) as a position-unrolled plain-CTE chain (one
+    dp{r}_{i} CTE per prefix length — see the no-recursive-CTE design
+    note above _uni_dp_cte), so scores are bit-identical."""
     n = len(word)
     dp = [None] * (n + 1)
     back = [0] * (n + 1)
@@ -2263,19 +2266,32 @@ def _unigram_em(spark: SparkSession, sf_dir: str):
     word-type table, and their sum.
 
     Distributed shape: one corpus pass builds the word-TYPE table (the
-    only corpus-sized shuffle, shared with the BPE trainer); seeding
-    is a type-sized substring explode into a piece count (lengths
-    1..UNI_PIECE_MAX) whose kept head is BOUNDED (all single chars +
-    top UNI_SEED_TOP multi-char pieces — bounded collect, model
-    metadata). Each EM round is then one mapInPandas Viterbi pass over
-    TYPES with the ≤(26+UNI_SEED_TOP)-entry vocab broadcast, a
-    piece-keyed partial-agg shuffle whose key domain is the vocab, and
-    a vocab-sized collect for the driver-side M-step — at 100 TB the
-    corpus pass dominates; K rounds add type-sized work only, and
-    nothing corpus-sized ever reaches the driver."""
+    only corpus-sized shuffle, shared with the BPE trainer), then the
+    type table is MATERIALIZED ONCE (eager localCheckpoint, released
+    before return — every product of this function is collected model
+    metadata, so nothing lazy can reference the checkpoint after the
+    guard exits); seeding is a type-sized substring explode into a
+    piece count (lengths 1..UNI_PIECE_MAX) whose kept head is BOUNDED
+    (all single chars + top UNI_SEED_TOP multi-char pieces — bounded
+    collect, model metadata). Each EM round is then one mapInPandas
+    Viterbi pass over the CHECKPOINTED types with the
+    ≤(26+UNI_SEED_TOP)-entry vocab broadcast, a piece-keyed
+    partial-agg shuffle whose key domain is the vocab, and a
+    vocab-sized collect for the driver-side M-step — at 100 TB the
+    corpus pass runs once (r11 fix: pre-checkpoint, seeding + each of
+    the K rounds re-executed it), K rounds add type-sized work only,
+    and nothing corpus-sized ever reaches the driver."""
+    with released_persists(spark):
+        return _unigram_em_inner(spark, sf_dir)
+
+
+def _unigram_em_inner(spark: SparkSession, sf_dir: str):
+    """_unigram_em's body — runs inside the persist guard; the type
+    table checkpoint taken here is released the moment the guard exits
+    (all three return values are plain Python dicts/ints)."""
     import math
 
-    words = _unigram_words(spark, sf_dir)
+    words = _unigram_words(spark, sf_dir).localCheckpoint(eager=True)
     subs = (
         words.select(
             "w",
@@ -2573,8 +2589,9 @@ def vocab_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded doubles in the same order with the same
     (score DESC, piece-length DESC) tiebreak, so segmentations are
     bit-identical — no tolerance anywhere. The oracle unrolls the
-    identical K rounds as recursive-CTE Viterbi walks (the BPE
-    unrolled-chain discipline, llmops.py _bpe_chain)."""
+    identical K rounds as position-unrolled plain-CTE Viterbi walks
+    (the BPE unrolled-chain discipline, llmops.py _bpe_chain; see the
+    no-recursive-CTE design note above _uni_dp_cte)."""
     import math
 
     counts, total, _ = _unigram_em(spark, sf_dir)

@@ -944,15 +944,26 @@ def test_bpe_train_matches_pure_python_reference(spark):
 
 
 def test_unigram_train_matches_pure_python_reference(spark):
-    """vocab_unigram_train against a from-scratch pure-Python hard-EM
-    trainer (independent code: Counter-based substring seeding, list
-    DP with explicit backpointers, dict M-step) — every output row
-    (piece, weighted usage count, rounded log-prob) must agree
-    EXACTLY, which pins the seeding cutoff, the Viterbi tiebreak, the
-    frozen-vocab floor, and the half-away 6-dp rounding all at once."""
+    """vocab_unigram_train against a STRUCTURALLY INDEPENDENT
+    pure-Python hard-EM trainer (ADVICE r10: the first cut's
+    viterbi()/r6() replicated _uni_viterbi/_rnd6_half_away, so a
+    shared DP or rounding bug would have passed) — the segmenter here
+    ENUMERATES every segmentation of each word into vocab pieces
+    (lengths 1..UNI_PIECE_MAX; ≤ tetranacci(12)=1490 candidates per
+    word) and picks the argmax under the documented tie order (score
+    DESC, then piece lengths longest-first read from the END of the
+    word — the order a backward DP reconstruction realizes), and the
+    6-dp rounding goes through decimal.Decimal quantization of the
+    exact double (ROUND_HALF_UP) instead of the float
+    multiply-floor path. Every output row (piece, weighted usage
+    count, rounded log-prob) must agree EXACTLY, which pins the
+    seeding cutoff, the Viterbi tiebreak, the frozen-vocab floor, and
+    the half-away 6-dp rounding all at once — now against genuinely
+    different code paths for all four."""
     import math
     import re
     from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
 
     from kinesis_adapter_spark.operators.llmops import (
         UNI_EM_ROUNDS,
@@ -994,32 +1005,45 @@ def test_unigram_train_matches_pure_python_reference(spark):
     total = sum(seed.values())
 
     def r6(x: float) -> float:
-        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+        # exact-decimal half-up quantization of the double's TRUE value
+        # (a binary double's decimal expansion never lands exactly on a
+        # .5 ulp of 1e-6, so HALF_UP here is plain nearest — the
+        # implementation's float-multiply path must agree or it has a
+        # boundary bug)
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
 
     lp = {p: r6(math.log(n / total)) for p, n in seed.items()}
 
+    def _all_segs(w: str) -> list:
+        """Every segmentation of ``w`` into in-vocab pieces of length
+        1..UNI_PIECE_MAX (plain recursion — no DP, no backpointers)."""
+        if not w:
+            return [[]]
+        segs = []
+        for ln in range(1, min(UNI_PIECE_MAX, len(w)) + 1):
+            if w[:ln] in lp:
+                segs.extend([w[:ln]] + rest for rest in _all_segs(w[ln:]))
+        return segs
+
     def viterbi(w: str) -> list:
-        dp = [None] * (len(w) + 1)
-        back = [0] * (len(w) + 1)
-        dp[0] = 0.0
-        for i in range(1, len(w) + 1):
-            best, bl = None, 0
-            for ln in range(UNI_PIECE_MAX, 0, -1):
-                j = i - ln
-                if j < 0 or dp[j] is None:
-                    continue
-                v = lp.get(w[j:i])
-                if v is None:
-                    continue
-                sc = dp[j] + v
-                if best is None or sc > best:
-                    best, bl = sc, ln
-            dp[i], back[i] = best, bl
-        out, i = [], len(w)
-        while i > 0:
-            out.append(w[i - back[i] : i])
-            i -= back[i]
-        return out[::-1]
+        # argmax by brute-force enumeration: score is the left-to-right
+        # float accumulation (the order any sequential scorer uses);
+        # ties go to the segmentation whose piece lengths, read from
+        # the END of the word, are lexicographically longest — the
+        # documented tiebreak (a backward reconstruction keeps the
+        # longest final piece, then recurses on the prefix)
+        best, best_key = None, None
+        for seg in _all_segs(w):
+            s = 0.0
+            for pc in seg:
+                s = s + lp[pc]
+            key = (s, tuple(len(pc) for pc in reversed(seg)))
+            if best_key is None or key > best_key:
+                best, best_key = seg, key
+        assert best is not None, w  # total: every single char is seeded
+        return best
 
     cnt: Counter = Counter()
     for _ in range(UNI_EM_ROUNDS):
