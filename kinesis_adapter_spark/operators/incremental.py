@@ -84,6 +84,127 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic CDC changelog derived from orders (TESTDATA.md has no
+# CDC feed): every order INSERTs at seq 1; every 4th order UPDATEs at
+# seq 2 (+50.00 — addition, not scaling, for the same half-cent ROUND
+# reason as _UPDATES_SQL); every 8th UPDATEs again at seq 3 (+75.00 —
+# multi-update last-wins; %8 not %12 because a multiple of 12 is also a
+# multiple of 6, so that U2 would ALWAYS be erased by the tombstone and
+# last-wins among updates would never reach the output); every 6th
+# order DELETEs at seq 9
+# (a tombstone must beat any earlier update). D rows carry placeholder
+# values ('D', 0.0) rather than NULLs so the last-wins extraction never
+# depends on either engine's NULL handling inside max_by/arg_max.
+_CDC_SQL = """
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_orderstatus, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', 'U1', o_totalprice + 50.0
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'U', 'U2', o_totalprice + 75.0
+  FROM orders WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT o_orderkey, 9, 'D', 'D', 0.0
+  FROM orders WHERE o_orderkey % 6 = 0
+"""
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ins = o.select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    upd1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("U1").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 50.0).alias("o_totalprice"),
+    )
+    upd2 = o.filter(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey",
+        F.lit(3).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("U2").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 75.0).alias("o_totalprice"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit(9).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit("D").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+    )
+    return ins.unionByName(upd1).unionByName(upd2).unionByName(dels)
+
+
+@query(
+    "cdc_apply_changelog",
+    f"""
+    WITH log AS ({_CDC_SQL}),
+    final AS (
+      SELECT o_orderkey,
+             arg_max(op, seq) AS last_op,
+             arg_max(o_orderstatus, seq) AS o_orderstatus,
+             arg_max(o_totalprice, seq) AS o_totalprice,
+             CAST(MAX(seq) AS BIGINT) AS last_seq,
+             CAST(COUNT(*) AS BIGINT) AS n_ops
+      FROM log GROUP BY o_orderkey
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice, last_seq, n_ops
+    FROM final WHERE last_op != 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the current snapshot from an ordered I/U/D changelog
+    — the Debezium/CDC apply step every lakehouse ingestion pipeline
+    runs: per key take the HIGHEST-sequence operation (last-writer
+    wins), drop keys whose final op is a delete tombstone, keep the
+    final values for everything else. merge_upsert applies one
+    idempotent change-set; this key folds an op-coded HISTORY with
+    deletes, which is what an actual replication feed looks like.
+
+    Shape: ONE groupBy(key) with max_by/max/count aggregates. Spark
+    picks SortAggregate here (string-valued max_by buffers are
+    immutable, which disables hash aggregation) but the PARTIAL
+    instance still folds map-side, so the key exchange carries one
+    folded row per key per map partition — versus the naive
+    row_number-over-seq window plan, which shuffles EVERY changelog
+    row before its per-key sort. At 100 TB with a daily changelog ≪
+    the snapshot, the
+    same fold runs per micro-batch through foreachBatch
+    (stream_foreachbatch_upsert) against the maintained table.
+    Determinism: seq values are distinct per key by construction (a
+    real feed's log offsets), so max_by has no ties; prices stay exact
+    IEEE additions of 2-dp literals until the final shared ROUND."""
+    log = _changelog(spark, sf_dir)
+    final = log.groupBy("o_orderkey").agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("o_orderstatus", "seq").alias("o_orderstatus"),
+        F.max_by("o_totalprice", "seq").alias("o_totalprice"),
+        F.max("seq").cast("bigint").alias("last_seq"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    return (
+        final.filter(F.col("last_op") != "D")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "last_seq",
+            "n_ops",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # Shared verbatim by the streaming maintenance twin
 # (stream_scd2_maintain, streaming/pipelines.py): the incremental
 # affected-key rebuild must converge to exactly this batch truth.

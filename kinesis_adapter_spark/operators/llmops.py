@@ -405,6 +405,158 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ LSH parameter tuning
+
+# (bands, rows_per_band) configurations with bands*rows = N_HASHES: the
+# sweep a deployment runs BEFORE committing a (b, r) choice for a
+# 100 TB dedup pass — the S-curve P(candidate | j) = 1-(1-j^r)^b trades
+# recall at the verify threshold against false-candidate volume, and
+# the right point depends on the corpus's OWN pair-similarity
+# distribution, which is exactly what this key measures it against.
+LSH_TUNING_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)]
+
+
+def _lsh_p6_expr(b: int, r: int, j: str = "j") -> str:
+    """Detection probability 1-(1-j^r)^b as a 6-dp-compressed INTEGER
+    (micro-units) — one SQL text evaluated by BOTH engines. Powers are
+    explicit left-associated multiply chains (never POW/EXP): IEEE
+    multiplication is bit-identical across engines while libm pow need
+    not be, and the 6-dp compression turns the cross-pair SUM into
+    exact integer arithmetic (the eval_auc_roc compressed-domain
+    discipline — float sums would depend on partition order)."""
+    jr = "*".join([j] * r)
+    q = f"(1.0 - {jr})"
+    qb = "*".join([q] * b)
+    return f"CAST(ROUND(ROUND(1.0 - {qb}, 6) * 1000000, 0) AS BIGINT)"
+
+
+def _lsh_tuning_oracle() -> str:
+    per_cfg_sums = ",\n         ".join(
+        f"SUM(CASE WHEN j >= 0.6 THEN {_lsh_p6_expr(b, r)} ELSE 0 END)"
+        f" AS da_{b}_{r},\n         "
+        f"SUM(CASE WHEN j < 0.6 THEN {_lsh_p6_expr(b, r)} ELSE 0 END)"
+        f" AS fa_{b}_{r}"
+        for b, r in LSH_TUNING_CONFIGS
+    )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({b} AS BIGINT) AS bands,"
+        f" CAST({r} AS BIGINT) AS rows_per_band,"
+        f" CAST({round((1.0 / b) ** (1.0 / r), 6)!r} AS DOUBLE)"
+        f" AS s50_threshold,"
+        f" n_pairs, n_pairs_above_06,"
+        f" ROUND(da_{b}_{r} / 1000000.0, 6) AS exp_detected_above_06,"
+        f" ROUND(fa_{b}_{r} / 1000000.0, 6) AS exp_false_candidates"
+        f" FROM agg"
+        for b, r in LSH_TUNING_CONFIGS
+    )
+    return f"""
+    WITH docs AS ({MUTATED_SQL}),
+    {CAPPED_SHINGLE_CTES},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS j
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN j >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairs_above_06,
+         {per_cfg_sums}
+      FROM pairs
+    )
+    {selects}
+    ORDER BY bands DESC
+    """
+
+
+@query("dedup_lsh_tuning", _lsh_tuning_oracle())
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-structure tuning table: for every (bands,
+    rows_per_band) split of the N_HASHES-signature budget, the
+    expected candidate recall above the 0.6 verify threshold and the
+    expected false-candidate volume below it, evaluated against the
+    corpus's OBSERVED pair-Jaccard distribution (every pair sharing
+    ≥1 stop-shingle-capped shingle, exact Jaccard) — plus the config's
+    closed-form s50 = (1/b)^(1/r) S-curve midpoint. This is the table
+    that justifies dedup_near_minhash's 16×2 choice, produced by the
+    engine itself: at 100 TB you run it on a corpus sample BEFORE
+    burning a full LSH pass on a bad (b, r).
+
+    Shape: the pair relation is the same bounded inverted-index join
+    as dedup_near_ngram (stop-shingle cap bounds fan-out); ALL configs
+    reduce in ONE aggregation pass over it (12 conditional sums in one
+    partial agg), and the per-config rows come from a bounded 1-row
+    collect (model metadata — the argmax-round discipline).
+    Determinism: detection probabilities use explicit multiply chains
+    and 6-dp integer compression (_lsh_p6_expr), so every cross-pair
+    sum is exact integer arithmetic on both engines; s50 literals are
+    Python-computed constants shared verbatim."""
+    sh = capped_shingles(mutated_documents(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b_ = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b_, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.round(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6
+            ).alias("j")
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("j") >= 0.6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_above_06"),
+    ]
+    for b, r in LSH_TUNING_CONFIGS:
+        p6 = F.expr(_lsh_p6_expr(b, r))
+        aggs.append(
+            F.sum(F.when(F.col("j") >= 0.6, p6).otherwise(F.lit(0))).alias(
+                f"da_{b}_{r}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(F.col("j") < 0.6, p6).otherwise(F.lit(0))).alias(
+                f"fa_{b}_{r}"
+            )
+        )
+    row = pairs.agg(*aggs).collect()[0]  # bounded: ONE row of sums
+    out = [
+        (
+            b,
+            r,
+            round((1.0 / b) ** (1.0 / r), 6),
+            row["n_pairs"],
+            row["n_pairs_above_06"],
+            round(row[f"da_{b}_{r}"] / 1_000_000, 6),
+            round(row[f"fa_{b}_{r}"] / 1_000_000, 6),
+        )
+        for b, r in LSH_TUNING_CONFIGS
+    ]
+    return spark.createDataFrame(
+        out,
+        "bands bigint, rows_per_band bigint, s50_threshold double, "
+        "n_pairs bigint, n_pairs_above_06 bigint, "
+        "exp_detected_above_06 double, exp_false_candidates double",
+    ).orderBy(F.col("bands").desc())
+
+
 SIMHASH_ORACLE = f"""
 WITH docs AS ({MUTATED_SQL}),
 tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM docs),
@@ -1797,6 +1949,273 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+@query(
+    "eval_cohens_kappa",
+    """
+    WITH base AS (
+      SELECT lang,
+             CASE WHEN doc_id % 10 < 7 THEN lang
+                  ELSE CASE lang WHEN 'de' THEN 'en' WHEN 'en' THEN 'es'
+                                 WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh'
+                                 ELSE 'de' END
+             END AS pred_lang
+      FROM documents
+    ),
+    conf AS (
+      SELECT lang, pred_lang, COUNT(*) AS n FROM base GROUP BY lang, pred_lang
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM conf),
+    diag AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS d
+      FROM conf WHERE lang = pred_lang
+    ),
+    marg AS (
+      SELECT CAST(COALESCE(SUM(ra.na * rb.nb), 0) AS BIGINT) AS s
+      FROM (SELECT lang AS l, SUM(n) AS na FROM conf GROUP BY lang) ra
+      JOIN (SELECT pred_lang AS l, SUM(n) AS nb FROM conf
+            GROUP BY pred_lang) rb USING (l)
+    )
+    SELECT tot.n AS n_docs,
+           ROUND(CAST(diag.d AS DOUBLE) / tot.n, 6) AS po,
+           ROUND(CAST(marg.s AS DOUBLE) / (tot.n * tot.n), 6) AS pe,
+           ROUND((CAST(diag.d AS DOUBLE) / tot.n
+                  - CAST(marg.s AS DOUBLE) / (tot.n * tot.n))
+                 / (1 - CAST(marg.s AS DOUBLE) / (tot.n * tot.n)), 6)
+             AS kappa
+    FROM tot, diag, marg
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — the chance-corrected inter-annotator agreement
+    statistic every labeling pipeline publishes beside raw accuracy.
+    Rater A is the corpus lang label; rater B is a synthetic second
+    annotator that agrees on 70% of docs (doc_id % 10 < 7) and
+    otherwise drifts one step along a fixed de→en→es→fr→zh cycle — a
+    deterministic fixture that populates the diagonal, the
+    off-diagonal, AND unequal marginals at every scale (the language-ID
+    classifier was tried first and predicts one class at sf0.01, which
+    degenerates kappa to exactly 0 and leaves the pe arithmetic
+    untested).
+
+    kappa = (po - pe) / (1 - pe) with po = diagonal mass and pe the
+    raters' marginal product. Everything reduces over the |langs|²
+    confusion matrix, so after one corpus pass the statistic is
+    metadata-sized at any scale (the eval_langid_confusion
+    discipline). Cross-engine determinism: all sums are integers;
+    po/pe/kappa are computed from the SAME integer operands in the
+    SAME expression order on both engines, so the three doubles are
+    bit-identical before the shared 6-dp round."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = F.when(F.col("doc_id") % 10 < 7, F.col("lang")).otherwise(
+        F.when(F.col("lang") == "de", F.lit("en"))
+        .when(F.col("lang") == "en", F.lit("es"))
+        .when(F.col("lang") == "es", F.lit("fr"))
+        .when(F.col("lang") == "fr", F.lit("zh"))
+        .otherwise(F.lit("de"))
+    )
+    conf = (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = conf.agg(F.sum("n").cast("bigint").alias("n_docs"))
+    diag = conf.filter(F.col("lang") == F.col("pred_lang")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("d")
+    )
+    ra = conf.groupBy(F.col("lang").alias("l")).agg(F.sum("n").alias("na"))
+    rb = conf.groupBy(F.col("pred_lang").alias("l")).agg(
+        F.sum("n").alias("nb")
+    )
+    marg = (
+        ra.join(rb, "l")
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    po = F.col("d").cast("double") / F.col("n_docs")
+    pe = F.col("s").cast("double") / (F.col("n_docs") * F.col("n_docs"))
+    return (
+        tot.crossJoin(diag)
+        .crossJoin(marg)
+        .select(
+            "n_docs",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+@query(
+    "eval_ngram_overlap_f1",
+    """
+    WITH base AS (
+      SELECT doc_id, str_split(text, ' ') AS rt
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    pair AS (
+      SELECT doc_id, rt,
+             list_append(rt[1:GREATEST(len(rt) - 2, 0)], rt[1]) AS ct
+      FROM base
+    ),
+    r1c AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(rt) AS g FROM pair) GROUP BY doc_id, g
+    ),
+    c1c AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ct) AS g FROM pair) GROUP BY doc_id, g
+    ),
+    ov1 AS (
+      SELECT a.doc_id, SUM(LEAST(a.c, b.c)) AS ov
+      FROM r1c a JOIN c1c b ON a.doc_id = b.doc_id AND a.g = b.g
+      GROUP BY a.doc_id
+    ),
+    r2c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id, concat_ws(' ', rt[i], rt[i+1]) AS g
+        FROM (SELECT doc_id, rt,
+                     unnest(generate_series(1, GREATEST(len(rt) - 1, 0))) AS i
+              FROM pair)
+      ) GROUP BY doc_id, g
+    ),
+    c2c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id, concat_ws(' ', ct[i], ct[i+1]) AS g
+        FROM (SELECT doc_id, ct,
+                     unnest(generate_series(1, GREATEST(len(ct) - 1, 0))) AS i
+              FROM pair)
+      ) GROUP BY doc_id, g
+    ),
+    ov2 AS (
+      SELECT a.doc_id, SUM(LEAST(a.c, b.c)) AS ov
+      FROM r2c a JOIN c2c b ON a.doc_id = b.doc_id AND a.g = b.g
+      GROUP BY a.doc_id
+    ),
+    m AS (
+      SELECT p.doc_id,
+             CAST(len(p.rt) AS BIGINT) AS n_ref_tokens,
+             CAST(len(p.ct) AS BIGINT) AS n_cand_tokens,
+             CASE WHEN len(p.ct) > 0
+                  THEN CAST(COALESCE(o1.ov, 0) AS DOUBLE) / len(p.ct)
+                  ELSE 0.0 END AS p1,
+             CASE WHEN len(p.rt) > 0
+                  THEN CAST(COALESCE(o1.ov, 0) AS DOUBLE) / len(p.rt)
+                  ELSE 0.0 END AS r1,
+             CASE WHEN len(p.ct) - 1 > 0
+                  THEN CAST(COALESCE(o2.ov, 0) AS DOUBLE) / (len(p.ct) - 1)
+                  ELSE 0.0 END AS p2,
+             CASE WHEN len(p.rt) - 1 > 0
+                  THEN CAST(COALESCE(o2.ov, 0) AS DOUBLE) / (len(p.rt) - 1)
+                  ELSE 0.0 END AS r2
+      FROM pair p
+      LEFT JOIN ov1 o1 ON o1.doc_id = p.doc_id
+      LEFT JOIN ov2 o2 ON o2.doc_id = p.doc_id
+    )
+    SELECT doc_id, n_ref_tokens, n_cand_tokens,
+           ROUND(p1, 6) AS rouge1_precision,
+           ROUND(r1, 6) AS rouge1_recall,
+           ROUND(CASE WHEN p1 + r1 > 0 THEN 2 * p1 * r1 / (p1 + r1)
+                      ELSE 0.0 END, 6) AS rouge1_f1,
+           ROUND(p2, 6) AS rouge2_precision,
+           ROUND(r2, 6) AS rouge2_recall,
+           ROUND(CASE WHEN p2 + r2 > 0 THEN 2 * p2 * r2 / (p2 + r2)
+                      ELSE 0.0 END, 6) AS rouge2_f1
+    FROM m ORDER BY doc_id
+    """,
+)
+def eval_ngram_overlap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-style n-gram overlap (unigram + bigram precision/recall/
+    F1 with CLIPPED counts) between a reference text and a candidate —
+    the summarization/generation eval every model-output pipeline
+    scores at corpus scale. Pair fixture: every 7th doc is the
+    reference; its candidate is the doc with the last two words cut
+    and the FIRST word re-appended (the repeat makes clipping real:
+    the candidate can hold more copies of a gram than the reference,
+    so LEAST(c_ref, c_cand) actively clips, and the appended seam
+    creates a bigram absent from the reference — precision < 1 on
+    both orders).
+
+    Shape: per-doc gram counts for both sides (two explode +
+    partial-agg passes per order), one equi-join per order on
+    (doc_id, gram) — every frame is keyed by doc_id so the joins
+    co-partition, work is linear in corpus grams, and nothing is
+    pairwise beyond the (ref, cand) pairing itself. Determinism:
+    overlaps and totals are integers; p/r are single divisions of
+    identical ints; F1 is computed from the UNROUNDED p/r in the same
+    expression order on both engines, then everything shares the 6-dp
+    round."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.split("text", " ").alias("rt"))
+    )
+    pair = d.withColumn(
+        "ct",
+        F.concat(
+            F.slice("rt", 1, F.greatest(F.size("rt") - 2, F.lit(0))),
+            F.array(F.col("rt")[0]),
+        ),
+    )
+    bigrams = "transform(sequence(1, greatest(size({c}) - 1, 0)), i -> concat_ws(' ', {c}[i-1], {c}[i]))"
+
+    def gram_counts(col: str, expr: str, alias: str) -> DataFrame:
+        return (
+            pair.select("doc_id", F.explode(F.expr(expr)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    def overlap(rc: DataFrame, cc: DataFrame) -> DataFrame:
+        return (
+            rc.join(cc, ["doc_id", "g"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("cr", "cc")).alias("ov"))
+        )
+
+    ov1 = overlap(gram_counts("rt", "rt", "cr"), gram_counts("ct", "ct", "cc"))
+    ov2 = overlap(
+        gram_counts("rt", bigrams.format(c="rt"), "cr"),
+        gram_counts("ct", bigrams.format(c="ct"), "cc"),
+    )
+    tr1, tc1 = F.size("rt"), F.size("ct")
+
+    def ratio(ov, tot):
+        return F.when(
+            tot > 0, F.coalesce(ov, F.lit(0)).cast("double") / tot
+        ).otherwise(F.lit(0.0))
+
+    def f1(p, r):
+        return F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+
+    m = (
+        pair.join(ov1.withColumnRenamed("ov", "ov1"), "doc_id", "left")
+        .join(ov2.withColumnRenamed("ov", "ov2"), "doc_id", "left")
+        .select(
+            "doc_id",
+            tr1.cast("bigint").alias("n_ref_tokens"),
+            tc1.cast("bigint").alias("n_cand_tokens"),
+            ratio(F.col("ov1"), tc1).alias("p1"),
+            ratio(F.col("ov1"), tr1).alias("r1"),
+            ratio(F.col("ov2"), tc1 - 1).alias("p2"),
+            ratio(F.col("ov2"), tr1 - 1).alias("r2"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_ref_tokens",
+        "n_cand_tokens",
+        F.round("p1", 6).alias("rouge1_precision"),
+        F.round("r1", 6).alias("rouge1_recall"),
+        F.round(f1(F.col("p1"), F.col("r1")), 6).alias("rouge1_f1"),
+        F.round("p2", 6).alias("rouge2_precision"),
+        F.round("r2", 6).alias("rouge2_recall"),
+        F.round(f1(F.col("p2"), F.col("r2")), 6).alias("rouge2_f1"),
+    ).orderBy("doc_id")
 
 
 # splice the classifier oracle in AFTER registration so both keys share

@@ -2637,3 +2637,252 @@ def test_acf_multi_lag_matches_python_and_lag1_twin(spark):
     }
     for et, (np_, acf) in lag1.items():
         assert got[(et, 1)] == (np_, acf), et
+
+
+def test_cohens_kappa_matches_python_confusion(spark):
+    """eval_cohens_kappa against a from-scratch Counter confusion
+    build: the synthetic rater-B cycle, po/pe from marginals, and the
+    kappa formula all recomputed independently. Also pins that the
+    fixture is non-degenerate (0 < kappa < 1, pe != po): a constant
+    rater-B would make kappa identically 0 and leave the marginal
+    arithmetic untested (how the first langid-based cut failed)."""
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    cycle = {"de": "en", "en": "es", "es": "fr", "fr": "zh", "zh": "de"}
+    pairs = [
+        (
+            r["lang"],
+            r["lang"] if r["doc_id"] % 10 < 7 else cycle.get(r["lang"], "de"),
+        )
+        for r in rows
+    ]
+    n = len(pairs)
+    conf = Counter(pairs)
+    po = sum(c for (a, b), c in conf.items() if a == b) / n
+    ra: Counter = Counter()
+    rb: Counter = Counter()
+    for (a, b), c in conf.items():
+        ra[a] += c
+        rb[b] += c
+    pe = sum(ra[l] * rb.get(l, 0) for l in ra) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+
+    got = QUERIES["eval_cohens_kappa"](spark, SF_TEST).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["n_docs"] == n
+    assert abs(g["po"] - po) < 5e-7
+    assert abs(g["pe"] - pe) < 5e-7
+    assert abs(g["kappa"] - kappa) < 5e-7
+    # fixture non-degeneracy
+    assert abs(po - pe) > 0.01 and 0 < g["kappa"] < 1
+
+
+def test_cdc_apply_matches_python_fold(spark):
+    """cdc_apply_changelog against a plain dict fold of the derived
+    changelog (independent code: per-row max-seq tracking, no
+    aggregates). Also pins that every op class reaches the OUTPUT:
+    insert-only rows, single-update rows, multi-update last-wins rows
+    (status U2), and that tombstoned keys are absent even when they
+    carried updates."""
+    from collections import Counter
+
+    orders = (
+        spark.read.parquet(f"{SF_TEST}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    best: dict = {}
+    n_ops: Counter = Counter()
+
+    def feed(k, seq, op, st, tp):
+        n_ops[k] += 1
+        if k not in best or seq > best[k][0]:
+            best[k] = (seq, op, st, tp)
+
+    for r in orders:
+        k, st, tp = r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"]
+        feed(k, 1, "I", st, tp)
+        if k % 4 == 0:
+            feed(k, 2, "U", "U1", tp + 50.0)
+        if k % 8 == 0:
+            feed(k, 3, "U", "U2", tp + 75.0)
+        if k % 6 == 0:
+            feed(k, 9, "D", "D", 0.0)
+    exp = {
+        k: (st, round(tp, 2), seq, n_ops[k])
+        for k, (seq, op, st, tp) in best.items()
+        if op != "D"
+    }
+
+    got = {
+        r["o_orderkey"]: (
+            r["o_orderstatus"],
+            r["o_totalprice"],
+            r["last_seq"],
+            r["n_ops"],
+        )
+        for r in QUERIES["cdc_apply_changelog"](spark, SF_TEST).collect()
+    }
+    assert got == exp
+    statuses = {v[0] for v in got.values()}
+    assert "U2" in statuses and "U1" in statuses  # last-wins classes
+    assert all(k % 6 != 0 for k in got)  # tombstones really gone
+    assert any(k % 6 == 0 and k % 4 == 0 for k in n_ops)  # updated+deleted
+
+
+def test_ngram_overlap_matches_python_rouge(spark):
+    """eval_ngram_overlap_f1 against Counter-intersection ROUGE
+    (``Counter(a) & Counter(b)`` IS clipped overlap — a genuinely
+    different mechanism from the join+LEAST plan). Also pins that the
+    fixture exercises clipping asymmetry: at least one doc has
+    unigram precision < 1 (the re-appended first word exceeding the
+    reference count) and every doc has recall < 1 (the two cut
+    words)."""
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .filter("doc_id % 7 = 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["eval_ngram_overlap_f1"](spark, SF_TEST).collect()
+    }
+    assert set(got) == {r["doc_id"] for r in docs}
+    saw_clipped_precision = False
+    for d in docs:
+        rt = d["text"].split(" ")
+        ct = rt[: max(len(rt) - 2, 0)] + [rt[0]]
+        g = got[d["doc_id"]]
+        assert (g["n_ref_tokens"], g["n_cand_tokens"]) == (len(rt), len(ct))
+        for order, (pk, rk, fk) in {
+            1: ("rouge1_precision", "rouge1_recall", "rouge1_f1"),
+            2: ("rouge2_precision", "rouge2_recall", "rouge2_f1"),
+        }.items():
+            rg = [" ".join(rt[i : i + order]) for i in range(len(rt) - order + 1)]
+            cg = [" ".join(ct[i : i + order]) for i in range(len(ct) - order + 1)]
+            ov = sum((Counter(rg) & Counter(cg)).values())
+            p = ov / len(cg) if cg else 0.0
+            r = ov / len(rg) if rg else 0.0
+            f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
+            assert abs(g[pk] - p) < 5e-7, (d["doc_id"], order)
+            assert abs(g[rk] - r) < 5e-7, (d["doc_id"], order)
+            assert abs(g[fk] - f1) < 5e-7, (d["doc_id"], order)
+            if order == 1 and p < 1.0:
+                saw_clipped_precision = True
+            assert r < 1.0  # the two cut words always cost recall
+    assert saw_clipped_precision
+
+
+def test_lsh_tuning_matches_python_scurve(spark):
+    """dedup_lsh_tuning against a from-scratch python pipeline: set
+    shingles, dict df counts, inverted-index pairs, exact Jaccard, and
+    the S-curve via Decimal-quantized chain multiplication — the whole
+    observed-distribution path recomputed without Spark or SQL. Also
+    pins the tuning table's MEANING: detection above the verify
+    threshold must be monotone DEcreasing in rows_per_band while false
+    candidates are monotone INcreasing in bands, and the shipped 16×2
+    config must sit at ≥99.9% expected recall with <1% of the
+    32×1 config's false-candidate volume (the reason N_BANDS=16)."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kinesis_adapter_spark.operators.llmops import (
+        LSH_TUNING_CONFIGS,
+        STOP_SHINGLE_ABS,
+        STOP_SHINGLE_FRAC,
+        STOP_SHINGLE_MAX,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    corpus = {r["doc_id"]: r["text"] for r in rows}
+    for r in rows:
+        if r["doc_id"] % 7 == 0:
+            toks = r["text"].split(" ")
+            corpus[r["doc_id"] + 2_000_000] = " ".join(toks[: len(toks) - 2])
+
+    shings = {
+        d: {
+            " ".join(t.split(" ")[i : i + 3])
+            for i in range(max(len(t.split(" ")) - 2, 0))
+        }
+        for d, t in corpus.items()
+    }
+    df: Counter = Counter(s for ss in shings.values() for s in ss)
+    cap = max(
+        STOP_SHINGLE_ABS,
+        min(math.ceil(STOP_SHINGLE_FRAC * len(corpus)), STOP_SHINGLE_MAX),
+    )
+    shings = {d: {s for s in ss if df[s] <= cap} for d, ss in shings.items()}
+
+    inv = defaultdict(list)
+    for d, ss in sorted(shings.items()):
+        for s in ss:
+            inv[s].append(d)
+    pair_inter: Counter = Counter()
+    for s, ds in inv.items():
+        for i in range(len(ds)):
+            for jj in range(i + 1, len(ds)):
+                pair_inter[(ds[i], ds[jj])] += 1
+
+    def q6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    js = [
+        q6(c / (len(shings[a]) + len(shings[b]) - c))
+        for (a, b), c in pair_inter.items()
+    ]
+
+    def p6(j: float, b: int, r: int) -> int:
+        jr = 1.0
+        for _ in range(r):
+            jr = jr * j
+        q = 1.0 - jr
+        qb = 1.0
+        for _ in range(b):
+            qb = qb * q
+        return int(
+            (Decimal(1.0 - qb) * 1_000_000).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    got = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in QUERIES["dedup_lsh_tuning"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(LSH_TUNING_CONFIGS)
+    above = [j for j in js if j >= 0.6]
+    for b, r in LSH_TUNING_CONFIGS:
+        g = got[(b, r)]
+        assert g["n_pairs"] == len(js)
+        assert g["n_pairs_above_06"] == len(above)
+        assert abs(g["s50_threshold"] - (1.0 / b) ** (1.0 / r)) < 5e-7
+        exp_da = sum(p6(j, b, r) for j in js if j >= 0.6)
+        exp_fa = sum(p6(j, b, r) for j in js if j < 0.6)
+        assert int(round(g["exp_detected_above_06"] * 1_000_000)) == exp_da, (b, r)
+        assert int(round(g["exp_false_candidates"] * 1_000_000)) == exp_fa, (b, r)
+    # meaning: the S-curve trade-off and the shipped 16×2 choice
+    ordered = [got[c] for c in LSH_TUNING_CONFIGS]  # bands descending
+    det = [g["exp_detected_above_06"] for g in ordered]
+    fal = [g["exp_false_candidates"] for g in ordered]
+    assert det == sorted(det, reverse=True)
+    assert fal == sorted(fal, reverse=True)
+    g16 = got[(16, 2)]
+    assert g16["exp_detected_above_06"] >= 0.999 * g16["n_pairs_above_06"]
+    assert g16["exp_false_candidates"] < 0.01 * got[(32, 1)]["exp_false_candidates"]

@@ -214,6 +214,19 @@ SHOWCASE = {
         "BroadcastExchange, then a per-doc partial+final aggregate — "
         "no type-sized training shuffle in the read path"
     ),
+    # r11 additions
+    "cdc_apply_changelog": (
+        "CDC fold: ONE SortAggregate pair (string max_by buffers "
+        "disable hash agg; the partial instance still folds map-side "
+        "before the key exchange, so the shuffle carries folded rows "
+        "not changelog rows) — no Window anywhere"
+    ),
+    "eval_ngram_overlap_f1": (
+        "clipped ROUGE overlap: per-order gram-count aggregates and "
+        "(doc_id, g) equi-joins — SortMergeJoin/hash join on keys, "
+        "no CartesianProduct; the ref/cand legs of each order share "
+        "the exploded pair scan"
+    ),
 }
 
 # keys whose registry function materializes a bounded result and

@@ -223,6 +223,22 @@ SMOKE_OPS = {
     # (k scales with the corpus, so the join stays linear-in-n), and
     # a |langs|-group audit
     "pipeline_semantic_dedup": "embeddings+documents",
+    # r11: CDC snapshot apply — one groupBy(key) max_by fold over the
+    # 4-leg changelog union; partial agg combines map-side, expected
+    # ~linear in changelog rows
+    "cdc_apply_changelog": "orders",
+    # r11: clipped n-gram overlap — per-doc gram counts + per-doc
+    # equi-joins, linear in corpus grams (doc pairing is 1:1)
+    "eval_ngram_overlap_f1": "documents",
+    # r11: LSH tuning sweep — the dedup_near_ngram inverted-index pair
+    # relation with 12 conditional sums in ONE partial agg; replicated
+    # docs multiply pairs per copy (disjoint ids), so expect linear in
+    # observed pairs over a fixed-cost floor
+    "dedup_lsh_tuning": "documents",
+    # r11: chance-corrected agreement — one corpus pass into a
+    # |langs|² confusion matrix, then metadata-sized marginal algebra;
+    # expected ~flat
+    "eval_cohens_kappa": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
