@@ -118,6 +118,12 @@ EXTRAS = {
     # bottom-k appends + merge-law query). Anchor: BASELINE.md
     # "Round-10 anchor adoption" (two idle FULL-bench runs).
     "kmv_maintain": "stream_kmv_maintain",
+    # round-11 additions: the two heaviest new keys — the one-pass LSH
+    # parameter sweep over the inverted-index pair relation, and the
+    # CDC changelog fold. Anchors: BASELINE.md "Round-11 anchor
+    # adoption" (two idle FULL-bench runs).
+    "lsh_tuning": "dedup_lsh_tuning",
+    "cdc_apply": "cdc_apply_changelog",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -198,6 +204,10 @@ ANCHORS = {
     # round-10 addition, anchored at the mean of two idle FULL-bench
     # runs' medians-of-5 (BASELINE.md "Round-10 anchor adoption")
     "kmv_maintain": 2.58,
+    # round-11 additions, anchored at the mean of two idle FULL-bench
+    # runs' medians-of-5 (BASELINE.md "Round-11 anchor adoption")
+    "lsh_tuning": 3.72,
+    "cdc_apply": 1.43,
 }
 
 

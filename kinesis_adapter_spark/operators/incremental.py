@@ -143,9 +143,10 @@ def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ins.unionByName(upd1).unionByName(upd2).unionByName(dels)
 
 
-@query(
-    "cdc_apply_changelog",
-    f"""
+# Shared verbatim by the streaming maintenance twin (stream_cdc_apply,
+# streaming/pipelines.py): the per-batch incremental fold must converge
+# to exactly this batch truth (the scd2_maintain discipline).
+CDC_APPLY_SQL = f"""
     WITH log AS ({_CDC_SQL}),
     final AS (
       SELECT o_orderkey,
@@ -160,8 +161,10 @@ def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(o_totalprice, 2) AS o_totalprice, last_seq, n_ops
     FROM final WHERE last_op != 'D'
     ORDER BY o_orderkey
-    """,
-)
+    """
+
+
+@query("cdc_apply_changelog", CDC_APPLY_SQL)
 def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the current snapshot from an ordered I/U/D changelog
     — the Debezium/CDC apply step every lakehouse ingestion pipeline

@@ -814,6 +814,107 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(versions[-1]).orderBy("k")
 
 
+def _cdc_apply_oracle() -> str:
+    from kinesis_adapter_spark.operators.incremental import CDC_APPLY_SQL
+
+    return CDC_APPLY_SQL
+
+
+@query("stream_cdc_apply", _cdc_apply_oracle())
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CDC snapshot maintenance — the streaming twin of
+    cdc_apply_changelog (same oracle, verbatim): the orders-derived
+    I/U/D changelog arrives in micro-batches, DELIBERATELY out of
+    sequence order (the tombstone/U2 legs are staged before the
+    insert leg), and foreachBatch folds each batch into a keyed state
+    table. Last-writer-wins by seq is order-INDEPENDENT, so the final
+    state must converge to the one-shot batch fold regardless of how
+    the availableNow planner groups the files — convergence to the
+    batch key's oracle IS the check (the scd2/pq/bm25-maintain
+    discipline).
+
+    State per key: (last_op, status, price, last_seq, n_ops).
+    Tombstoned keys are RETAINED in state (a later-seq op must be able
+    to supersede a delete — dropping tombstones loses that) and only
+    filtered at the read. Each batch re-folds state ∪ batch with the
+    batch key's max_by aggregation, carrying n_ops as a summed weight,
+    so per-batch cost is |batch| + |state| folded rows — at 100 TB the
+    state is key-bucketed and the batch's keys broadcast so only
+    affected buckets rewrite (the stream_foreachbatch_upsert cost
+    model); stream_foreachbatch_upsert shows plain max-seq upsert on a
+    toy feed, this key adds op codes, tombstones, and the audit
+    column."""
+    from kinesis_adapter_spark.operators.incremental import _changelog
+
+    work = Path(tempfile.mkdtemp(prefix="kas_cdc_"))
+    src = work / "src"
+    log = _changelog(spark, sf_dir)
+    # stage arrival files tombstones-first (seq 9, then 3, then 2, then
+    # 1): maxFilesPerTrigger groups whatever files it sees, so the run
+    # exercises deletes and updates folding in BEFORE their inserts
+    for leg in (9, 3, 2, 1):
+        log.filter(F.col("seq") == leg).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    versions: list[str] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b = batch_df.select(
+            "o_orderkey", "seq", "op", "o_orderstatus", "o_totalprice"
+        ).withColumn("w", F.lit(1).cast("bigint"))
+        if not b.take(1):
+            return
+        if versions:
+            prev = sess.read.parquet(versions[-1]).select(
+                "o_orderkey",
+                F.col("last_seq").alias("seq"),
+                F.col("last_op").alias("op"),
+                "o_orderstatus",
+                "o_totalprice",
+                F.col("n_ops").alias("w"),
+            )
+            b = b.unionByName(prev)
+        folded = b.groupBy("o_orderkey").agg(
+            F.max_by("op", "seq").alias("last_op"),
+            F.max_by("o_orderstatus", "seq").alias("o_orderstatus"),
+            F.max_by("o_totalprice", "seq").alias("o_totalprice"),
+            F.max("seq").alias("last_seq"),
+            F.sum("w").alias("n_ops"),
+        )
+        nxt = str(work / f"state_v{len(versions)}")
+        folded.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, seq int, op string, "
+            "o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 180)
+    return (
+        spark.read.parquet(versions[-1])
+        .filter(F.col("last_op") != "D")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("last_seq").cast("bigint").alias("last_seq"),
+            "n_ops",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 @query(
     "stream_windowed_topk",
     """

@@ -688,3 +688,29 @@ def test_kmv_maintain_converges_via_merge_law(spark):
     ]
     assert got == ref
     assert len(got) > 0
+
+
+def test_cdc_apply_stream_converges_out_of_order(spark):
+    """stream_cdc_apply stages the changelog legs tombstones-FIRST
+    (seq 9, 3, 2, 1) into single-file micro-batches, so deletes and
+    updates fold into state before their inserts exist — the final
+    snapshot must still be row-equal to the one-shot batch fold
+    (last-writer-wins by seq is arrival-order independent, which is
+    the whole point of carrying log offsets). Also pins the audit
+    column: every surviving key's n_ops must count ALL its changelog
+    rows, not just the ones that arrived after its insert."""
+    from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        tuple(r) for r in QUERIES["stream_cdc_apply"](spark, sf).collect()
+    ]
+    ref = [
+        tuple(r)
+        for r in QUERIES["cdc_apply_changelog"](spark, sf).collect()
+    ]
+    assert got == ref
+    assert len(got) > 0
+    n_ops = {r[0]: r[4] for r in got}
+    assert any(v == 3 for v in n_ops.values())  # I+U1+U2 keys survive whole

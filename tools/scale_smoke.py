@@ -239,6 +239,11 @@ SMOKE_OPS = {
     # |langs|² confusion matrix, then metadata-sized marginal algebra;
     # expected ~flat
     "eval_cohens_kappa": "documents",
+    # r11: streaming CDC twin — stages the changelog legs as parquet
+    # micro-batches (tombstones first) and folds each into keyed
+    # state; per-batch cost is |batch| + |state| folded rows, so
+    # expect ~linear in changelog rows over the availableNow fixed cost
+    "stream_cdc_apply": "orders",
 }
 
 # (table, id columns to offset, per-replica offset)
