@@ -1086,3 +1086,70 @@ def test_point_in_time_join_is_asof_not_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_cdc_apply_folds_without_window(spark):
+    """The CDC apply must be ONE aggregation fold, never a window: no
+    Window node anywhere, a partial/final aggregate pair present
+    (string max_by buffers force SortAggregate — the partial instance
+    still combines map-side before the key exchange), and the only
+    Sort nodes are aggregation-input and presentation sorts, not a
+    per-key window sort."""
+    plan = plan_of(spark, "cdc_apply_changelog")
+    assert "Window" not in plan, plan[:3000]
+    assert "SortAggregate" in plan or "HashAggregate" in plan, plan[:3000]
+    assert "max_by" in plan, plan[:3000]
+
+
+def test_ngram_overlap_joins_on_keys_not_cartesian(spark):
+    """Every ref×cand comparison must ride a keyed equi-join on
+    (doc_id, gram) — a CartesianProduct or broadcast nested loop here
+    would be quadratic in corpus grams at scale."""
+    plan = plan_of(spark, "eval_ngram_overlap_f1")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_lsh_tuning_single_aggregation_pass(spark):
+    """All 12 S-curve sums must fold into ONE aggregation over the
+    pair relation: exactly one aggregate pair containing the p6 sums
+    (count the partial instances carrying 'da_' outputs), and no
+    CartesianProduct anywhere — the sweep may not re-scan pairs per
+    config. The key returns a 6-row literal frame built from a bounded
+    1-row collect, so the plan to pin is the PAIR aggregation, probed
+    via the same private builder the key uses."""
+    from kinesis_adapter_spark.operators.llmops import (
+        LSH_TUNING_CONFIGS,
+        _lsh_p6_expr,
+        capped_shingles,
+        mutated_documents,
+    )
+    from pyspark.sql import functions as F
+
+    sh = capped_shingles(mutated_documents(spark, SF_TEST))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = inter.select(F.round(F.col("c") / F.col("c"), 6).alias("j"))
+    aggs = []
+    for bb, rr in LSH_TUNING_CONFIGS:
+        p6 = F.expr(_lsh_p6_expr(bb, rr))
+        aggs.append(F.sum(p6).alias(f"da_{bb}_{rr}"))
+    plan = pairs.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # one partial+final pair: the S-curve multiply chains appear in
+    # exactly 2 aggregate nodes (partial and final), not one pair per
+    # config. Detect by the chain signature "(1.0 - j#" — the alias
+    # names are truncated out of toString's bounded expression lists.
+    n_agg_nodes_with_chain = sum(
+        1
+        for line in plan.splitlines()
+        if ("HashAggregate" in line or "SortAggregate" in line)
+        and "(1.0 - j#" in line
+    )
+    assert n_agg_nodes_with_chain == 2, plan[:3000]
