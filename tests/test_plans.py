@@ -1153,3 +1153,38 @@ def test_lsh_tuning_single_aggregation_pass(spark):
         and "(1.0 - j#" in line
     )
     assert n_agg_nodes_with_chain == 2, plan[:3000]
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["eval_auc_roc", "eval_pr_auc", "agg_mann_whitney", "drift_wasserstein_1d"],
+)
+def test_compressed_domain_rank_pass_stays_distinct_sized(spark, key):
+    """The rank-statistic keys run an UNPARTITIONED window, which is
+    only scale-safe because its input is the DISTINCT-score aggregate
+    (bounded by 6-dp pre-rounding to ≤1e6+1 rows at ANY corpus size —
+    the r9 verdict's 'holds only as long as scores stay pre-rounded'
+    caveat). Pin it mechanically: every SinglePartition exchange in
+    these plans must be fed by a keyed HashAggregate ON THE WINDOW'S
+    ORDER COLUMN — if a future edit reuses the shape on raw rows, the
+    aggregate disappears and this goes red before the plan goes
+    corpus-sized."""
+    import re
+
+    plan = plan_of(spark, key)
+    lines = plan.splitlines()
+    # window order column, e.g. 'windowspecdefinition(score#12 ASC'
+    m = re.search(r"windowspecdefinition\(([a-zA-Z_0-9]+#\d+)", plan)
+    assert m, plan[:2000]
+    order_col = m.group(1)
+    sp_idx = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert sp_idx, plan[:2000]
+    for i in sp_idx:
+        below = "\n".join(lines[i + 1 : i + 3])
+        # bounded feeders: the distinct-score aggregate (keyed on the
+        # window's order column), or a scalar partial aggregate
+        # (keys=[] — one row per map partition reaches the exchange)
+        assert (
+            f"HashAggregate(keys=[{order_col}" in below
+            or "HashAggregate(keys=[]" in below
+        ), (key, order_col, below)
