@@ -2051,6 +2051,125 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_fleiss_kappa",
+    """
+    WITH pos AS (
+      SELECT doc_id,
+             CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+                       WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 ELSE 0 END AS p,
+             lang
+      FROM documents
+    ),
+    ratings AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id + r) % 10 < 7 THEN lang
+                  ELSE (['de', 'en', 'es', 'fr', 'zh'])
+                       [((p + r + 1) % 5) + 1]
+             END AS label
+      FROM pos, (SELECT unnest([0, 1, 2]) AS r)
+    ),
+    cell AS (
+      SELECT doc_id, label, COUNT(*) AS n_ik
+      FROM ratings GROUP BY doc_id, label
+    ),
+    per_item AS (
+      SELECT doc_id, SUM(n_ik * n_ik) AS s_i FROM cell GROUP BY doc_id
+    ),
+    items AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(s_i) AS BIGINT) AS s_tot
+      FROM per_item
+    ),
+    cats AS (
+      SELECT CAST(SUM(ck * ck) AS BIGINT) AS c2
+      FROM (SELECT label, SUM(n_ik) AS ck FROM cell GROUP BY label)
+    )
+    SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+           ROUND(CAST(s_tot - 3 * n_items AS DOUBLE) / (6 * n_items), 6)
+             AS p_bar,
+           ROUND(CAST(c2 AS DOUBLE) / ((3 * n_items) * (3 * n_items)), 6)
+             AS p_e,
+           ROUND((CAST(s_tot - 3 * n_items AS DOUBLE) / (6 * n_items)
+                  - CAST(c2 AS DOUBLE) / ((3 * n_items) * (3 * n_items)))
+                 / (1 - CAST(c2 AS DOUBLE)
+                        / ((3 * n_items) * (3 * n_items))), 6) AS kappa
+    FROM items, cats
+    """,
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — multi-rater chance-corrected agreement, the
+    statistic a labeling pipeline with 3+ annotators publishes where
+    two-rater Cohen's kappa (eval_cohens_kappa) doesn't apply. Three
+    synthetic raters per doc: rater r agrees with the lang label when
+    (doc_id + r) % 10 < 7 and otherwise drifts r+1 steps along the
+    fixed lang cycle — deterministic, phase-shifted AND
+    direction-shifted. The unit phase step makes the three miss
+    windows OVERLAP mod 10 (residues 6-8 have 2-3 raters missing at
+    once) and the per-rater drift directions differ, so unanimous,
+    2/3-majority, and three-way-split items all occur (a 3r phase
+    makes the windows disjoint — at most one miss per item — and a
+    shared drift caps every item at two categories; both earlier cuts
+    failed the fixture-mixedness pin in pytest).
+
+    Arithmetic stays in the integer domain to the last step: per-item
+    Pᵢ = (Σₖn²ᵢₖ - n)/(n(n-1)) sums integer squares, so P̄ is ONE
+    division of integer totals; Pₑ = Σₖp²ₖ is one division of an
+    integer square sum — both engines divide identical integers in the
+    identical expression order, so P̄/Pₑ/κ are bit-identical before the
+    shared 6-dp round (the eval_cohens_kappa discipline). One corpus
+    pass into a (doc, label) cell table, then metadata-sized algebra —
+    flat at any scale."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    r = spark.range(3).select(F.col("id").cast("int").alias("r"))
+    pos = (
+        F.when(F.col("lang") == "de", F.lit(0))
+        .when(F.col("lang") == "en", F.lit(1))
+        .when(F.col("lang") == "es", F.lit(2))
+        .when(F.col("lang") == "fr", F.lit(3))
+        .when(F.col("lang") == "zh", F.lit(4))
+        .otherwise(F.lit(0))
+    )
+    drift = F.element_at(
+        F.array(*[F.lit(x) for x in ("de", "en", "es", "fr", "zh")]),
+        ((pos + F.col("r") + 1) % 5) + 1,
+    )
+    ratings = d.crossJoin(F.broadcast(r)).select(
+        "doc_id",
+        F.when((F.col("doc_id") + F.col("r")) % 10 < 7, F.col("lang"))
+        .otherwise(drift)
+        .alias("label"),
+    )
+    cell = ratings.groupBy("doc_id", "label").agg(
+        F.count(F.lit(1)).alias("n_ik")
+    )
+    per_item = cell.groupBy("doc_id").agg(
+        F.sum(F.col("n_ik") * F.col("n_ik")).alias("s_i")
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("s_i").cast("bigint").alias("s_tot"),
+    )
+    cats = (
+        cell.groupBy("label")
+        .agg(F.sum("n_ik").alias("ck"))
+        .agg(F.sum(F.col("ck") * F.col("ck")).cast("bigint").alias("c2"))
+    )
+    p_bar = (F.col("s_tot") - 3 * F.col("n_items")).cast("double") / (
+        6 * F.col("n_items")
+    )
+    p_e = F.col("c2").cast("double") / (
+        (3 * F.col("n_items")) * (3 * F.col("n_items"))
+    )
+    return items.crossJoin(cats).select(
+        "n_items",
+        F.lit(3).cast("bigint").alias("n_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (F.lit(1) - p_e), 6).alias("kappa"),
+    )
+
+
+@query(
     "eval_ngram_overlap_f1",
     """
     WITH base AS (

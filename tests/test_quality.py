@@ -2886,3 +2886,49 @@ def test_lsh_tuning_matches_python_scurve(spark):
     g16 = got[(16, 2)]
     assert g16["exp_detected_above_06"] >= 0.999 * g16["n_pairs_above_06"]
     assert g16["exp_false_candidates"] < 0.01 * got[(32, 1)]["exp_false_candidates"]
+
+
+def test_fleiss_kappa_matches_python_cells(spark):
+    """eval_fleiss_kappa against a from-scratch Counter cell table and
+    the textbook formula (float means, not the integer-total
+    divisions the engine uses). Also pins that the phase-shifted
+    rater fixture is genuinely mixed: items with 3/3, 2/3 and 1/3
+    majorities must all occur, and 0 < kappa < 1."""
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    langs = ["de", "en", "es", "fr", "zh"]
+    cells: dict = {}
+    for row in rows:
+        c: Counter = Counter()
+        p = langs.index(row["lang"]) if row["lang"] in langs else 0
+        for r in range(3):
+            ok = (row["doc_id"] + r) % 10 < 7
+            c[row["lang"] if ok else langs[(p + r + 1) % 5]] += 1
+        cells[row["doc_id"]] = c
+    n_items, n = len(cells), 3
+    p_i = [
+        (sum(v * v for v in c.values()) - n) / (n * (n - 1))
+        for c in cells.values()
+    ]
+    p_bar = sum(p_i) / n_items
+    cat: Counter = Counter()
+    for c in cells.values():
+        cat.update(c)
+    p_e = sum((v / (n * n_items)) ** 2 for v in cat.values())
+    kappa = (p_bar - p_e) / (1 - p_e)
+
+    got = QUERIES["eval_fleiss_kappa"](spark, SF_TEST).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g["n_items"], g["n_raters"]) == (n_items, 3)
+    assert abs(g["p_bar"] - p_bar) < 5e-7
+    assert abs(g["p_e"] - p_e) < 5e-7
+    assert abs(g["kappa"] - kappa) < 5e-7
+    majorities = {max(c.values()) for c in cells.values()}
+    assert majorities == {1, 2, 3}  # unanimous, majority, three-way split
+    assert 0 < g["kappa"] < 1

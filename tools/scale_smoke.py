@@ -244,6 +244,9 @@ SMOKE_OPS = {
     # state; per-batch cost is |batch| + |state| folded rows, so
     # expect ~linear in changelog rows over the availableNow fixed cost
     "stream_cdc_apply": "orders",
+    # r11: multi-rater agreement — one corpus pass into a (doc, label)
+    # cell table, then metadata-sized Fleiss algebra; expected ~flat
+    "eval_fleiss_kappa": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
