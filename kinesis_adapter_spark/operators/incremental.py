@@ -187,7 +187,16 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: seq values are distinct per key by construction (a
     real feed's log offsets), so max_by has no ties; prices stay exact
     IEEE additions of 2-dp literals until the final shared ROUND."""
-    log = _changelog(spark, sf_dir)
+    return fold_changelog(_changelog(spark, sf_dir)).orderBy("o_orderkey")
+
+
+def fold_changelog(log: DataFrame) -> DataFrame:
+    """The one CDC fold over an (o_orderkey, seq, op, o_orderstatus,
+    o_totalprice) log frame — shared by the registry key and the
+    hypothesis property test (tests/test_property.py drives it with
+    random op logs against a Python dict fold), so the last-wins /
+    tombstone semantics can never fork from what the random-input
+    check verifies."""
     final = log.groupBy("o_orderkey").agg(
         F.max_by("op", "seq").alias("last_op"),
         F.max_by("o_orderstatus", "seq").alias("o_orderstatus"),
@@ -195,16 +204,12 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq").cast("bigint").alias("last_seq"),
         F.count(F.lit(1)).alias("n_ops"),
     )
-    return (
-        final.filter(F.col("last_op") != "D")
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            "last_seq",
-            "n_ops",
-        )
-        .orderBy("o_orderkey")
+    return final.filter(F.col("last_op") != "D").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "last_seq",
+        "n_ops",
     )
 
 

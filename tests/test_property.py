@@ -527,3 +527,63 @@ def test_unigram_viterbi_is_optimal_vs_bruteforce(data):
         got,
         best,
     )
+
+
+@settings(
+    max_examples=20, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(1, 6),  # key (small domain -> collisions)
+            st.integers(1, 9),  # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 500).map(lambda c: c / 100.0),  # 2-dp price
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_random_changelogs_fold_like_python(spark, log):
+    """fold_changelog (the cdc_apply_changelog / stream_cdc_apply
+    core) against a per-row Python dict fold on RANDOM op logs —
+    random keys, sequences, op codes (incl. deletes with later
+    revivals), and prices. Ties on (key, seq) are resolved to a single
+    survivor before feeding either side (a real feed's offsets are
+    unique per key; max_by is free to pick either copy on a tie, so
+    the property is stated where the operator's contract holds)."""
+    from kinesis_adapter_spark.operators.incremental import fold_changelog
+
+    dedup = {}
+    for k, seq, op, st_, tp in log:
+        dedup[(k, seq)] = (k, seq, op, st_, tp)
+    rows = sorted(dedup.values())
+
+    best: dict = {}
+    n_ops: dict = {}
+    for k, seq, op, st_, tp in rows:
+        n_ops[k] = n_ops.get(k, 0) + 1
+        if k not in best or seq > best[k][0]:
+            best[k] = (seq, op, st_, tp)
+    want = {
+        k: (st_, round(tp, 2), seq, n_ops[k])
+        for k, (seq, op, st_, tp) in best.items()
+        if op != "D"
+    }
+
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, seq int, op string, "
+        "o_orderstatus string, o_totalprice double",
+    )
+    got = {
+        r["o_orderkey"]: (
+            r["o_orderstatus"],
+            r["o_totalprice"],
+            r["last_seq"],
+            r["n_ops"],
+        )
+        for r in fold_changelog(df).collect()
+    }
+    assert got == want, rows
