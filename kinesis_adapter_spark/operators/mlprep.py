@@ -60,6 +60,160 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEYMAN_BUDGET = 1000  # total sample budget allocated across strata
+
+
+@query(
+    "sample_neyman_allocation",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+             md5('ney-' || CAST(event_id AS VARCHAR)) AS hk,
+             event_id
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(v100) AS BIGINT) AS s1,
+             CAST(SUM(v100 * v100) AS BIGINT) AS s2
+      FROM v GROUP BY event_type
+    ),
+    sd AS (
+      SELECT event_type, n_pop,
+             sqrt(CAST(n_pop * s2 - s1 * s1 AS DOUBLE)
+                  / (n_pop * (n_pop - 1)) / 10000.0) AS s_h
+      FROM stats WHERE n_pop > 1
+    ),
+    tot AS (SELECT SUM(n_pop * s_h) AS w FROM sd),
+    alloc AS (
+      SELECT sd.event_type, sd.n_pop, sd.s_h,
+             CAST(ROUND({NEYMAN_BUDGET} * (sd.n_pop * sd.s_h) / tot.w, 0)
+                  AS BIGINT) AS n_alloc
+      FROM sd, tot
+    ),
+    ranked AS (
+      SELECT event_type, v100,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hk, event_id) AS rk
+      FROM v
+    ),
+    kept AS (
+      SELECT r.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(r.v100) AS BIGINT) AS k1
+      FROM ranked r JOIN alloc a ON a.event_type = r.event_type
+      WHERE r.rk <= a.n_alloc
+      GROUP BY r.event_type
+    )
+    SELECT a.event_type, a.n_pop, ROUND(a.s_h, 6) AS s_h, a.n_alloc,
+           k.n_kept,
+           ROUND(CAST(k.k1 AS DOUBLE) / k.n_kept / 100.0, 6) AS mean_kept
+    FROM alloc a JOIN kept k ON k.event_type = a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal (Neyman) stratified sampling: allocate a fixed
+    budget across strata proportionally to N_h·S_h (stratum size ×
+    stratum standard deviation), then draw each stratum's exact-count
+    sample by deterministic md5 rank — the allocation a survey/eval
+    pipeline computes before sampling a 100 TB corpus, where a
+    high-variance minority stratum deserves more of the budget than
+    proportional sampling gives it. sample_stratified_hash is the
+    fixed-rate cousin; this key derives the rates FROM the data.
+
+    Output per stratum: population size, S_h, the Neyman allocation,
+    the realized kept count, and the kept-sample mean — the table the
+    sampling job publishes for its audit.
+
+    Determinism (the agg_stddev_var problem done differently): values
+    are exactly 2-dp, so variance comes from INTEGER power sums
+    (n·Σx² - (Σx)²) of v100 = value·100 — both engines sum identical
+    integers, divide in the same order, and take one correctly-rounded
+    sqrt, so S_h is bit-identical with no float-sum-order exposure.
+    The cross-stratum weight total is summed in 6-dp integer
+    micro-units (order-independent), and the draw is the
+    md5-threshold discipline with a per-stratum
+    row_number for EXACT counts. Shape: one partial-agg pass for the
+    power sums, a broadcast of the |strata|-row allocation table, one
+    stratum-partitioned window for the ranked draw — at 100 TB swap
+    the exact-count window for the rate threshold n_h/N_h
+    (sample_stratified_hash's shuffle-free predicate) when exactness
+    isn't required."""
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v100"),
+        F.md5(F.concat(F.lit("ney-"), F.col("event_id").cast("string"))).alias(
+            "hk"
+        ),
+        "event_id",
+    )
+    stats = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum("v100").cast("bigint").alias("s1"),
+        F.sum(F.col("v100") * F.col("v100")).cast("bigint").alias("s2"),
+    )
+    sd = stats.filter(F.col("n_pop") > 1).select(
+        "event_type",
+        "n_pop",
+        F.sqrt(
+            (F.col("n_pop") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n_pop") * (F.col("n_pop") - 1))
+            / 10000.0
+        ).alias("s_h"),
+    )
+    # per-stratum weights compressed to 6-dp micro-units BEFORE the
+    # cross-stratum sum: an integer SUM is order-independent, where a
+    # double SUM over shuffle output is not (the eval_auc_roc
+    # compressed-domain discipline applied to a 5-row reduce)
+    term6 = F.expr(
+        "CAST(ROUND(ROUND(n_pop * s_h, 6) * 1000000, 0) AS BIGINT)"
+    )
+    tot = sd.agg(F.sum(term6).alias("w6"))
+    alloc = sd.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_pop",
+        "s_h",
+        F.round(
+            NEYMAN_BUDGET
+            * (F.round(F.col("n_pop") * F.col("s_h"), 6) * 1000000)
+            / F.col("w6"),
+            0,
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    ranked = v.withColumn("rk", F.row_number().over(w))
+    kept = (
+        ranked.join(F.broadcast(alloc.select("event_type", "n_alloc")), "event_type")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("v100").cast("bigint").alias("k1"),
+        )
+    )
+    return (
+        alloc.join(kept, "event_type")
+        .select(
+            "event_type",
+            "n_pop",
+            F.round("s_h", 6).alias("s_h"),
+            "n_alloc",
+            "n_kept",
+            F.round(
+                F.col("k1").cast("double") / F.col("n_kept") / 100.0, 6
+            ).alias("mean_kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "dataset_split_hash",
     """

@@ -2932,3 +2932,68 @@ def test_fleiss_kappa_matches_python_cells(spark):
     majorities = {max(c.values()) for c in cells.values()}
     assert majorities == {1, 2, 3}  # unanimous, majority, three-way split
     assert 0 < g["kappa"] < 1
+
+
+def test_neyman_allocation_matches_python_survey_math(spark):
+    """sample_neyman_allocation against textbook survey math computed
+    independently (statistics.stdev over the raw 2-dp values, float
+    weight sums — NOT the engine's integer power sums / micro-unit
+    totals), plus the draw re-derived per stratum from md5 ranks. Also
+    pins the statistic's point: the allocation must differ from
+    proportional allocation somewhere (else Neyman buys nothing on
+    this fixture) and the total must land within one rounding unit per
+    stratum of the budget."""
+    import hashlib
+    import statistics
+    from collections import defaultdict
+
+    from kinesis_adapter_spark.operators.mlprep import NEYMAN_BUDGET
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    by_et: dict = defaultdict(list)
+    for r in rows:
+        by_et[r["event_type"]].append((r["event_id"], round(r["value"] * 100)))
+    sd = {
+        et: statistics.stdev([v / 100 for _, v in vals]) * 100
+        for et, vals in by_et.items()
+        if len(vals) > 1
+    }
+    # engine reports s_h in v100 units? No — it divides by 10000 under
+    # the sqrt, so s_h is in VALUE units; convert the reference too
+    sd = {et: s / 100 for et, s in sd.items()}
+    w = {et: len(by_et[et]) * s for et, s in sd.items()}
+    tot = sum(w.values())
+    alloc = {et: round(NEYMAN_BUDGET * wv / tot) for et, wv in w.items()}
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["sample_neyman_allocation"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(alloc)
+    for et, g in got.items():
+        assert g["n_pop"] == len(by_et[et])
+        assert abs(g["s_h"] - sd[et]) < 5e-6, et
+        # float-path reference vs integer-path engine: the micro-unit
+        # weight total can differ in the last unit, so allow ±1 on the
+        # rounded allocation
+        assert abs(g["n_alloc"] - alloc[et]) <= 1, et
+        ranked = sorted(
+            by_et[et],
+            key=lambda t: (
+                hashlib.md5(f"ney-{t[0]}".encode()).hexdigest(),
+                t[0],
+            ),
+        )[: g["n_alloc"]]
+        assert g["n_kept"] == len(ranked), et
+        mean = sum(v for _, v in ranked) / len(ranked) / 100.0
+        assert abs(g["mean_kept"] - mean) < 5e-7, et
+    total_alloc = sum(g["n_alloc"] for g in got.values())
+    assert abs(total_alloc - NEYMAN_BUDGET) <= len(got)
+    prop = {
+        et: round(NEYMAN_BUDGET * len(by_et[et]) / len(rows)) for et in alloc
+    }
+    assert any(got[et]["n_alloc"] != prop[et] for et in alloc)

@@ -247,6 +247,10 @@ SMOKE_OPS = {
     # r11: multi-rater agreement — one corpus pass into a (doc, label)
     # cell table, then metadata-sized Fleiss algebra; expected ~flat
     "eval_fleiss_kappa": "documents",
+    # r11: Neyman allocation — one power-sum pass, broadcast of the
+    # |strata|-row allocation, one stratum-partitioned ranked draw;
+    # the window pass is the linear term
+    "sample_neyman_allocation": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
