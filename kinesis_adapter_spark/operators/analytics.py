@@ -709,14 +709,20 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS p_key, ROUND(value, 2) AS part_value
     FROM val
-    WHERE value > 0.0012 * (SELECT SUM(value) FROM val)
+    WHERE value > 2.5 * (SELECT SUM(value) FROM val)
+                      / (SELECT COUNT(*) FROM val)
     ORDER BY part_value DESC, p_key
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11-style important stock (partsupp absent → traded value
     sum(extendedprice×quantity) by NATION_3's suppliers per part):
-    keep parts whose value exceeds a fraction of the national total.
+    keep parts whose value exceeds 2.5× the MEAN national part value.
+    TPC-H's own Q11 scales its fraction as 0.0001/SF for exactly this
+    reason — a fixed share-of-total empties as the part domain grows
+    (r11: 0.0012·total kept 314 parts at sf0.01 and ZERO at sf0.1,
+    a vacuous hash-match). Mean-relative keeps the selectivity stable:
+    85 parts at sf0.01, 825 at sf0.1 (~6–7%), at ANY scale.
     The scalar total is collected as 1-row metadata and folded into
     the filter as a literal — two passes over the filtered broadcast
     join, nothing cached (cache-hygiene rule: a returned lazy frame
@@ -741,9 +747,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry per sf_dir forever — the r8 cache-hygiene rule: caches are
     # scoped inside the call or not taken at all. One extra scan of a
     # filtered broadcast join buys a leak-free engine.)
-    total = val.agg(F.sum("value").alias("total")).collect()[0]["total"]
+    row = val.agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    # same op order as the oracle: (2.5 * SUM) / COUNT
+    threshold = 2.5 * row["total"] / row["n"]
     return (
-        val.filter(F.col("value") > 0.0012 * F.lit(total))
+        val.filter(F.col("value") > F.lit(threshold))
         .select(
             F.col("l_partkey").alias("p_key"), F.round("value", 2).alias("part_value")
         )

@@ -220,10 +220,11 @@ def ivf_layout_path(spark: SparkSession, sf_dir: str) -> str:
     avoids cross-process overwrite races (same rationale as the
     bucketed-join tables, scaleops.py)."""
     import os
-    import tempfile
+
+    from kinesis_adapter_spark.staging import pid_staging_dir
 
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    path = f"{tempfile.gettempdir()}/kas_ivf_{sf_tag}_{os.getpid()}"
+    path = pid_staging_dir(f"kas_ivf_{sf_tag}")
     if not os.path.exists(f"{path}/_SUCCESS"):
         e = load(spark, sf_dir, "embeddings")
         _ivf_assigned(e, _ivf_centroids(e)).write.mode("overwrite").partitionBy(

@@ -310,10 +310,11 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> str:
     cross-process overwrite races (same rationale as the bucketed-join
     tables, scaleops.py)."""
     import os
-    import tempfile
+
+    from kinesis_adapter_spark.staging import pid_staging_dir
 
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    path = f"{tempfile.gettempdir()}/kas_minhash_{sf_tag}_{os.getpid()}/signatures"
+    path = pid_staging_dir(f"kas_minhash_{sf_tag}") + "/signatures"
     if not os.path.exists(f"{path}/_SUCCESS"):
         # The 32 min-hashes run as codegen'd aggregates over the
         # exploded shingles (nested HOF lambdas are interpreted per
@@ -475,28 +476,13 @@ def _lsh_tuning_oracle() -> str:
     """
 
 
-@query("dedup_lsh_tuning", _lsh_tuning_oracle())
-def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH band-structure tuning table: for every (bands,
-    rows_per_band) split of the N_HASHES-signature budget, the
-    expected candidate recall above the 0.6 verify threshold and the
-    expected false-candidate volume below it, evaluated against the
-    corpus's OBSERVED pair-Jaccard distribution (every pair sharing
-    ≥1 stop-shingle-capped shingle, exact Jaccard) — plus the config's
-    closed-form s50 = (1/b)^(1/r) S-curve midpoint. This is the table
-    that justifies dedup_near_minhash's 16×2 choice, produced by the
-    engine itself: at 100 TB you run it on a corpus sample BEFORE
-    burning a full LSH pass on a bad (b, r).
-
-    Shape: the pair relation is the same bounded inverted-index join
-    as dedup_near_ngram (stop-shingle cap bounds fan-out); ALL configs
-    reduce in ONE aggregation pass over it (12 conditional sums in one
-    partial agg), and the per-config rows come from a bounded 1-row
-    collect (model metadata — the argmax-round discipline).
-    Determinism: detection probabilities use explicit multiply chains
-    and 6-dp integer compression (_lsh_p6_expr), so every cross-pair
-    sum is exact integer arithmetic on both engines; s50 literals are
-    Python-computed constants shared verbatim."""
+def _lsh_tuning_pair_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair relation + the ONE aggregation pass over it that
+    dedup_lsh_tuning collects its single metadata row from. Private
+    builder shared with tests/test_plans.py's single-agg plan pin so
+    the pinned plan IS the shipped code path (ADVICE r11: a
+    hand-reconstructed proxy plan in the test would keep passing if
+    the key regressed to a per-config agg loop)."""
     sh = capped_shingles(mutated_documents(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
@@ -536,7 +522,34 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"fa_{b}_{r}"
             )
         )
-    row = pairs.agg(*aggs).collect()[0]  # bounded: ONE row of sums
+    return pairs.agg(*aggs)
+
+
+@query("dedup_lsh_tuning", _lsh_tuning_oracle())
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-structure tuning table: for every (bands,
+    rows_per_band) split of the N_HASHES-signature budget, the
+    expected candidate recall above the 0.6 verify threshold and the
+    expected false-candidate volume below it, evaluated against the
+    corpus's OBSERVED pair-Jaccard distribution (every pair sharing
+    ≥1 stop-shingle-capped shingle, exact Jaccard) — plus the config's
+    closed-form s50 = (1/b)^(1/r) S-curve midpoint. This is the table
+    that justifies dedup_near_minhash's 16×2 choice, produced by the
+    engine itself: at 100 TB you run it on a corpus sample BEFORE
+    burning a full LSH pass on a bad (b, r).
+
+    Shape: the pair relation is the same bounded inverted-index join
+    as dedup_near_ngram (stop-shingle cap bounds fan-out); ALL configs
+    reduce in ONE aggregation pass over it (12 conditional sums in one
+    partial agg), and the per-config rows come from a bounded 1-row
+    collect (model metadata — the argmax-round discipline).
+    Determinism: detection probabilities use explicit multiply chains
+    and 6-dp integer compression (_lsh_p6_expr), so every cross-pair
+    sum is exact integer arithmetic on both engines; s50 literals are
+    Python-computed constants shared verbatim."""
+    # bounded: ONE row of sums, built by the shared private builder
+    # whose plan the test pins (the shipped code path, not a proxy)
+    row = _lsh_tuning_pair_agg(spark, sf_dir).collect()[0]
     out = [
         (
             b,
@@ -2282,7 +2295,7 @@ def eval_ngram_overlap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bigrams = "transform(sequence(1, greatest(size({c}) - 1, 0)), i -> concat_ws(' ', {c}[i-1], {c}[i]))"
 
-    def gram_counts(col: str, expr: str, alias: str) -> DataFrame:
+    def gram_counts(expr: str, alias: str) -> DataFrame:
         return (
             pair.select("doc_id", F.explode(F.expr(expr)).alias("g"))
             .groupBy("doc_id", "g")
@@ -2296,10 +2309,10 @@ def eval_ngram_overlap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.least("cr", "cc")).alias("ov"))
         )
 
-    ov1 = overlap(gram_counts("rt", "rt", "cr"), gram_counts("ct", "ct", "cc"))
+    ov1 = overlap(gram_counts("rt", "cr"), gram_counts("ct", "cc"))
     ov2 = overlap(
-        gram_counts("rt", bigrams.format(c="rt"), "cr"),
-        gram_counts("ct", bigrams.format(c="ct"), "cc"),
+        gram_counts(bigrams.format(c="rt"), "cr"),
+        gram_counts(bigrams.format(c="ct"), "cc"),
     )
     tr1, tc1 = F.size("rt"), F.size("ct")
 

@@ -86,10 +86,16 @@ NEYMAN_BUDGET = 1000  # total sample budget allocated across strata
                   / (n_pop * (n_pop - 1)) / 10000.0) AS s_h
       FROM stats WHERE n_pop > 1
     ),
-    tot AS (SELECT SUM(n_pop * s_h) AS w FROM sd),
+    tot AS (
+      SELECT SUM(CAST(ROUND(ROUND(n_pop * s_h, 6) * 1000000, 0) AS BIGINT))
+             AS w6
+      FROM sd
+    ),
     alloc AS (
       SELECT sd.event_type, sd.n_pop, sd.s_h,
-             CAST(ROUND({NEYMAN_BUDGET} * (sd.n_pop * sd.s_h) / tot.w, 0)
+             CAST(ROUND({NEYMAN_BUDGET}
+                        * (ROUND(sd.n_pop * sd.s_h, 6) * 1000000)
+                        / tot.w6, 0)
                   AS BIGINT) AS n_alloc
       FROM sd, tot
     ),
@@ -134,9 +140,21 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, divide in the same order, and take one correctly-rounded
     sqrt, so S_h is bit-identical with no float-sum-order exposure.
     The cross-stratum weight total is summed in 6-dp integer
-    micro-units (order-independent), and the draw is the
+    micro-units (order-independent) — and the ORACLE shares that
+    compressed-domain formula verbatim (same ROUND→micro-unit→BIGINT
+    chain on both the w6 total and the allocation numerator), so the
+    two engines cannot drift by the ~1e-6 a raw-float SUM would admit
+    near a .5 rounding boundary of n_alloc. The draw is the
     md5-threshold discipline with a per-stratum
-    row_number for EXACT counts. Shape: one partial-agg pass for the
+    row_number for EXACT counts.
+
+    Scale bound (exact-integer discipline): the power-sum numerator
+    n_pop·Σx² needs n_pop·v100²max < 2^63, i.e. n_pop ≲ 9×10⁸ rows per
+    stratum at |v100| ≤ 10⁵. Past that, Spark (non-ANSI) wraps bigint
+    silently while DuckDB raises — so at 100 TB strata, center values
+    per stratum before squaring (shrinks magnitudes quadratically) or
+    lift s2/the numerator to DECIMAL(38,0) on BOTH engines before
+    going to double. Shape: one partial-agg pass for the
     power sums, a broadcast of the |strata|-row allocation table, one
     stratum-partitioned window for the ranked draw — at 100 TB swap
     the exact-count window for the rate threshold n_h/N_h
@@ -1504,4 +1522,240 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(brier))
         .select("n", "brier", "reliability", "resolution", "uncertainty")
+    )
+
+
+# ------------------------------------------- quality-classifier GD fit
+
+# Fixed-iteration batch-gradient-descent logistic regression — the
+# fastText-style quality-filter trainer every pretraining pipeline
+# runs over surface features before burning GPU-hours on a learned
+# classifier. Hyperparameters are module constants so the Spark loop,
+# the unrolled-CTE oracle, and the independent pytest reference all
+# read the same values.
+LOGREG_LR = 2.0
+LOGREG_ITERS = 5
+_LOGREG_FEATURES = ["bias", "f_tokens", "f_awl", "f_rep"]
+
+# Feature/label projection — ONE text shared by the train and score
+# oracles (never-fork). Label: long-document indicator (n_chars >=
+# 300, ~51% positive at sf0.01); features: token count, average word
+# length, repetition (1 - type/token ratio), each scaled to O(1) and
+# 6-dp rounded so every downstream product/sum lives on the same
+# 1e-6 grid in both engines.
+_LOGREG_F_CTE = """f AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+             1.0 AS x0,
+             ROUND(len(str_split(text, ' ')) / 100.0, 6) AS x1,
+             ROUND(LENGTH(text) * 1.0 / len(str_split(text, ' ')) / 10.0,
+                   6) AS x2,
+             ROUND(1.0 - len(list_distinct(str_split(text, ' '))) * 1.0
+                   / len(str_split(text, ' ')), 6) AS x3
+      FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+
+# The 6-dp-rounded sigmoid margin for weight row alias {w} — explicit
+# left-associated sum so both engines evaluate the dot product in the
+# same IEEE order; EXP is tolerated because the result is immediately
+# 6-dp compressed (the EVAL_SCORED_CTE precedent: libm-vs-JVM exp ulp
+# noise cannot survive the round).
+_LOGREG_P6 = (
+    "ROUND(1.0 / (1.0 + EXP(-ROUND(((({w}.w0 * x0) + {w}.w1 * x1)"
+    " + {w}.w2 * x2) + {w}.w3 * x3, 6))), 6)"
+)
+
+# One GD round: gradients as EXACT integer micro-unit sums
+# (order-independent across any partitioning — the
+# sample_neyman_allocation compressed-domain discipline), then the
+# weight update ROUND(w - lr * (g / 1e12 / n), 6) evaluated in the
+# same expression order by both engines.
+_LOGREG_ROUND = f""",
+    g{{t}} AS (
+      SELECT
+        SUM(pmu * CAST(ROUND(x0 * 1000000, 0) AS BIGINT)) AS g0,
+        SUM(pmu * CAST(ROUND(x1 * 1000000, 0) AS BIGINT)) AS g1,
+        SUM(pmu * CAST(ROUND(x2 * 1000000, 0) AS BIGINT)) AS g2,
+        SUM(pmu * CAST(ROUND(x3 * 1000000, 0) AS BIGINT)) AS g3
+      FROM (
+        SELECT y, x0, x1, x2, x3,
+               CAST(ROUND({_LOGREG_P6.format(w='w')} * 1000000, 0) AS BIGINT)
+                 - y * 1000000 AS pmu
+        FROM f, w{{prev}} w
+      )
+    ),
+    w{{t}} AS (
+      SELECT
+        ROUND(w.w0 - {LOGREG_LR} * (CAST(g.g0 AS DOUBLE)
+              / 1000000000000.0 / nn.n), 6) AS w0,
+        ROUND(w.w1 - {LOGREG_LR} * (CAST(g.g1 AS DOUBLE)
+              / 1000000000000.0 / nn.n), 6) AS w1,
+        ROUND(w.w2 - {LOGREG_LR} * (CAST(g.g2 AS DOUBLE)
+              / 1000000000000.0 / nn.n), 6) AS w2,
+        ROUND(w.w3 - {LOGREG_LR} * (CAST(g.g3 AS DOUBLE)
+              / 1000000000000.0 / nn.n), 6) AS w3
+      FROM w{{prev}} w, g{{t}} g, nn
+    )"""
+
+_LOGREG_CHAIN = "WITH " + _LOGREG_F_CTE + "".join(
+    _LOGREG_ROUND.format(t=t, prev=t - 1) for t in range(1, LOGREG_ITERS + 1)
+)
+
+
+def _logreg_train_oracle() -> str:
+    wt = f"w{LOGREG_ITERS}"
+    unpivot = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS feature, w{j} AS weight FROM {wt}"
+        for j, name in enumerate(_LOGREG_FEATURES)
+    )
+    return f"""
+    {_LOGREG_CHAIN}
+    SELECT feature, weight FROM (
+      {unpivot}
+    ) ORDER BY feature
+    """
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_LOGREG_F_CTE`` (same expression order)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    dist = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    return d.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(toks / 100.0, 6).alias("x1"),
+        F.round(F.length("text") * 1.0 / toks / 10.0, 6).alias("x2"),
+        F.round(1.0 - dist * 1.0 / toks, 6).alias("x3"),
+    )
+
+
+def _logreg_p6(w: list[float]):
+    """6-dp sigmoid of the 6-dp margin under weights ``w`` — the Spark
+    twin of ``_LOGREG_P6``, same left-associated dot product."""
+    z = F.round(
+        (
+            ((F.lit(w[0]) * F.col("x0")) + F.lit(w[1]) * F.col("x1"))
+            + F.lit(w[2]) * F.col("x2")
+        )
+        + F.lit(w[3]) * F.col("x3"),
+        6,
+    )
+    return F.round(1.0 / (1.0 + F.exp(-z)), 6)
+
+
+def _logreg_fit(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The GD loop: LOGREG_ITERS corpus passes, each ONE partial
+    aggregation whose integer micro-unit gradient sums are reduced
+    alongside the row count, with the weight update computed as a
+    Spark expression over that 1-row frame (so HALF_UP rounding
+    semantics never leave the engine) and collected as 4 doubles of
+    model metadata — never data. The oracle replays the identical
+    dataflow as an unrolled plain-CTE chain (the emb_kmeans_lloyd /
+    vocab_bpe_train discipline)."""
+    f = _logreg_features(spark, sf_dir)
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(LOGREG_ITERS):
+        pmu = (
+            F.round(_logreg_p6(w) * 1000000, 0).cast("bigint")
+            - F.col("y") * 1000000
+        )
+        agg = f.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[
+                F.sum(
+                    pmu
+                    * F.round(F.col(f"x{j}") * 1000000, 0).cast("bigint")
+                ).alias(f"g{j}")
+                for j in range(4)
+            ],
+        )
+        row = agg.select(
+            *[
+                F.round(
+                    F.lit(w[j])
+                    - LOGREG_LR
+                    * (
+                        F.col(f"g{j}").cast("double")
+                        / 1000000000000.0
+                        / F.col("n")
+                    ),
+                    6,
+                ).alias(f"w{j}")
+                for j in range(4)
+            ]
+        ).collect()[0]
+        w = [float(row[f"w{j}"]) for j in range(4)]
+    return w
+
+
+@query("model_logreg_train", _logreg_train_oracle())
+def model_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier trainer: batch-GD logistic regression
+    (LOGREG_ITERS rounds, lr=LOGREG_LR, zero init) over surface
+    features of the document corpus — token count, average word
+    length, repetition — against a long-document indicator label the
+    features genuinely predict (AUC ≈ 0.999 via model_logreg_score →
+    eval_auc_roc's rank identity), published as the (feature, weight)
+    table a scoring pass broadcasts. This is the fastText-style
+    quality-filter shape: train once on a sample, score 100 TB
+    map-only.
+
+    Determinism: features and per-round sigmoids are 6-dp compressed;
+    gradient sums are EXACT integer micro-unit arithmetic
+    (order-independent under any partitioning); each round's weights
+    re-round to 6 dp before folding into the next round as literals —
+    so the oracle's unrolled CTE chain replays bit-identical
+    operands. Scale bound (same class as sample_neyman_allocation):
+    |pmu·xµ| ≤ 1e13, so bigint gradient sums are exact to ~9×10⁵
+    corpus rows per 1e13 unit — ~10⁹ docs at these feature scales;
+    past that, mini-batch the GD pass (the standard move anyway).
+
+    Scale shape: one partial-agg corpus pass per round (map-side
+    combine carries 5 counters per partition), 4 doubles of model
+    state collected per round — the emb_kmeans_lloyd loop with a
+    1-row model instead of k×d centroids."""
+    w = _logreg_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        sorted(zip(_LOGREG_FEATURES, w)), "feature string, weight double"
+    ).orderBy("feature")
+
+
+@query(
+    "model_logreg_score",
+    f"""
+    {_LOGREG_CHAIN}
+    SELECT f.doc_id, f.y AS label,
+           {_LOGREG_P6.format(w='w')} AS score
+    FROM f, w{LOGREG_ITERS} w
+    ORDER BY f.doc_id
+    """,
+)
+def model_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only scoring pass of the trained quality classifier: the 4
+    fitted weights broadcast as literals into a single projection —
+    per document, the (label, 6-dp sigmoid score) pair that feeds the
+    threshold-free eval suite (eval_auc_roc / eval_pr_auc /
+    eval_calibration_bins all consume a (score, label) frame; this
+    key closes the loop the synthetic EVAL_SCORED_CTE stood in for).
+    At 100 TB this is THE production shape: no shuffle, no state —
+    the classifier rides the scan, and the quality gate becomes a
+    pushed-down filter on its output.
+
+    The fit reruns the deterministic GD loop (model metadata, never
+    persisted — cache-hygiene rule), so the key stays a pure function
+    of (spark, sf_dir); the oracle replays train + score in one CTE
+    chain."""
+    w = _logreg_fit(spark, sf_dir)
+    f = _logreg_features(spark, sf_dir)
+    # deliberately NO orderBy: the scoring projection must stay
+    # shuffle-free (the compare is order-insensitive; the oracle's
+    # ORDER BY is presentation only) — pinned in tests/test_plans.py
+    return f.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        _logreg_p6(w).alias("score"),
     )

@@ -430,8 +430,11 @@ _MEDIA_FRAMES_ORACLE_PATH = str(
 )
 
 # NOTE: oracle SQL paths point at the sf0.01 staging dir — the scale
-# the driver (and the local parity gate) oracles at. The Spark side of
-# each key stages the fixture before the oracle runs.
+# the driver's verbatim gate oracles at. The Spark side of each key
+# stages the fixture (per-sf, fingerprint-guarded) before the oracle
+# runs, and at any OTHER sf the check layer re-points these literal
+# paths at that sf's staging dir (tests.oracle.oracle_sql_for), so the
+# sf0.1 replica sweep fully oracle-checks this family too (r12).
 
 
 @query(

@@ -9,7 +9,7 @@ oracle proves the optimization changes the execution shape only.
 
 from __future__ import annotations
 
-import tempfile
+from kinesis_adapter_spark.staging import pid_staging_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -153,9 +153,9 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the price of isolation.
     import os
 
-    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    sf_tag = f"{sf_tag}_{os.getpid()}"
-    db_dir = tempfile.gettempdir() + f"/kas_buckets_{sf_tag}"
+    sf_tag0 = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    sf_tag = f"{sf_tag0}_{os.getpid()}"
+    db_dir = pid_staging_dir(f"kas_buckets_{sf_tag0}")
     spark.conf.set("spark.sql.legacy.createHiveTableByDefault", "false")
     names = {"orders": f"kas_b_orders_{sf_tag}", "lineitem": f"kas_b_lineitem_{sf_tag}"}
     keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
@@ -305,7 +305,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    root = f"{tempfile.gettempdir()}/kas_compact_{sf_tag}_{os.getpid()}"
+    root = pid_staging_dir(f"kas_compact_{sf_tag}")
     frag, compacted = f"{root}/fragmented", f"{root}/compacted"
     if not os.path.exists(f"{compacted}/_SUCCESS"):
         li = load(spark, sf_dir, "lineitem")
@@ -332,7 +332,7 @@ def _dpp_layout_path(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    path = f"{tempfile.gettempdir()}/kas_dpp_{sf_tag}_{os.getpid()}"
+    path = pid_staging_dir(f"kas_dpp_{sf_tag}")
     if not os.path.exists(f"{path}/_SUCCESS"):
         load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
             "o_orderpriority"
@@ -429,7 +429,7 @@ def cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     zkey = F.expr(_ZKEY_SQL).cast("bigint")
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    path = f"{tempfile.gettempdir()}/kas_zorder_{sf_tag}_{os.getpid()}"
+    path = pid_staging_dir(f"kas_zorder_{sf_tag}")
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             o.withColumn("zkey", zkey)
@@ -482,9 +482,9 @@ def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog cost, not per-query."""
     import os
 
-    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    sf_tag = f"{sf_tag}_{os.getpid()}"
-    db_dir = tempfile.gettempdir() + f"/kas_cbo_{sf_tag}"
+    sf_tag0 = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    sf_tag = f"{sf_tag0}_{os.getpid()}"
+    db_dir = pid_staging_dir(f"kas_cbo_{sf_tag0}")
     spark.conf.set("spark.sql.legacy.createHiveTableByDefault", "false")
     # CBO confs are scoped to THIS query's optimization only: set,
     # eagerly pin the optimized plan, then restore (the
@@ -621,7 +621,7 @@ def scan_rowgroup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    path = f"{tempfile.gettempdir()}/kas_rowgroups_{sf_tag}_{os.getpid()}/events"
+    path = pid_staging_dir(f"kas_rowgroups_{sf_tag}") + "/events"
     if not os.path.exists(f"{path}/_SUCCESS"):
         (
             load(spark, sf_dir, "events")

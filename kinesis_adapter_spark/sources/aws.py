@@ -143,7 +143,11 @@ class moto_put_lock:
             import re as _re
 
             safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", self.stream)
-            self._fh = open(f"/tmp/kas_moto_put.{safe}.lock", "w")
+            from kinesis_adapter_spark.staging import ephemeral_file
+
+            self._fh = open(
+                ephemeral_file(f"/tmp/kas_moto_put.{safe}.lock"), "w"
+            )
             fcntl.flock(self._fh, fcntl.LOCK_EX)
         return self
 

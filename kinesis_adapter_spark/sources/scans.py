@@ -649,8 +649,9 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     PySpark-native version of writing a Kinesis/REST source plugin:
     initialOffset/read/readBetweenOffsets give checkpointed resume
     for free."""
-    import tempfile
     import uuid as _uuid
+
+    from kinesis_adapter_spark.staging import ephemeral_dir
 
     from kinesis_adapter_spark.sources.python_source import (
         RangeFeedStreamDataSource,
@@ -669,7 +670,7 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kas_pysrc_"))
+        .option("checkpointLocation", ephemeral_dir("kas_pysrc_"))
         .start()
     )
     # availableNow snapshots only the FIRST offset range for a simple

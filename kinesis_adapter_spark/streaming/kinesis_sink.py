@@ -40,6 +40,16 @@ class KinesisForeachBatchSink:
         self.ledger = Path(ledger_dir)
         self.ledger.mkdir(parents=True, exist_ok=True)
         self.pk_col = partition_key_col
+        # Driver-side registration of the executor-side moto lock file
+        # (same naming as put_guard below) so a run leaves no /tmp
+        # residue — the executor closure itself stays
+        # package-import-free; __init__ runs on the driver only.
+        import re as _re
+
+        from kinesis_adapter_spark.staging import ephemeral_file
+
+        safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", stream)
+        ephemeral_file(f"/tmp/kas_moto_put.{safe}.lock")
 
     def __call__(self, batch_df, batch_id: int) -> None:
         mark = self.ledger / f"batch-{batch_id}.done"

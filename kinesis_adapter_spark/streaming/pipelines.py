@@ -37,7 +37,7 @@ running where protobuf is available.
 from __future__ import annotations
 
 import json
-import tempfile
+from kinesis_adapter_spark.staging import ephemeral_dir
 import uuid
 from pathlib import Path
 
@@ -100,7 +100,7 @@ def _run_to_memory(df, mode: str = "complete", max_files: int | None = None):
     """Run a streaming DF to completion (availableNow) into a memory
     sink; returns (spark_table_name, query_progress_list)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="kas_ckpt_")
+    ckpt = ephemeral_dir("kas_ckpt_")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -381,18 +381,18 @@ def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stream_join",
     """
     WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
-               WHERE event_type = 'purchase' AND user_id < 30),
+               WHERE event_type = 'purchase' AND user_id < 150),
          c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
-               WHERE event_type = 'click' AND user_id < 30)
+               WHERE event_type = 'click' AND user_id < 150)
     SELECT p.event_id AS purchase_id, c.event_id AS click_id
     FROM p JOIN c
       ON p.user_id = c.user_id
-     AND p.t >= c.t AND p.t - c.t <= 600000000000
+     AND p.t >= c.t AND p.t - c.t <= 3600000000000
     """,
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases joined to clicks by the same
-    user within the preceding 10 minutes, both sides watermarked (the
+    user within the preceding 60 minutes, both sides watermarked (the
     watermark + range bound is what lets Spark expire join state).
 
     The µs-truncated ns timestamps keep the range arithmetic exact vs
@@ -455,7 +455,10 @@ def _events_ndjson_with_flush(sf_dir: str) -> Path:
 
 def _purchases_clicks_join(spark: SparkSession, sf_dir: str, how: str):
     """Shared purchases⋈clicks stream-stream topology (watermarks both
-    sides, 10-minute range condition) parameterized by join type —
+    sides, 60-minute range condition) parameterized by join type —
+    band user_id < 150 and the 60-min window chosen so the result is
+    non-vacuous at BOTH sf0.01 and sf0.1 (r11: the old <30/10-min band
+    hash-matched an EMPTY result at sf0.1) —
     inner/left-outer/full-outer keys all build THE one topology so the
     watermark delay, range bound, and user filter can't diverge
     between them (r6 review finding: two 45-line copies)."""
@@ -468,7 +471,7 @@ def _purchases_clicks_join(spark: SparkSession, sf_dir: str, how: str):
             .json(src)
             .withWatermark("ts_iso", "1 hour")
             .filter(
-                (F.col("event_type") == event_type) & (F.col("user_id") < 30)
+                (F.col("event_type") == event_type) & (F.col("user_id") < 150)
             )
         )
 
@@ -486,7 +489,7 @@ def _purchases_clicks_join(spark: SparkSession, sf_dir: str, how: str):
         clicks,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
         how,
     ).select("purchase_id", "click_id")
     name, _ = _run_to_memory(joined, "append")
@@ -497,18 +500,18 @@ def _purchases_clicks_join(spark: SparkSession, sf_dir: str, how: str):
     "stream_stream_join_outer",
     """
     WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
-               WHERE event_type = 'purchase' AND user_id < 30),
+               WHERE event_type = 'purchase' AND user_id < 150),
          c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
-               WHERE event_type = 'click' AND user_id < 30)
+               WHERE event_type = 'click' AND user_id < 150)
     SELECT p.event_id AS purchase_id, c.event_id AS click_id
     FROM p LEFT JOIN c
       ON p.user_id = c.user_id
-     AND p.t >= c.t AND p.t - c.t <= 600000000000
+     AND p.t >= c.t AND p.t - c.t <= 3600000000000
     """,
 )
 def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join (VERDICT r5 item #3): purchases
-    enriched with clicks by the same user within the preceding 10
+    enriched with clicks by the same user within the preceding 60
     minutes; purchases with NO qualifying click are emitted null-padded
     once the watermark closes their join window — the enrichment shape
     streaming users reach for right after the inner form.
@@ -523,7 +526,7 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       would depend on fixture time ranges;
     - state for a purchase at time t expires when the click watermark
       passes t (Spark derives the eviction bound from the range
-      condition), so at 100 TB state size is bounded by the 10-minute
+      condition), so at 100 TB state size is bounded by the 60-minute
       window × per-user arrival rate, not by stream length."""
     # Sentinels drop on the BATCH side, after materialization:
     # filtering inside the streaming plan does not work — Catalyst
@@ -577,7 +580,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same contract bounds state: watermark delay is the
     retention knob, and late data lands in a dead-letter path instead
     of silently reopening windows."""
-    work = Path(tempfile.mkdtemp(prefix="kas_wm_"))
+    work = Path(ephemeral_dir("kas_wm_"))
     src, ckpt, out = work / "src", str(work / "ckpt"), str(work / "out")
     src.mkdir()
     schema = "event_id BIGINT, ts_iso TIMESTAMP"
@@ -627,7 +630,7 @@ def stream_throughput_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery itself and is the bench's streaming metric. The oracle
     checks the pipeline is lossless."""
     src = _events_stream(spark, sf_dir)  # no maxFilesPerTrigger: one batch
-    work = tempfile.mkdtemp(prefix="kas_tp_")
+    work = ephemeral_dir("kas_tp_")
     out = f"{work}/out"
     q = (
         src.filter(F.col("event_type") != "error")
@@ -657,7 +660,7 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="kas_ckpt_")
+    ckpt = ephemeral_dir("kas_ckpt_")
     q = (
         src.select("value")
         .writeStream.format("memory")
@@ -707,7 +710,7 @@ def stream_to_kinesis_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:10]
     stream = f"kas-e2e-{run_id}"
     aws.create_stream(stream, shards=4)
-    ckpt = tempfile.mkdtemp(prefix="kas_e2e_ckpt_")
+    ckpt = ephemeral_dir("kas_e2e_ckpt_")
     sink = KinesisForeachBatchSink(
         stream=stream,
         endpoint=aws.endpoint_url(),
@@ -768,7 +771,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys against the state partitions the keys land in."""
     from pyspark.sql import Window
 
-    work = Path(tempfile.mkdtemp(prefix="kas_upsert_"))
+    work = Path(ephemeral_dir("kas_upsert_"))
     src = work / "src"
     src.mkdir()
     batches = [
@@ -846,7 +849,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     column."""
     from kinesis_adapter_spark.operators.incremental import _changelog
 
-    work = Path(tempfile.mkdtemp(prefix="kas_cdc_"))
+    work = Path(ephemeral_dir("kas_cdc_"))
     src = work / "src"
     log = _changelog(spark, sf_dir)
     # stage arrival files tombstones-first (seq 9, then 3, then 2, then
@@ -1013,7 +1016,7 @@ def stream_minhash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    work = Path(tempfile.mkdtemp(prefix="kas_mhstream_"))
+    work = Path(ephemeral_dir("kas_mhstream_"))
     src = work / "src"
     src.mkdir()
     sig_path = str(work / "signatures")
@@ -1134,7 +1137,7 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_id, so a replayed micro-batch (restart between write and
     commit) can be deduplicated by (type, batch_id) at read — the
     shared `_dedup_replays` discipline, applied before the union."""
-    sink = tempfile.mkdtemp(prefix="kas_hllroll_") + "/sketches"
+    sink = ephemeral_dir("kas_hllroll_") + "/sketches"
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -1148,7 +1151,7 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         _events_stream(spark, sf_dir, max_files=4)
         .writeStream.foreachBatch(sketch_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kas_hllroll_ckpt_"))
+        .option("checkpointLocation", ephemeral_dir("kas_hllroll_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1266,7 +1269,7 @@ def stream_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup-within-horizon) to bound state; here the corpus is finite."""
     import pyarrow.parquet as pq
 
-    work = Path(tempfile.mkdtemp(prefix="kas_curstream_"))
+    work = Path(ephemeral_dir("kas_curstream_"))
     src = work / "src"
     src.mkdir()
     tbl = pq.read_table(
@@ -1406,7 +1409,7 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     null fraction in value, so this is a live path, not dead code)."""
     from pyspark.sql import Window
 
-    sink = tempfile.mkdtemp(prefix="kas_histroll_") + "/hist"
+    sink = ephemeral_dir("kas_histroll_") + "/hist"
 
     def hist_batch(batch_df: DataFrame, batch_id: int) -> None:
         _hist_partials(batch_df, batch_id).write.mode("append").parquet(sink)
@@ -1414,7 +1417,7 @@ def stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         _events_stream(spark, sf_dir, max_files=4)
         .writeStream.foreachBatch(hist_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kas_histroll_ckpt_"))
+        .option("checkpointLocation", ephemeral_dir("kas_histroll_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1479,7 +1482,7 @@ def stream_phash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_media_parquet,
     )
 
-    work = Path(tempfile.mkdtemp(prefix="kas_phstream_"))
+    work = Path(ephemeral_dir("kas_phstream_"))
     src = work / "src"
     src.mkdir()
     idx_path = str(work / "phash_index")
@@ -1542,13 +1545,13 @@ def stream_phash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stream_join_full",
     """
     WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
-               WHERE event_type = 'purchase' AND user_id < 30),
+               WHERE event_type = 'purchase' AND user_id < 150),
          c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
-               WHERE event_type = 'click' AND user_id < 30)
+               WHERE event_type = 'click' AND user_id < 150)
     SELECT p.event_id AS purchase_id, c.event_id AS click_id
     FROM p FULL JOIN c
       ON p.user_id = c.user_id
-     AND p.t >= c.t AND p.t - c.t <= 600000000000
+     AND p.t >= c.t AND p.t - c.t <= 3600000000000
     """,
 )
 def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,7 +1563,7 @@ def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left-outer form — they match each other (same user/instant)
     and the single sentinel pair row is dropped post-materialization
     by its negative ids; state expiry is symmetric, bounded by the
-    10-minute range condition on both sides."""
+    60-minute range condition on both sides."""
     # batch-side sentinel drop (in-plan filtering would push below the
     # watermark node — see stream_stream_join_outer)
     return _purchases_clicks_join(spark, sf_dir, "fullOuter").filter(
@@ -1694,7 +1697,7 @@ def _scd2_maintain_run(
 ) -> DataFrame:
     from kinesis_adapter_spark.operators.incremental import collapse_scd2
 
-    work = Path(tempfile.mkdtemp(prefix="kas_scd2_"))
+    work = Path(ephemeral_dir("kas_scd2_"))
     raw_dir = str(work / "raw")
     versions: list[str] = []
 
@@ -1775,7 +1778,7 @@ def stream_pq_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     books = _pq_books(spark, sf_dir)  # frozen quantizer (trains offline once)
-    work = Path(tempfile.mkdtemp(prefix="kas_pqstream_"))
+    work = Path(ephemeral_dir("kas_pqstream_"))
     src = work / "src"
     src.mkdir()
     codes_path = str(work / "codes")
@@ -1846,7 +1849,7 @@ def stream_bm25_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    work = Path(tempfile.mkdtemp(prefix="kas_bm25stream_"))
+    work = Path(ephemeral_dir("kas_bm25stream_"))
     src = work / "src"
     src.mkdir()
     dl_path = str(work / "dl")
@@ -1957,7 +1960,7 @@ def stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    work = Path(tempfile.mkdtemp(prefix="kas_kmvstream_"))
+    work = Path(ephemeral_dir("kas_kmvstream_"))
     src = work / "src"
     src.mkdir()
     sk_path = str(work / "sketch")

@@ -10,6 +10,7 @@ passes any reasonable hash.
 from __future__ import annotations
 
 import math
+from pathlib import Path
 from typing import Any
 
 import duckdb
@@ -19,6 +20,26 @@ from kinesis_adapter_spark.catalog import TABLES
 SF_TEST = "/root/testdata/sf0.01"
 SF_FAST = "/root/testdata/sf0.001"
 SF_BENCH = "/root/testdata/sf0.1"
+
+
+def oracle_sql_for(key: str, sf_dir: str) -> str:
+    """The oracle SQL for ``key``, re-pointed at ``sf_dir``'s staged
+    artifacts (VERDICT r11 item #4). Artifact-reading oracles embed
+    literal ``DERIVED_ROOT/sf0.01/...`` parquet paths because the
+    driver's gate runs the raw string at sf0.01; every artifact is
+    ALSO staged per-sf (derived_dir keys by basename, fingerprint-
+    guarded), so at any other sf the same oracle applies verbatim
+    once its paths are rewritten to that sf's staging dir. The Spark
+    side of a check must run first — it stages the artifacts on first
+    touch — which both check_query and replica_check already do."""
+    from kinesis_adapter_spark.plans.registry import ORACLES
+    from kinesis_adapter_spark.sources.scans import DERIVED_ROOT
+
+    sql = ORACLES[key]
+    base = Path(sf_dir.rstrip("/")).name
+    if base != "sf0.01":
+        sql = sql.replace(f"{DERIVED_ROOT}/sf0.01/", f"{DERIVED_ROOT}/{base}/")
+    return sql
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -199,7 +220,7 @@ def arrow_type_problems(spark, key: str, sf_dir: str = SF_TEST, con=None) -> lis
     if own_con:
         con = duck_connect(sf_dir)
     try:
-        d_schema = duck_arrow_schema(con, ORACLES[key])
+        d_schema = duck_arrow_schema(con, oracle_sql_for(key, sf_dir))
     finally:
         if own_con:
             con.close()
@@ -214,7 +235,7 @@ def check_query(spark, key: str, sf_dir: str = SF_TEST, float_tol: float = 0.0) 
     scols, srows = spark_result(df)
     con = duck_connect(sf_dir)
     try:
-        dcols, drows = duck_result(con, ORACLES[key])
+        dcols, drows = duck_result(con, oracle_sql_for(key, sf_dir))
     finally:
         con.close()
     return compare(scols, srows, dcols, drows, float_tol=float_tol)

@@ -1117,30 +1117,18 @@ def test_lsh_tuning_single_aggregation_pass(spark):
     CartesianProduct anywhere — the sweep may not re-scan pairs per
     config. The key returns a 6-row literal frame built from a bounded
     1-row collect, so the plan to pin is the PAIR aggregation, probed
-    via the same private builder the key uses."""
-    from kinesis_adapter_spark.operators.llmops import (
-        LSH_TUNING_CONFIGS,
-        _lsh_p6_expr,
-        capped_shingles,
-        mutated_documents,
-    )
-    from pyspark.sql import functions as F
+    via the same private builder the key itself collects from
+    (_lsh_tuning_pair_agg) — a hand-reconstructed proxy here would
+    keep passing if the key regressed to a per-config agg loop
+    (ADVICE r11)."""
+    from kinesis_adapter_spark.operators.llmops import _lsh_tuning_pair_agg
 
-    sh = capped_shingles(mutated_documents(spark, SF_TEST))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    plan = (
+        _lsh_tuning_pair_agg(spark, SF_TEST)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
-    pairs = inter.select(F.round(F.col("c") / F.col("c"), 6).alias("j"))
-    aggs = []
-    for bb, rr in LSH_TUNING_CONFIGS:
-        p6 = F.expr(_lsh_p6_expr(bb, rr))
-        aggs.append(F.sum(p6).alias(f"da_{bb}_{rr}"))
-    plan = pairs.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     # one partial+final pair: the S-curve multiply chains appear in
     # exactly 2 aggregate nodes (partial and final), not one pair per
@@ -1188,3 +1176,16 @@ def test_compressed_domain_rank_pass_stays_distinct_sized(spark, key):
             f"HashAggregate(keys=[{order_col}" in below
             or "HashAggregate(keys=[]" in below
         ), (key, order_col, below)
+
+
+def test_logreg_score_projection_is_shuffle_free(spark):
+    """model_logreg_score's RETURNED frame is the production map-only
+    scoring pass: broadcast-as-literal weights riding the scan — no
+    Exchange anywhere in its plan (the fit's per-round aggregations
+    are separate bounded jobs that finish before the frame is built,
+    so a shuffle here would mean the scorer itself regressed)."""
+    from kinesis_adapter_spark.plans.registry import QUERIES
+
+    df = QUERIES["model_logreg_score"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]

@@ -2997,3 +2997,89 @@ def test_neyman_allocation_matches_python_survey_math(spark):
         et: round(NEYMAN_BUDGET * len(by_et[et]) / len(rows)) for et in alloc
     }
     assert any(got[et]["n_alloc"] != prop[et] for et in alloc)
+
+
+def test_logreg_gd_matches_textbook_reference(spark):
+    """model_logreg_train against a pure-python batch-GD reference
+    computed independently from the parquet rows: textbook gradient
+    (1/n)·Σ(σ(w·x) − y)·x with plain float sums of the rounded
+    operands and Decimal ROUND_HALF_UP for every 6-dp compression —
+    structurally NOT the engine's integer micro-unit path (the
+    vocab_unigram_train reference-test discipline). Each micro-unit
+    product ≤ 1e13 and n·1e13 < 2^53 at test scale, so the float
+    reference is exact and only exp() ulp noise separates the two —
+    hence the 2e-6 band. Also pins the point of the key: the trained
+    scorer must genuinely discriminate (pair-counted AUC > 0.99) —
+    else the 'quality classifier' is a coin flip."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from kinesis_adapter_spark.operators.mlprep import (
+        _LOGREG_FEATURES,
+        LOGREG_ITERS,
+        LOGREG_LR,
+    )
+
+    def r6(v: float) -> float:
+        return float(
+            Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    pdf = pq.read_table(f"{SF_TEST}/documents.parquet").to_pandas()
+    rows = []
+    for t in pdf.itertuples():
+        toks = t.text.split(" ")
+        y = 1 if t.n_chars >= 300 else 0
+        rows.append(
+            (
+                y,
+                1.0,
+                r6(len(toks) / 100.0),
+                r6(len(t.text) * 1.0 / len(toks) / 10.0),
+                r6(1.0 - len(set(toks)) * 1.0 / len(toks)),
+            )
+        )
+    n = len(rows)
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(LOGREG_ITERS):
+        g = [0.0] * 4
+        for y, *x in rows:
+            z = r6((((w[0] * x[0]) + w[1] * x[1]) + w[2] * x[2]) + w[3] * x[3])
+            p = r6(1.0 / (1.0 + math.exp(-z)))
+            for j in range(4):
+                g[j] += (p - y) * x[j]
+        w = [r6(w[j] - LOGREG_LR * (g[j] / n)) for j in range(4)]
+    expect = dict(zip(_LOGREG_FEATURES, w))
+
+    got = {
+        r["feature"]: r["weight"]
+        for r in QUERIES["model_logreg_train"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(expect)
+    for name in expect:
+        assert abs(got[name] - expect[name]) <= 2e-6, (
+            name,
+            got[name],
+            expect[name],
+        )
+        assert got[name] != 0.0, name  # GD actually moved every weight
+
+    scored = QUERIES["model_logreg_score"](spark, SF_TEST).collect()
+    assert len(scored) == n
+    pos = sorted(r["score"] for r in scored if r["label"] == 1)
+    neg = sorted(r["score"] for r in scored if r["label"] == 0)
+    import bisect
+
+    # AUC by rank counting (ties at 0.5), no quadratic pair loop
+    wins = sum(
+        bisect.bisect_left(neg, s) + 0.5 * (
+            bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)
+        )
+        for s in pos
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.99, auc

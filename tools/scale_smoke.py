@@ -251,6 +251,13 @@ SMOKE_OPS = {
     # |strata|-row allocation, one stratum-partitioned ranked draw;
     # the window pass is the linear term
     "sample_neyman_allocation": "events",
+    # r12: logreg quality-classifier trainer — LOGREG_ITERS corpus
+    # passes, each ONE partial agg reduced to 5 counters; expected
+    # ~linear in corpus rows with a per-round job floor
+    "model_logreg_train": "documents",
+    # r12: map-only scoring consumer (train reruns the fit, then one
+    # shuffle-free projection) — the train cost model plus one pass
+    "model_logreg_score": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
