@@ -124,6 +124,12 @@ EXTRAS = {
     # adoption" (two idle FULL-bench runs).
     "lsh_tuning": "dedup_lsh_tuning",
     "cdc_apply": "cdc_apply_changelog",
+    # round-12 addition: the GD quality-classifier trainer (the round's
+    # one new heavy shape — LOGREG_ITERS full-corpus agg passes plus
+    # per-round driver collects of 4-double model state; the scorer is
+    # a map-only projection the trainer's cost dominates). Anchor:
+    # BASELINE.md "Round-12 anchor adoption" (two idle FULL-bench runs).
+    "logreg_train": "model_logreg_train",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -197,7 +203,13 @@ ANCHORS = {
     # driver measures via full bench runs, so anchors now come from
     # the same context; standalone timing read up to 30% lower for
     # the late-in-suite keys)
-    "bm25_maintain": 2.01,
+    # bm25 re-anchored r12: the r9 anchor 2.01 stopped being
+    # reproducible idle — 4 of 5 fresh-state idle datapoints (clean
+    # /tmp, nothing else running, BASELINE.md "Round-12") read
+    # 1.19-1.32x while the r11 A/B proved the code unchanged, so the
+    # shift is environmental and PERSISTENT; anchor moved to the
+    # median of the five fresh-state datapoints (r9 pagerank playbook)
+    "bm25_maintain": 2.49,
     "label_prop": 5.34,
     "video_frames": 2.82,
     "image_curation": 0.87,
@@ -208,6 +220,9 @@ ANCHORS = {
     # runs' medians-of-5 (BASELINE.md "Round-11 anchor adoption")
     "lsh_tuning": 3.72,
     "cdc_apply": 1.43,
+    # round-12 addition, anchored at the mean of two idle FULL-bench
+    # runs' medians-of-5 (BASELINE.md "Round-12 anchor adoption")
+    "logreg_train": 1.91,
 }
 
 

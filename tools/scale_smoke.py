@@ -251,6 +251,12 @@ SMOKE_OPS = {
     # |strata|-row allocation, one stratum-partitioned ranked draw;
     # the window pass is the linear term
     "sample_neyman_allocation": "events",
+    # r12 (VERDICT r11 item #6): the Lloyd's trainer itself at the
+    # high tiers — K corpus assignment passes (mapInPandas, broadcast
+    # k×d centroids) + K partial-agg update passes; expected linear
+    # with a per-round job floor (pipeline_semantic_dedup smokes the
+    # same core composed with the pair join)
+    "emb_kmeans_lloyd": "embeddings",
     # r12: logreg quality-classifier trainer — LOGREG_ITERS corpus
     # passes, each ONE partial agg reduced to 5 counters; expected
     # ~linear in corpus rows with a per-round job floor
