@@ -1177,7 +1177,14 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     did for retrieval. Scale shape: the k-means fit is K corpus
     passes with k×d broadcast state; the pair join shuffles on the
     cluster key (never all-pairs); the audit is one |langs|-group
-    aggregate. Output is BOUNDED (one row per lang), so the key
+    aggregate. MEASURED CAVEAT (r12 64× smoke, SCALE.md): with
+    SemDeDup's corpus-scaled k (k∝n), the assignment term O(n·k·d)
+    is O(n²d/target) overall — linear pair join, quadratic assign —
+    and it clears the fixed-cost floor at 64× (32×→64× doubling grew
+    wall 6.8×). At 100 TB, assign hierarchically (route vectors
+    through the IVF coarse quantizer first, O(n·√k·d)) or fix k per
+    shard and dedup shard-locally; flat Lloyd's with k∝n is the
+    reference algorithm's shape, kept here for oracle parity. Output is BOUNDED (one row per lang), so the key
     materializes it and releases the assignment persist before
     returning (the q21 lifecycle; _semantic_dedup_plan carries the
     lazy plan for the pin test).
