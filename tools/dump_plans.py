@@ -227,6 +227,13 @@ SHOWCASE = {
         "no CartesianProduct; the ref/cand legs of each order share "
         "the exploded pair scan"
     ),
+    # r12 addition
+    "model_logreg_score": (
+        "map-only classifier scoring: fitted weights folded in as "
+        "literals, one Project over the documents scan — zero "
+        "Exchange (the production shape: the classifier rides the "
+        "scan at 100 TB)"
+    ),
 }
 
 # keys whose registry function materializes a bounded result and
