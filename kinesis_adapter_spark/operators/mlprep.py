@@ -82,8 +82,8 @@ NEYMAN_BUDGET = 1000  # total sample budget allocated across strata
     ),
     sd AS (
       SELECT event_type, n_pop,
-             sqrt(CAST(n_pop * s2 - s1 * s1 AS DOUBLE)
-                  / (n_pop * (n_pop - 1)) / 10000.0) AS s_h
+             sqrt((CAST(n_pop AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n_pop AS DOUBLE) * (n_pop - 1)) / 10000.0) AS s_h
       FROM stats WHERE n_pop > 1
     ),
     tot AS (
@@ -148,13 +148,17 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-threshold discipline with a per-stratum
     row_number for EXACT counts.
 
-    Scale bound (exact-integer discipline): the power-sum numerator
-    n_pop·Σx² needs n_pop·v100²max < 2^63, i.e. n_pop ≲ 9×10⁸ rows per
-    stratum at |v100| ≤ 10⁵. Past that, Spark (non-ANSI) wraps bigint
-    silently while DuckDB raises — so at 100 TB strata, center values
-    per stratum before squaring (shrinks magnitudes quadratically) or
-    lift s2/the numerator to DECIMAL(38,0) on BOTH engines before
-    going to double. Shape: one partial-agg pass for the
+    Scale bound: the r12 32× smoke caught n_pop·s2 overflowing bigint
+    (Spark 4 ANSI raises ARITHMETIC_OVERFLOW; DuckDB raises too), so
+    the variance NUMERATOR is now computed in DOUBLE on both engines —
+    CAST(n_pop AS DOUBLE)·s2 − CAST(s1 AS DOUBLE)·s1 — which stays
+    deterministic (both engines run identical IEEE ops on the identical
+    exact-integer power sums; relative error ~1e-16 is far below the
+    6-dp grid s_h publishes at) and is overflow-free to 1e308. The
+    remaining exact-integer term is s2's own SUM(v100²): bigint-exact
+    to ~3.8×10⁹ rows per stratum at |v100| ≤ 10⁵; past that, center
+    values per stratum before squaring or lift that one SUM to
+    DECIMAL(38,0) on both engines. Shape: one partial-agg pass for the
     power sums, a broadcast of the |strata|-row allocation table, one
     stratum-partitioned window for the ranked draw — at 100 TB swap
     the exact-count window for the rate threshold n_h/N_h
@@ -177,10 +181,11 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_pop",
         F.sqrt(
-            (F.col("n_pop") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-                "double"
+            (
+                F.col("n_pop").cast("double") * F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1")
             )
-            / (F.col("n_pop") * (F.col("n_pop") - 1))
+            / (F.col("n_pop").cast("double") * (F.col("n_pop") - 1))
             / 10000.0
         ).alias("s_h"),
     )
@@ -848,10 +853,12 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "eval_auc_roc",
-    f"""
-    WITH {EVAL_SCORED_CTE},
+# The rank-statistic AUC/Gini tail over a CTE named ``scored`` with
+# (score, label) columns — ONE text (never-fork) shared by
+# eval_auc_roc (synthetic eval frame) and eval_model_auc (the trained
+# logreg scorer): the two keys may disagree on what is scored, never
+# on the AUC algebra measuring it.
+_AUC_RANK_SQL = """,
     pv AS (
       SELECT score, CAST(COUNT(*) AS BIGINT) AS n_all,
              CAST(SUM(label) AS BIGINT) AS n_pos
@@ -875,26 +882,14 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((CAST(r2 AS DOUBLE) - CAST(p AS DOUBLE) * (p + 1))
                  / (1.0 * p * neg) - 1.0, 6) AS gini
     FROM s
-    """,
-)
-def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROC AUC of the shared (score, label) eval frame via the
-    rank-statistic identity AUC = (R⁺ - P(P+1)/2) / (P·N) with
-    average ranks for ties (exactly Mann-Whitney U normalized — the
-    probability a random positive outscores a random negative), plus
-    the Gini coefficient 2·AUC - 1. The standard threshold-free
-    classifier eval next to eval_calibration_bins (which measures
-    calibration; AUC measures discrimination — here ~0.509, price
-    barely predicts priority, which is the point of the fixture).
+    """
 
-    Scale shape: the agg_mann_whitney compressed-domain discipline —
-    group by DISTINCT score first (row-proportional partial agg), so
-    the ordered cumulative pass runs over the distinct-value frame,
-    never the corpus. Determinism: doubled-rank arithmetic keeps
-    every aggregate INTEGER (2·rank-sum avoids the ±0.5 tie term) —
-    the only float op is the final division, rounded to 6 dp on both
-    engines."""
-    s = _eval_scored(spark, sf_dir)
+
+def _auc_rank(s: DataFrame) -> DataFrame:
+    """Spark twin of ``_AUC_RANK_SQL`` over a (score, label) frame —
+    the compressed-domain rank pass (distinct scores first, doubled
+    ranks keep every aggregate integer; the only float op is the
+    final division)."""
     pv = s.groupBy("score").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.sum("label").alias("n_pos"),
@@ -920,6 +915,32 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc, 6).alias("auc_roc"),
         F.round(auc * 2.0 - 1.0, 6).alias("gini"),
     )
+
+
+@query(
+    "eval_auc_roc",
+    f"""
+    WITH {EVAL_SCORED_CTE}{_AUC_RANK_SQL}""",
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the shared (score, label) eval frame via the
+    rank-statistic identity AUC = (R⁺ - P(P+1)/2) / (P·N) with
+    average ranks for ties (exactly Mann-Whitney U normalized — the
+    probability a random positive outscores a random negative), plus
+    the Gini coefficient 2·AUC - 1. The standard threshold-free
+    classifier eval next to eval_calibration_bins (which measures
+    calibration; AUC measures discrimination — here ~0.509, price
+    barely predicts priority, which is the point of the fixture).
+
+    Scale shape: the agg_mann_whitney compressed-domain discipline —
+    group by DISTINCT score first (row-proportional partial agg), so
+    the ordered cumulative pass runs over the distinct-value frame,
+    never the corpus. Determinism: doubled-rank arithmetic keeps
+    every aggregate INTEGER (2·rank-sum avoids the ±0.5 tie term) —
+    the only float op is the final division, rounded to 6 dp on both
+    engines — factored as _auc_rank, shared verbatim with
+    eval_model_auc (never-fork)."""
+    return _auc_rank(_eval_scored(spark, sf_dir))
 
 
 @query(
@@ -1544,7 +1565,7 @@ _LOGREG_FEATURES = ["bias", "f_tokens", "f_awl", "f_rep"]
 # 6-dp rounded so every downstream product/sum lives on the same
 # 1e-6 grid in both engines.
 _LOGREG_F_CTE = """f AS MATERIALIZED (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
              1.0 AS x0,
              ROUND(len(str_split(text, ' ')) / 100.0, 6) AS x1,
@@ -1625,6 +1646,7 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.size(F.array_distinct(F.split(F.col("text"), " ")))
     return d.select(
         "doc_id",
+        "lang",
         F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
         F.lit(1.0).alias("x0"),
         F.round(toks / 100.0, 6).alias("x1"),
@@ -1710,9 +1732,11 @@ def model_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-round to 6 dp before folding into the next round as literals —
     so the oracle's unrolled CTE chain replays bit-identical
     operands. Scale bound (same class as sample_neyman_allocation):
-    |pmu·xµ| ≤ 1e13, so bigint gradient sums are exact to ~9×10⁵
-    corpus rows per 1e13 unit — ~10⁹ docs at these feature scales;
-    past that, mini-batch the GD pass (the standard move anyway).
+    |pmu| ≤ 1e6 and |xµ| ≤ ~1.1e6 at these O(1) feature scales, so a
+    gradient term is ≤ ~1.1e12 and the bigint sum is exact to ~8×10⁶
+    corpus rows; past that, mini-batch the GD pass (the standard move
+    anyway) or lift the gradient sums to DECIMAL(38,0) on both
+    engines.
 
     Scale shape: one partial-agg corpus pass per round (map-side
     combine carries 5 counters per partition), 4 doubles of model
@@ -1758,4 +1782,107 @@ def model_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("y").alias("label"),
         _logreg_p6(w).alias("score"),
+    )
+
+
+QUALITY_TAU = 0.5  # keep threshold on the 6-dp logreg score
+
+
+@query(
+    "eval_model_auc",
+    f"""
+    {_LOGREG_CHAIN},
+    scored AS (
+      SELECT {_LOGREG_P6.format(w='w')} AS score, f.y AS label
+      FROM f, w{LOGREG_ITERS} w
+    ){_AUC_RANK_SQL}""",
+)
+def eval_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC / Gini of the TRAINED quality classifier — the closed
+    loop: model_logreg_train's weights score the corpus
+    (model_logreg_score's projection) and the shared rank-statistic
+    tail (_AUC_RANK_SQL / _auc_rank, verbatim from eval_auc_roc)
+    measures the result. Where eval_auc_roc deliberately grades a
+    non-predictive synthetic fixture (~0.509), this key certifies the
+    trainer actually learned (AUC ≈ 0.999 — the features genuinely
+    predict the long-document label), which is the sign a pretraining
+    pipeline checks before promoting a quality filter to a 100 TB
+    scoring pass.
+
+    Scale shape: the fit's bounded per-round aggs, one map-only
+    scoring projection, then the compressed-domain rank pass over
+    DISTINCT scores — the corpus never sorts."""
+    w = _logreg_fit(spark, sf_dir)
+    f = _logreg_features(spark, sf_dir)
+    return _auc_rank(
+        f.select(_logreg_p6(w).alias("score"), F.col("y").alias("label"))
+    )
+
+
+@query(
+    "pipeline_quality_filter",
+    f"""
+    {_LOGREG_CHAIN},
+    scored AS (
+      SELECT f.lang, {_LOGREG_P6.format(w='w')} AS score
+      FROM f, w{LOGREG_ITERS} w
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= {QUALITY_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN score >= {QUALITY_TAU} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS kept_rate,
+           ROUND(SUM(CASE WHEN score >= {QUALITY_TAU}
+                          THEN CAST(ROUND(score * 1000000, 0) AS BIGINT)
+                          ELSE 0 END)
+                 / 1000000.0
+                 / NULLIF(SUM(CASE WHEN score >= {QUALITY_TAU}
+                                   THEN 1 ELSE 0 END), 0),
+                 6) AS mean_score_kept
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality-filter pass a pretraining pipeline ships:
+    train the classifier (model_logreg_train's GD loop), score every
+    document map-only (model_logreg_score's projection), gate at
+    QUALITY_TAU, and publish the per-language keep audit — the table
+    a curation run reviews before committing the filtered corpus
+    (pipeline_text_curation's heuristic gate, upgraded to a LEARNED
+    gate). Composing the three stages cross-checks weights/score/lang
+    plumbing the way pipeline_rag_retrieval does for retrieval.
+
+    Determinism: scores are the 6-dp sigmoid both engines already
+    agree on; the kept-mean is summed in integer micro-units BEFORE
+    the two divisions (order-independent — the compressed-domain
+    discipline), and kept counts are integers. At 100 TB the gate is
+    the production shape: score+filter ride the scan (zero shuffle),
+    and only the |langs|-row audit aggregates."""
+    w = _logreg_fit(spark, sf_dir)
+    f = _logreg_features(spark, sf_dir)
+    scored = f.select("lang", _logreg_p6(w).alias("score"))
+    kept = F.when(F.col("score") >= QUALITY_TAU, 1).otherwise(0)
+    s6 = F.round(F.col("score") * 1000000, 0).cast("bigint")
+    n_kept = F.sum(kept)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            n_kept.cast("bigint").alias("n_kept"),
+            F.round(n_kept * 1.0 / F.count(F.lit(1)), 6).alias("kept_rate"),
+            F.round(
+                F.sum(
+                    F.when(F.col("score") >= QUALITY_TAU, s6).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / 1000000.0
+                / F.when(n_kept > 0, n_kept),
+                6,
+            ).alias("mean_score_kept"),
+        )
+        .orderBy("lang")
     )

@@ -1189,3 +1189,17 @@ def test_logreg_score_projection_is_shuffle_free(spark):
     df = QUERIES["model_logreg_score"](spark, SF_TEST)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_quality_filter_single_audit_exchange(spark):
+    """pipeline_quality_filter's plan is the production gate shape:
+    score+filter ride the documents scan map-side; the ONLY shuffle is
+    the |langs|-row audit aggregation (partial agg combines before the
+    exchange). A second Exchange would mean the scoring projection
+    regressed into a shuffle."""
+    from kinesis_adapter_spark.plans.registry import QUERIES
+
+    df = QUERIES["pipeline_quality_filter"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "HashAggregate" in plan or "SortAggregate" in plan

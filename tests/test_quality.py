@@ -3083,3 +3083,40 @@ def test_logreg_gd_matches_textbook_reference(spark):
     )
     auc = wins / (len(pos) * len(neg))
     assert auc > 0.99, auc
+
+    # eval_model_auc must equal this independent pair-counted AUC —
+    # the closed loop certified from outside the engine's rank algebra
+    m = QUERIES["eval_model_auc"](spark, SF_TEST).collect()[0]
+    assert m["n_pos"] == len(pos) and m["n_neg"] == len(neg)
+    assert abs(m["auc_roc"] - auc) < 1e-6, (m["auc_roc"], auc)
+    assert abs(m["gini"] - (2 * auc - 1)) < 2e-6
+
+    # pipeline_quality_filter's audit must match a python recount of
+    # the same scored frame at the same threshold
+    from collections import defaultdict
+
+    from kinesis_adapter_spark.operators.mlprep import QUALITY_TAU
+
+    by_lang = defaultdict(lambda: [0, 0, 0])  # n_docs, n_kept, sum6
+    lang_of = dict(zip(pdf["doc_id"], pdf["lang"]))
+    for r in scored:
+        cell = by_lang[lang_of[r["doc_id"]]]
+        cell[0] += 1
+        if r["score"] >= QUALITY_TAU:
+            cell[1] += 1
+            cell[2] += round(r["score"] * 1_000_000)
+    audit = {
+        r["lang"]: r
+        for r in QUERIES["pipeline_quality_filter"](spark, SF_TEST).collect()
+    }
+    assert set(audit) == set(by_lang)
+    for lang, (nd, nk, s6) in by_lang.items():
+        a = audit[lang]
+        assert a["n_docs"] == nd and a["n_kept"] == nk, lang
+        assert abs(a["kept_rate"] - nk / nd) < 1e-6, lang
+        if nk:
+            assert abs(a["mean_score_kept"] - s6 / 1e6 / nk) < 1e-6, lang
+    # the gate must actually filter (not vacuously keep everything)
+    total_docs = sum(c[0] for c in by_lang.values())
+    total_kept = sum(c[1] for c in by_lang.values())
+    assert 0 < total_kept < total_docs

@@ -264,6 +264,12 @@ SMOKE_OPS = {
     # r12: map-only scoring consumer (train reruns the fit, then one
     # shuffle-free projection) — the train cost model plus one pass
     "model_logreg_score": "documents",
+    # r12 second batch: the trained-classifier closed loop — AUC over
+    # the scored corpus (compressed-domain rank pass on DISTINCT
+    # scores) and the learned quality gate (score+filter ride the
+    # scan; only the |langs|-row audit aggregates)
+    "eval_model_auc": "documents",
+    "pipeline_quality_filter": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
