@@ -227,6 +227,11 @@ SHOWCASE = {
         "no CartesianProduct; the ref/cand legs of each order share "
         "the exploded pair scan"
     ),
+    "pipeline_quality_filter": (
+        "learned quality gate: score+filter ride the documents scan "
+        "map-side; exactly ONE Exchange hashpartitioning (the "
+        "|langs|-row audit aggregate, partial-combined before it)"
+    ),
     # r12 addition
     "model_logreg_score": (
         "map-only classifier scoring: fitted weights folded in as "
