@@ -130,6 +130,12 @@ EXTRAS = {
     # a map-only projection the trainer's cost dominates). Anchor:
     # BASELINE.md "Round-12 anchor adoption" (two idle FULL-bench runs).
     "logreg_train": "model_logreg_train",
+    # late-r12 addition: DSIR importance selection — the round's new
+    # token-stream-heavy sampling key (two 256-bucket count passes +
+    # a broadcast-join weight pass + the distinct-weight threshold
+    # draw). Anchor: BASELINE.md "Round-12 anchor adoption" (two idle
+    # FULL-bench runs).
+    "dsir_select": "sample_dsir_importance",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline

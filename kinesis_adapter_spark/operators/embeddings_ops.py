@@ -1085,13 +1085,11 @@ def _kmeans_fit_assign(e: DataFrame, k: int = KM_K) -> DataFrame:
 SEMDEDUP_TAU = 0.9  # intra-cluster cosine threshold (near-dup gate)
 SEMDEDUP_TARGET = 1000  # target cluster size: k = max(KM_K, n // this)
 
-# The SemDeDup oracle replays the WHOLE composition: k-means over the
-# dup-injected corpus (the same _KM_ROUND chain as emb_kmeans_lloyd,
-# sourced from the union, with the data-dependent k in c0), intra-
-# cluster cosine pairs, pairwise quality dominance (dedup_keep_best's
-# quality expression verbatim), and the per-lang audit rollup.
-_SEMDEDUP_SQL = (
-    f"""
+# The SemDeDup oracles replay the WHOLE composition. The corpus/kk/x
+# head and the docs/meta/pairs/dropped/audit tail are shared VERBATIM
+# between the flat-Lloyd key and the IVF-routed key (never-fork); only
+# the assignment chain between them — the `afin` CTE — differs.
+_SEMDEDUP_HEAD = f"""
     WITH corpus AS ({NEARDUP_EMB_SQL}),
     kk AS (SELECT GREATEST({KM_K}, COUNT(*) // {SEMDEDUP_TARGET}) AS k
            FROM corpus),
@@ -1100,26 +1098,9 @@ _SEMDEDUP_SQL = (
       FROM corpus,
            LATERAL (SELECT unnest(emb) AS v,
                            generate_subscripts(emb, 1) AS i) u
-    ),
-    c0 AS MATERIALIZED (
-      SELECT vec_id AS cluster, pos, ROUND(xv, 6) AS w
-      FROM x WHERE vec_id < (SELECT k FROM kk)
     )"""
-    + "".join(_KM_ROUND.format(t=t, prev=t - 1) for t in range(1, KM_ITERS + 1))
-    + f""",
-    afin AS MATERIALIZED (
-      SELECT vec_id, cluster FROM (
-        SELECT vec_id, cluster,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, cluster) AS rk
-        FROM (
-          SELECT x.vec_id, c.cluster,
-                 ROUND(SUM((x.xv - c.w) * (x.xv - c.w)), 6) AS dist
-          FROM x JOIN c{KM_ITERS} c USING (pos)
-          GROUP BY 1, 2
-        )
-      ) WHERE rk = 1
-    ),
+
+_SEMDEDUP_TAIL = f""",
     docs AS (
       SELECT doc_id, lang,
              n_chars - 2 * len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
@@ -1154,6 +1135,96 @@ _SEMDEDUP_SQL = (
     GROUP BY m.lang
     ORDER BY m.lang
     """
+
+# Flat-Lloyd assignment chain: c0 seeds + the emb_kmeans_lloyd
+# _KM_ROUND chain over the dup-injected corpus (data-dependent k).
+_SEMDEDUP_SQL = (
+    _SEMDEDUP_HEAD
+    + f""",
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cluster, pos, ROUND(xv, 6) AS w
+      FROM x WHERE vec_id < (SELECT k FROM kk)
+    )"""
+    + "".join(_KM_ROUND.format(t=t, prev=t - 1) for t in range(1, KM_ITERS + 1))
+    + f""",
+    afin AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rk
+        FROM (
+          SELECT x.vec_id, c.cluster,
+                 ROUND(SUM((x.xv - c.w) * (x.xv - c.w)), 6) AS dist
+          FROM x JOIN c{KM_ITERS} c USING (pos)
+          GROUP BY 1, 2
+        )
+      ) WHERE rk = 1
+    )"""
+    + _SEMDEDUP_TAIL
+)
+
+# IVF-routed assignment chain (the flat key's docstring prescription,
+# implemented): kc = max(2, floor(sqrt(k))) coarse seeds route both
+# the k fine seeds and every vector; each vector then argmins only
+# over the fine seeds routed to ITS coarse cell — O(n·(kc + k/kc)·d)
+# ≈ O(n·√k·d) instead of flat's O(n·k·d). Every distance is
+# ROUND(·,6) before comparison and ties break on the lowest id, the
+# emb_kmeans_lloyd discipline, so both engines replay the identical
+# routing.
+_SEMDEDUP_IVF_SQL = (
+    _SEMDEDUP_HEAD
+    + """,
+    kc AS (SELECT GREATEST(2, CAST(FLOOR(SQRT(CAST(k AS DOUBLE)))
+                              AS BIGINT)) AS kc FROM kk),
+    fine AS MATERIALIZED (
+      SELECT vec_id AS fc, pos, ROUND(xv, 6) AS w
+      FROM x WHERE vec_id < (SELECT k FROM kk)
+    ),
+    coarse AS MATERIALIZED (
+      SELECT fc AS cc, pos, w FROM fine WHERE fc < (SELECT kc FROM kc)
+    ),
+    froute AS MATERIALIZED (
+      SELECT fc, cc FROM (
+        SELECT fc, cc,
+               row_number() OVER (PARTITION BY fc ORDER BY dist, cc) AS rk
+        FROM (
+          SELECT f.fc, c.cc,
+                 ROUND(SUM((f.w - c.w) * (f.w - c.w)), 6) AS dist
+          FROM fine f JOIN coarse c USING (pos)
+          GROUP BY 1, 2
+        )
+      ) WHERE rk = 1
+    ),
+    vroute AS MATERIALIZED (
+      SELECT vec_id, cc FROM (
+        SELECT vec_id, cc,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cc) AS rk
+        FROM (
+          SELECT x.vec_id, c.cc,
+                 ROUND(SUM((x.xv - c.w) * (x.xv - c.w)), 6) AS dist
+          FROM x JOIN coarse c USING (pos)
+          GROUP BY 1, 2
+        )
+      ) WHERE rk = 1
+    ),
+    afin AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, fc AS cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, fc) AS rk
+        FROM (
+          SELECT x.vec_id, f.fc,
+                 ROUND(SUM((x.xv - f.w) * (x.xv - f.w)), 6) AS dist
+          FROM x
+          JOIN vroute v ON v.vec_id = x.vec_id
+          JOIN froute fr ON fr.cc = v.cc
+          JOIN fine f ON f.fc = fr.fc AND f.pos = x.pos
+          GROUP BY 1, 2
+        )
+      ) WHERE rk = 1
+    )"""
+    + _SEMDEDUP_TAIL
 )
 
 
@@ -1175,9 +1246,9 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes; composing it cross-checks cluster/id/lang plumbing
     across the three stage families the way pipeline_rag_retrieval
     did for retrieval. Scale shape: the k-means fit is K corpus
-    passes with k×d broadcast state; the pair join shuffles on the
-    cluster key (never all-pairs); the audit is one |langs|-group
-    aggregate. MEASURED CAVEAT (r12 64× smoke, SCALE.md): with
+    passes with k×d broadcast state; the pair stage shuffles once on
+    the cluster key into a per-cluster vectorized scan (never
+    all-pairs); the audit is one |langs|-group aggregate. MEASURED CAVEAT (r12 64× smoke, SCALE.md): with
     SemDeDup's corpus-scaled k (k∝n), the assignment term O(n·k·d)
     is O(n²d/target) overall — linear pair join, quadratic assign —
     and it clears the fixed-cost floor at 64× (32×→64× doubling grew
@@ -1202,12 +1273,94 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, plan.schema).orderBy("lang")
 
 
-def _semantic_dedup_plan(spark: SparkSession, sf_dir: str):
+def _ivf_two_level_assign(e: DataFrame, k: int, kc: int) -> DataFrame:
+    """Two-level IVF-style cluster assignment over ``(vec_id,
+    x: array<double>)``: the kc coarse seeds (vec_id < kc) route both
+    the k fine seeds (vec_id < k) and — inside ONE vectorized
+    mapInPandas pass — every vector; each vector then argmins only
+    over the fine seeds routed to its coarse cell. Seed matrices are
+    6-dp-rounded and every distance is 6-dp-rounded before an argmin
+    that breaks ties on the lowest id, so the oracle's CTE chain
+    (_SEMDEDUP_IVF_SQL) replays the identical routing. The fine→coarse
+    routing table is k×kc driver-side work on k×d model metadata —
+    never data. A vector routed to a coarse cell that attracted no
+    fine seed yields no assignment row (mirroring the oracle's inner
+    join); with distinct seed vectors this cannot happen, because
+    seed c is itself a fine seed at distance 0 from coarse c."""
+    import numpy as np
+    import pandas as pd
+
+    seeds = (
+        e.filter(F.col("vec_id") < k)
+        .select("vec_id", "x")
+        .collect()  # k rows: model init, never data
+    )
+    fine = {int(r["vec_id"]): np.round(np.array(r["x"]), 6) for r in seeds}
+    fids = sorted(fine)
+    fmat = np.stack([fine[i] for i in fids])  # (k, d)
+    cids = [i for i in fids if i < kc]
+    cmat = np.stack([fine[i] for i in cids])  # (kc, d)
+    # fine -> coarse routing: k×kc distances on the driver (metadata)
+    fd = np.round(((fmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2), 6)
+    fcell = fd.argmin(axis=1)  # ties -> first = lowest cc
+    cell_fids: dict[int, list[int]] = {c: [] for c in cids}
+    for f, ci in zip(fids, fcell):
+        cell_fids[cids[int(ci)]].append(f)
+    pos_of = {f: j for j, f in enumerate(fids)}
+    cell_mats = {
+        c: fmat[[pos_of[f] for f in members]]
+        for c, members in cell_fids.items()
+        if members
+    }
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.array([np.asarray(v) for v in pdf["x"]])
+            if not len(m):
+                continue
+            out = np.full(len(m), -1, dtype=np.int64)
+            # row-chunked like _kmeans_fit_assign so the (rows, kc, d)
+            # broadcast temp stays bounded
+            step = max(1, 16_000_000 // (cmat.shape[0] * cmat.shape[1]))
+            cell_idx = np.empty(len(m), dtype=np.int64)
+            for lo in range(0, len(m), step):
+                blk = m[lo : lo + step]
+                d2 = ((blk[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                cell_idx[lo : lo + step] = np.round(d2, 6).argmin(axis=1)
+            for ci, c in enumerate(cids):
+                rows = np.where(cell_idx == ci)[0]
+                if not len(rows) or c not in cell_mats:
+                    continue  # empty cell: no assignment row (see doc)
+                sub = m[rows]
+                dd = np.round(
+                    ((sub[:, None, :] - cell_mats[c][None, :, :]) ** 2).sum(
+                        axis=2
+                    ),
+                    6,
+                )
+                best = dd.argmin(axis=1)  # ties -> lowest fc in cell
+                out[rows] = [cell_fids[c][int(j)] for j in best]
+            keep = out >= 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"][keep],
+                    "cluster": out[keep],
+                }
+            )
+
+    return e.mapInPandas(assign, "vec_id bigint, cluster int")
+
+
+def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, ivf: bool = False):
     """The lazy audit plan plus the persisted (corpus ⋈ assignment ⋈
     docs) handle the caller must release after materializing (the
     _q21_plan contract). The persist is load-bearing: meta feeds both
-    pair legs AND the audit base — unpersisted, the k-means
-    assignment's mapInPandas would recompute three times."""
+    pair legs AND the audit base — unpersisted, the assignment's
+    mapInPandas would recompute three times. ``ivf=True`` swaps the
+    flat Lloyd assignment for the two-level IVF routing; everything
+    downstream (pairs, dominance, audit) is the SAME code."""
+    import math
+
     e = load(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
@@ -1225,9 +1378,13 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str):
     # target cluster size, where a fixed k would be O(n²/k). Both
     # engines derive k from the same integer formula.
     k = max(KM_K, corpus.count() // SEMDEDUP_TARGET)
-    assign = _kmeans_fit_assign(
-        corpus.select("vec_id", F.col("emb").alias("x")), k=k
-    )
+    xframe = corpus.select("vec_id", F.col("emb").alias("x"))
+    if ivf:
+        # same IEEE double sqrt the oracle's FLOOR(SQRT(k)) computes
+        kc = max(2, int(math.floor(math.sqrt(float(k)))))
+        assign = _ivf_two_level_assign(xframe, k=k, kc=kc)
+    else:
+        assign = _kmeans_fit_assign(xframe, k=k)
     quality = (
         F.col("n_chars")
         - 2 * F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
@@ -1235,35 +1392,88 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str):
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", quality.alias("quality")
     )
+    # per-vector L2 norm computed ONCE here (map-side, cached with
+    # meta) instead of per PAIR inside the join filter: the r12 64×
+    # smoke showed the pair stage paying THREE interpreted 64-element
+    # array-fold lambdas per candidate pair (dot + both norms) — the
+    # norms are pair-invariant, so hoisting them cuts the per-pair
+    # work to the one unavoidable dot product. Same expression, same
+    # IEEE result, so the 6-dp-rounded sims the oracle replays agree.
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x))
     meta = (
         corpus.join(assign, "vec_id")
         .join(docs, F.col("doc_id") == F.col("vec_id") % 1_000_000)
-        .select("vec_id", "emb", "cluster", "lang", "quality")
+        .select("vec_id", "emb", "cluster", "lang", "quality", nrm.alias("nrm"))
         .persist()  # read by both pair legs and the audit base
     )
-    a = meta.select(
-        F.col("vec_id").alias("ia"),
-        F.col("emb").alias("va"),
-        F.col("cluster").alias("ca"),
-        F.col("quality").alias("qa"),
-    )
-    b = meta.select(
-        F.col("vec_id").alias("ib"),
-        F.col("emb").alias("vb"),
-        F.col("cluster").alias("cb"),
-        F.col("quality").alias("qb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+    # Intra-cluster pairs as ONE vectorized pass per cluster
+    # (applyInPandas + BLAS matmul) instead of a row-expanding SQL
+    # self-join. The join formulation materializes Σ|cluster|²
+    # candidate ROWS and pays an interpreted 64-element array-fold
+    # per row — the r12 64× smoke measured that at 286M candidate
+    # pairs squeezed by AQE into 4 tasks (it coalesces by INPUT
+    # bytes, blind to join expansion), one of them a 41M-pair
+    # straggler. Here each cluster's pairwise cosine block is a
+    # (|c|, d) × (d, |c|) matmul — the Σ|c|²·d multiplies still
+    # happen, but inside BLAS at memory bandwidth, row-chunked so the
+    # similarity block stays bounded, and the per-cluster cost is so
+    # flat that the largest skewed cluster is no straggler. This is
+    # the sanctioned Pandas-UDF case: no built-in operator expresses
+    # a pairwise matmul. Emitted rows are only the qualifying pairs
+    # (near-dups — bounded by construction), with ia < ib enforced on
+    # ids, so the pair SET is identical to the join formulation and
+    # to the oracle's pair CTE; numpy's dot-sum order differs from a
+    # sequential fold by ~1e-13, far inside the 6-dp grid both
+    # engines round to (the same tolerance class the cross-engine
+    # list_cosine_similarity comparison already rides).
+    import numpy as np
+    import pandas as pd
+
+    def pair_scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "ia": np.array([], dtype=np.int64),
+                    "ib": np.array([], dtype=np.int64),
+                    "qa": np.array([], dtype=np.int64),
+                    "qb": np.array([], dtype=np.int64),
+                }
+            )
+        m = np.array([np.asarray(v) for v in pdf["emb"]])
+        ids = pdf["vec_id"].to_numpy()
+        q = pdf["quality"].to_numpy()
+        nr = pdf["nrm"].to_numpy()
+        out = []
+        # row-chunk so the (chunk, n) similarity block stays bounded
+        step = max(1, 32_000_000 // n)
+        for lo in range(0, n, step):
+            blk = m[lo : lo + step]
+            sims = np.round(
+                (blk @ m.T) / np.outer(nr[lo : lo + step], nr), 6
+            )
+            ii, jj = np.nonzero(sims >= SEMDEDUP_TAU)
+            gi = ii + lo
+            keep = ids[gi] < ids[jj]
+            gi, jj = gi[keep], jj[keep]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "ia": ids[gi],
+                        "ib": ids[jj],
+                        "qa": q[gi],
+                        "qb": q[jj],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
     pairs = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
-        .filter(F.round(dot / (na * nb), 6) >= SEMDEDUP_TAU)
-        .select("ia", "ib", "qa", "qb")
+        meta.select("vec_id", "emb", "quality", "nrm", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(
+            pair_scan, "ia bigint, ib bigint, qa bigint, qb bigint"
+        )
     )
     dropped = (
         pairs.select(
@@ -1292,6 +1502,45 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str):
         .orderBy("lang")
     )
     return audit, meta
+
+
+@query("pipeline_semantic_dedup_ivf", _SEMDEDUP_IVF_SQL)
+def pipeline_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_semantic_dedup with the assignment stage the flat
+    key's own docstring prescribes for 100 TB, implemented and
+    measured: a two-level IVF-style router (Jégou et al. 2011's
+    coarse-quantizer shape, public literature) instead of flat
+    Lloyd's over k ∝ n centroids. kc = max(2, ⌊√k⌋) coarse seeds
+    route the k fine seeds once (k×kc driver-side metadata work) and
+    every vector in one vectorized mapInPandas pass; each vector then
+    compares only against the ~k/kc fine seeds in its coarse cell —
+    per-vector cost O((√k + k/√k)·d) ≈ O(√k·d), so the corpus-wide
+    assignment is O(n·√k·d) where the flat key is O(n·k·d) =
+    O(n²·d/target) under SemDeDup's k ∝ n regime. Everything
+    downstream — intra-cluster cosine pairs, quality dominance,
+    per-lang audit — is the flat key's code and oracle tail VERBATIM
+    (_SEMDEDUP_TAIL / _semantic_dedup_plan); only the `afin` CTE
+    differs, replaying the same 6-dp-rounded, lowest-id-tie-broken
+    routing the Spark side computes.
+
+    The routing is seeded Voronoi (no Lloyd rounds): the quantizer-
+    TRAINING loop is already covered by emb_kmeans_lloyd and the flat
+    key, and the cost shape this key exists to measure — hierarchical
+    assignment beating flat assignment — is identical for trained or
+    seeded centroids. IVF approximation caveat, stated honestly: a
+    vector whose true nearest fine seed lives in a different coarse
+    cell gets its cell-local best instead (the nprobe=1 trade every
+    IVF index makes); near-dup pairs still co-cluster because
+    near-identical vectors make the identical two-level routing
+    decisions. Output is bounded (one row per lang), so the key
+    materializes and releases the meta persist before returning (the
+    q21 lifecycle, shared with the flat key)."""
+    plan, assigned = _semantic_dedup_plan(spark, sf_dir, ivf=True)
+    try:
+        rows = plan.collect()  # ≤|langs| rows: bounded audit
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(rows, plan.schema).orderBy("lang")
 
 
 # RRF CTE block (expects the BM25 chain spliced before it): the two

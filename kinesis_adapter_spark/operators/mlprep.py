@@ -237,6 +237,213 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_KEEP_DIV = 5  # select n_docs // 5 (top 20%) by importance weight
+
+
+@query(
+    "sample_dsir_importance",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, substr(md5(token), 1, 2) AS f
+      FROM (SELECT doc_id, lang, unnest(str_split(lower(text), ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+    ),
+    raw AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY f),
+    tgt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM tok WHERE lang = 'en' GROUP BY f),
+    feats AS (
+      SELECT r.f, r.cr, COALESCE(t.ct, 0) AS ct
+      FROM raw r LEFT JOIN tgt t USING (f)
+    ),
+    tots AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+                    CAST(SUM(ct) AS BIGINT) AS tt FROM feats),
+    lr AS (
+      SELECT f,
+             CAST(ROUND(ROUND(ln((ct + 1.0) / (tt + 256.0))
+                              - ln((cr + 1.0) / (tr + 256.0)), 6)
+                        * 1000000, 0) AS BIGINT) AS lr6
+      FROM feats, tots
+    ),
+    wdoc AS (
+      SELECT t.doc_id, t.lang, CAST(SUM(l.lr6) AS BIGINT) AS w6
+      FROM tok t JOIN lr l USING (f)
+      GROUP BY t.doc_id, t.lang
+    ),
+    nsel AS (SELECT COUNT(*) // 5 AS n_sel FROM wdoc),
+    vf AS (
+      SELECT w6, CAST(COUNT(*) AS BIGINT) AS c,
+             SUM(COUNT(*)) OVER (ORDER BY w6 DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM wdoc GROUP BY w6
+    ),
+    thr AS (
+      SELECT w6 AS wstar, cum - c AS above, n_sel
+      FROM vf, nsel
+      WHERE cum >= n_sel AND cum - c < n_sel
+    ),
+    ranked AS (
+      SELECT doc_id, w6,
+             row_number() OVER (
+               PARTITION BY w6
+               ORDER BY md5('dsir-' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM wdoc
+    ),
+    sel AS (
+      SELECT r.doc_id
+      FROM ranked r, thr t
+      WHERE r.w6 > t.wstar OR (r.w6 = t.wstar AND r.rk <= t.n_sel - t.above)
+    )
+    SELECT w.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           ROUND(CAST(SUM(w.w6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS mean_w,
+           ROUND(CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN w.w6 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN s.doc_id IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0)
+                 / 1000000.0, 6) AS mean_w_sel
+    FROM wdoc w LEFT JOIN sel s USING (doc_id)
+    GROUP BY w.lang
+    ORDER BY w.lang
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, public
+    literature): importance-weight every raw document toward a target
+    domain using hashed n-gram features, then keep the top fifth of
+    the corpus by weight with an exact-count deterministic draw.
+    Target = the 'en' slice (the stand-in for 'looks like my curated
+    domain'); features = 256 md5-prefix buckets over unigrams (the
+    hashed-feature trick that makes the estimator vocabulary-free);
+    per-bucket evidence = the log-likelihood ratio of smoothed bucket
+    probabilities under the target vs raw unigram models, and a doc's
+    importance is the SUM of its token instances' bucket evidence —
+    the paper's bag-of-hashed-ngrams estimator verbatim.
+
+    Determinism (compressed-domain discipline, the neyman/logreg
+    pattern): the per-bucket log-ratio is computed once on the
+    256-row feature table — both engines run the identical IEEE
+    ln/sub on identical integer counts — then 6-dp-rounded and
+    compressed to integer micro-units, so every per-doc weight is an
+    order-independent INTEGER sum; the selection threshold comes from
+    a cumulative count over the DISTINCT-weight frame (bounded by the
+    6-dp grid), and the boundary weight class resolves by md5-ranked
+    exact-count draw (the sample_neyman_allocation mechanism with the
+    weight class as the stratum), so exactly n_docs // 5 documents are
+    selected on both engines, bit-identically.
+
+    Scale shape: two count passes fold map-side into 256-row partials;
+    the 256-row log-ratio table broadcast-joins back onto the token
+    stream (never shuffled); the per-doc weight is one groupBy(doc_id)
+    partial-agg pass; the threshold window runs over the distinct-
+    weight aggregate (≤ the 6-dp grid, never corpus rows) and the
+    boundary rank window is PARTITIONED by weight class. At 100 TB
+    swap the exact-count draw for a fixed weight threshold published
+    from a sample — the same trade the neyman docstring records.
+    Output is the per-lang selection audit (n_docs, n_selected, mean
+    importance overall and among the selected) — the table that shows
+    the estimator pulling en-like mass forward."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", "lang", F.substring(F.md5("token"), 1, 2).alias("f"))
+    )
+    raw = tok.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    feats = raw.join(tgt, "f", "left").select(
+        "f", "cr", F.coalesce("ct", F.lit(0)).cast("bigint").alias("ct")
+    )
+    tots = feats.agg(
+        F.sum("cr").cast("bigint").alias("tr"),
+        F.sum("ct").cast("bigint").alias("tt"),
+    )
+    lr = feats.crossJoin(F.broadcast(tots)).select(
+        "f",
+        F.expr(
+            "CAST(ROUND(ROUND(ln((ct + 1.0) / (tt + 256.0))"
+            " - ln((cr + 1.0) / (tr + 256.0)), 6)"
+            " * 1000000, 0) AS BIGINT)"
+        ).alias("lr6"),
+    )
+    wdoc = (
+        tok.join(F.broadcast(lr), "f")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lr6").cast("bigint").alias("w6"))
+    )
+    nsel = wdoc.agg(F.expr(f"COUNT(*) DIV {DSIR_KEEP_DIV}").alias("n_sel"))
+    vf = wdoc.groupBy("w6").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy(F.col("w6").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr = (
+        vf.withColumn("cum", F.sum("c").over(wcum))
+        .crossJoin(F.broadcast(nsel))
+        .filter(
+            (F.col("cum") >= F.col("n_sel"))
+            & (F.col("cum") - F.col("c") < F.col("n_sel"))
+        )
+        .select(
+            F.col("w6").alias("wstar"),
+            (F.col("cum") - F.col("c")).alias("above"),
+            "n_sel",
+        )
+    )
+    wb = Window.partitionBy("w6").orderBy(
+        F.md5(F.concat(F.lit("dsir-"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    sel = (
+        wdoc.withColumn("rk", F.row_number().over(wb))
+        .crossJoin(F.broadcast(thr))
+        .filter(
+            (F.col("w6") > F.col("wstar"))
+            | (
+                (F.col("w6") == F.col("wstar"))
+                & (F.col("rk") <= F.col("n_sel") - F.col("above"))
+            )
+        )
+        .select("doc_id", F.lit(1).alias("is_sel"))
+    )
+    return (
+        wdoc.join(sel, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("is_sel", F.lit(0)))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.round(
+                F.sum("w6").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("mean_w"),
+            F.round(
+                F.sum(F.when(F.col("is_sel").isNotNull(), F.col("w6"))).cast(
+                    "double"
+                )
+                / F.expr(
+                    "NULLIF(SUM(CASE WHEN is_sel IS NOT NULL"
+                    " THEN 1 ELSE 0 END), 0)"
+                )
+                / 1000000.0,
+                6,
+            ).alias("mean_w_sel"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query(
     "dataset_split_hash",
     """

@@ -404,11 +404,15 @@ def test_fixed_leakers_release_their_persists(spark, key):
 
 def test_semantic_dedup_plan_shape_and_release(spark):
     """pipeline_semantic_dedup's post-fit plan: the intra-cluster pair
-    join must be a hash join on the cluster key (never a cartesian),
-    the persisted meta frame must feed all three consumers from cache
-    (both pair legs + the audit base), and the exchange budget stays
-    bounded. The key itself must release the meta persist (q21
-    lifecycle)."""
+    stage must be the per-cluster vectorized scan (ONE
+    FlatMapGroupsInPandas over the cluster key — never a cartesian,
+    and never the row-expanding self-join the r12 64x smoke caught
+    AQE squeezing into 4 tasks), the persisted meta frame must feed
+    both consumers (pair scan + audit base) from cache, and the
+    exchange budget stays bounded. The key itself must release the
+    meta persist (q21 lifecycle). Counts run over the full adaptive
+    string (final + initial sections): AQE's final section elides
+    cached subtrees into query-stage references."""
     from kinesis_adapter_spark.operators.embeddings_ops import (
         _semantic_dedup_plan,
     )
@@ -420,14 +424,53 @@ def test_semantic_dedup_plan_shape_and_release(spark):
         p = plan._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, p[:3000]
         assert "BroadcastNestedLoop" not in p, p[:3000]
-        assert p.count("InMemoryTableScan") >= 3, p[:3000]
-        assert p.count("Exchange hashpartitioning") <= 8, p[:3000]
+        assert p.count("InMemoryTableScan") >= 2, p[:3000]
+        assert "FlatMapGroupsInPandas" in p, p[:3000]
+        assert p.count("Exchange hashpartitioning") <= 10, p[:3000]
     finally:
         meta.unpersist()
 
     QUERIES["pipeline_semantic_dedup"](spark, SF_TEST).collect()
     before = persistent_rdd_ids(spark)
     QUERIES["pipeline_semantic_dedup"](spark, SF_TEST).collect()
+    leaked = persistent_rdd_ids(spark) - before
+    assert not leaked, leaked
+
+
+def test_semantic_dedup_ivf_plan_shape_and_release(spark):
+    """pipeline_semantic_dedup_ivf shares the flat key's post-assign
+    plan (per-cluster vectorized pair scan, cached meta feeding pair
+    scan + audit base, bounded exchanges, q21 persist lifecycle) —
+    and its assignment must be the ONE mapInPandas routing pass,
+    never a per-cell loop of jobs (the whole point of the two-level
+    router is one corpus pass instead of k-proportional work)."""
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _semantic_dedup_plan,
+    )
+    from kinesis_adapter_spark.session import persistent_rdd_ids
+
+    plan, meta = _semantic_dedup_plan(spark, SF_TEST, ivf=True)
+    try:
+        plan.collect()
+        p = plan._jdf.queryExecution().executedPlan().toString()
+        # full adaptive string, same census rules as the flat twin
+        assert "CartesianProduct" not in p, p[:3000]
+        assert "BroadcastNestedLoop" not in p, p[:3000]
+        assert p.count("InMemoryTableScan") >= 2, p[:3000]
+        assert "FlatMapGroupsInPandas" in p, p[:3000]
+        assert p.count("Exchange hashpartitioning") <= 10, p[:3000]
+        # one vectorized assignment pass inside the cached meta build
+        # (count in the AQE final-plan section only — the toString
+        # repeats the tree under "== Initial Plan ==")
+        cached = meta._jdf.queryExecution().executedPlan().toString()
+        final = cached.split("== Initial Plan ==")[0]
+        assert final.count("MapInPandas") == 1, final[:3000]
+    finally:
+        meta.unpersist()
+
+    QUERIES["pipeline_semantic_dedup_ivf"](spark, SF_TEST).collect()
+    before = persistent_rdd_ids(spark)
+    QUERIES["pipeline_semantic_dedup_ivf"](spark, SF_TEST).collect()
     leaked = persistent_rdd_ids(spark) - before
     assert not leaked, leaked
 
@@ -1176,6 +1219,30 @@ def test_compressed_domain_rank_pass_stays_distinct_sized(spark, key):
             f"HashAggregate(keys=[{order_col}" in below
             or "HashAggregate(keys=[]" in below
         ), (key, order_col, below)
+
+
+def test_dsir_threshold_window_stays_distinct_sized(spark):
+    """sample_dsir_importance's only UNPARTITIONED window (the
+    cumulative selection threshold) must run over the DISTINCT-weight
+    aggregate, never corpus rows — the compressed-domain gate shape:
+    every SinglePartition exchange is fed by a HashAggregate keyed on
+    the weight column. The 256-row log-ratio table must reach the
+    token stream as a broadcast join (never a shuffle on f)."""
+    import re
+
+    plan = plan_of(spark, "sample_dsir_importance")
+    lines = plan.splitlines()
+    sp_idx = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert sp_idx, plan[:3000]
+    for i in sp_idx:
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert (
+            re.search(r"HashAggregate\(keys=\[w6#\d+", below)
+            or "HashAggregate(keys=[]" in below
+        ), (below, plan[:3000])
+    # the lr6 feature table joins the token stream via broadcast hash
+    # join on the bucket key
+    assert re.search(r"BroadcastHashJoin \[f#\d+", plan), plan[:3000]
 
 
 def test_logreg_score_projection_is_shuffle_free(spark):

@@ -1117,6 +1117,147 @@ def test_semantic_dedup_drops_exactly_the_injected_copies(spark):
         assert r["n_kept"] == r["n_vecs"] - r["n_dropped"], r
 
 
+def test_semantic_dedup_ivf_drops_exactly_the_injected_copies(spark):
+    """Fixture-level recall for the IVF-routed variant: a 1.001-scaled
+    copy makes the same two-level routing decisions as its source
+    (same direction ⇒ same coarse cell, then same cell-local fine
+    seed on this fixture's margins), so the drop set must again be
+    EXACTLY the injected copies — the nprobe=1 approximation loses no
+    recall here, which is the fixture-level form of the SemDeDup
+    claim that routing approximations only reshuffle cluster
+    boundaries, not near-dup co-membership."""
+    rows = QUERIES["pipeline_semantic_dedup_ivf"](spark, SF_TEST).collect()
+    assert rows
+    e = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    n_base = e.count()
+    n_injected = e.filter("vec_id % 10 = 0").count()
+    assert sum(r["n_vecs"] for r in rows) == n_base + n_injected
+    assert sum(r["n_dropped"] for r in rows) == n_injected
+    for r in rows:
+        assert r["n_kept"] == r["n_vecs"] - r["n_dropped"], r
+
+
+def test_ivf_two_level_assign_matches_bruteforce_reference(spark):
+    """Independent reference for _ivf_two_level_assign: a pure-python
+    double loop (no numpy broadcasting, no shared helpers) replays the
+    two-level routing — coarse argmin over 6-dp-rounded distances with
+    lowest-id ties, then fine argmin restricted to the winner cell's
+    routed seeds — on a small deterministic frame, and every Spark
+    assignment row must match it exactly."""
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _ivf_two_level_assign,
+    )
+
+    # deterministic synthetic vectors: no randomness, varied geometry
+    vecs = {
+        i: [((i * 7 + j * 13) % 29) / 7.0 - 2.0 for j in range(8)]
+        for i in range(40)
+    }
+    k, kc = 9, 3
+
+    def d2(a, b):
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)), 6)
+
+    seeds = {i: [round(x, 6) for x in vecs[i]] for i in range(k)}
+    coarse = {i: seeds[i] for i in range(kc)}
+    froute = {}
+    for f in seeds:
+        best = min(coarse, key=lambda c: (d2(seeds[f], coarse[c]), c))
+        froute[f] = best
+    expected = {}
+    for vid, v in vecs.items():
+        cell = min(coarse, key=lambda c: (d2(v, coarse[c]), c))
+        members = [f for f in seeds if froute[f] == cell]
+        expected[vid] = min(members, key=lambda f: (d2(v, seeds[f]), f))
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, x array<double>"
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in _ivf_two_level_assign(df, k=k, kc=kc).collect()
+    }
+    assert got == expected
+
+
+def test_dsir_importance_matches_pure_python_reference(spark):
+    """Independent reference for sample_dsir_importance: a pure-python
+    reimplementation (hashlib.md5, dict counters, Decimal
+    ROUND_HALF_UP for the engines' half-away-from-zero ROUND) of the
+    whole estimator — hashed-bucket counts, smoothed log-ratios in
+    6-dp micro-units, integer per-doc weights, the exact-count
+    top-n//5 draw with md5 tie-break — must reproduce the key's
+    per-lang audit exactly. Plus the estimator sanity check: the
+    target lang ('en') must take the highest selection rate, and the
+    selected counts must total exactly n_docs // 5."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from hashlib import md5 as pymd5
+
+    rows = QUERIES["sample_dsir_importance"](spark, SF_TEST).collect()
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    cr: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    per_doc: dict[int, list[str]] = {}
+    lang_of: dict[int, str] = {}
+    for d in docs:
+        fs = [
+            pymd5(t.encode()).hexdigest()[:2]
+            for t in d["text"].lower().split(" ")
+            if t != ""
+        ]
+        per_doc[d["doc_id"]] = fs
+        lang_of[d["doc_id"]] = d["lang"]
+        for f in fs:
+            cr[f] = cr.get(f, 0) + 1
+            if d["lang"] == "en":
+                ct[f] = ct.get(f, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    lr6 = {
+        f: int(
+            Decimal(
+                repr(
+                    r6(
+                        math.log((ct.get(f, 0) + 1.0) / (tt + 256.0))
+                        - math.log((cr[f] + 1.0) / (tr + 256.0))
+                    )
+                    * 1000000
+                )
+            ).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+        for f in cr
+    }
+    w6 = {did: sum(lr6[f] for f in fs) for did, fs in per_doc.items()}
+    n_sel = len(w6) // 5
+    order = sorted(
+        w6,
+        key=lambda d: (-w6[d], pymd5(f"dsir-{d}".encode()).hexdigest(), d),
+    )
+    selected = set(order[:n_sel])
+
+    assert sum(r["n_selected"] for r in rows) == n_sel
+    rates = {r["lang"]: r["n_selected"] / r["n_docs"] for r in rows}
+    assert max(rates, key=rates.get) == "en", rates
+    for r in rows:
+        lang_docs = [d for d in w6 if lang_of[d] == r["lang"]]
+        lang_sel = [d for d in lang_docs if d in selected]
+        assert r["n_docs"] == len(lang_docs), r
+        assert r["n_selected"] == len(lang_sel), r
+        assert r["mean_w"] == r6(
+            sum(w6[d] for d in lang_docs) / len(lang_docs) / 1000000.0
+        ), r
+        if lang_sel:
+            assert r["mean_w_sel"] == r6(
+                sum(w6[d] for d in lang_sel) / len(lang_sel) / 1000000.0
+            ), r
+
+
 def test_tokenizer_fertility_cross_family_comparison(spark):
     """The tokenizer-selection readout: BPE vs unigram fertility per
     language, joined from the two registry keys. Both families must

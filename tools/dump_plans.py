@@ -198,10 +198,12 @@ SHOWCASE = {
     ),
     # r10 additions
     "pipeline_semantic_dedup": (
-        "SemDeDup post-fit plan: intra-cluster pair join is a hash "
-        "join on the cluster key (no CartesianProduct), and the "
-        "persisted meta frame feeds both pair legs AND the audit "
-        "base from InMemoryTableScan (3+ reads, one compute)"
+        "SemDeDup post-fit plan: intra-cluster pairs are ONE "
+        "per-cluster vectorized scan (FlatMapGroupsInPandas on the "
+        "cluster key — BLAS matmul inside, no CartesianProduct, no "
+        "row-expanding self-join), and the persisted meta frame "
+        "feeds the pair scan AND the audit base from "
+        "InMemoryTableScan (one compute)"
     ),
     "skew_key_report": (
         "frequency tier materialized once (checkpoint boundary); "
@@ -239,6 +241,21 @@ SHOWCASE = {
         "Exchange (the production shape: the classifier rides the "
         "scan at 100 TB)"
     ),
+    # late-r12 additions
+    "pipeline_semantic_dedup_ivf": (
+        "hierarchical SemDeDup: assignment is ONE MapInPandas routing "
+        "pass (two-level coarse/fine argmin inside — no per-cell job "
+        "loop), then the flat key's post-fit shape verbatim: "
+        "per-cluster vectorized pair scan, persisted meta read from "
+        "InMemoryTableScan"
+    ),
+    "sample_dsir_importance": (
+        "DSIR selection: the 256-row log-ratio table reaches the "
+        "token stream via BroadcastHashJoin on the bucket key; the "
+        "only SinglePartition window runs over the DISTINCT-weight "
+        "aggregate (compressed-domain threshold), and the boundary "
+        "rank window is partitioned by weight class"
+    ),
 }
 
 # keys whose registry function materializes a bounded result and
@@ -256,6 +273,10 @@ LAZY_PLAN = {
         "kinesis_adapter_spark.operators.analytics",
         fromlist=["_skew_report_plan"],
     )._skew_report_plan(spark, SF),
+    "pipeline_semantic_dedup_ivf": lambda spark: __import__(
+        "kinesis_adapter_spark.operators.embeddings_ops",
+        fromlist=["_semantic_dedup_plan"],
+    )._semantic_dedup_plan(spark, SF, ivf=True),
 }
 
 

@@ -270,6 +270,17 @@ SMOKE_OPS = {
     # scan; only the |langs|-row audit aggregates)
     "eval_model_auc": "documents",
     "pipeline_quality_filter": "documents",
+    # r12 third batch: the hierarchical-assignment SemDeDup — the flat
+    # key's 100 TB prescription implemented. Assignment is one
+    # two-level routing pass, O(n·(√k + k/√k)·d) with k ∝ n, so the
+    # quadratic term that dominates the flat key at 64× shrinks to
+    # n^1.5; pairs/audit tail identical to pipeline_semantic_dedup
+    "pipeline_semantic_dedup_ivf": "embeddings+documents",
+    # r12 third batch: DSIR importance selection — two 256-bucket
+    # count passes + one broadcast-join weight pass over the token
+    # stream, a distinct-weight threshold window, a w6-partitioned
+    # boundary rank; expected ~linear in corpus tokens
+    "sample_dsir_importance": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
