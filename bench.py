@@ -229,6 +229,9 @@ ANCHORS = {
     # round-12 addition, anchored at the mean of two idle FULL-bench
     # runs' medians-of-5 (BASELINE.md "Round-12 anchor adoption")
     "logreg_train": 1.91,
+    # late-r12 addition, anchored at the mean of two idle FULL-bench
+    # runs' medians-of-5 (BASELINE.md "Late round-12 anchor adoption")
+    "dsir_select": 1.27,
 }
 
 
