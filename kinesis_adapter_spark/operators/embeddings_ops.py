@@ -24,6 +24,29 @@ from kinesis_adapter_spark.plans.registry import query
 from kinesis_adapter_spark.sources.scans import DERIVED_ROOT, derived_dir
 
 
+def _cosine_pair_chunks(m, ids, nr, tau):
+    """Row-chunked BLAS pairwise-cosine scan over one block/cluster:
+    yields (i_idx, j_idx, sims) for every ordered pair with
+    ROUND(cos, 6) >= tau and ids[i] < ids[j]. The ONE shared core
+    behind every per-group vectorized pair stage
+    (dedup_embedding_cosine and both SemDeDup keys), so the 6-dp
+    rounding/tie discipline their oracles replay cannot fork. The
+    (chunk, n) similarity block is bounded by the 32M-element chunk
+    budget; numpy's dot-sum order differs from a sequential fold by
+    ~1e-13, far inside the 6-dp grid."""
+    import numpy as np
+
+    n = len(m)
+    step = max(1, 32_000_000 // n)
+    for lo in range(0, n, step):
+        blk = m[lo : lo + step]
+        sims = np.round((blk @ m.T) / np.outer(nr[lo : lo + step], nr), 6)
+        ii, jj = np.nonzero(sims >= tau)
+        gi = ii + lo
+        keep = ids[gi] < ids[jj]
+        yield gi[keep], jj[keep], sims[ii[keep], jj[keep]]
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays, computed in double."""
     ad = F.transform(a, lambda x: x.cast("double"))
@@ -352,8 +375,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled copies — which share their source's sign block by
     construction, so blocking finds all of them and the approximate
     plan hash-matches the exact one. At 100 TB the same plan holds
-    with 16–32 sign bits and a multi-probe union; the blocked join is
-    a shuffle on the block key instead of an O(n²) cross join."""
+    with 16–32 sign bits and a multi-probe union; the pair stage is
+    ONE shuffle on the block key into a per-block vectorized scan
+    (BLAS matmul, qualifying pairs only — the SemDeDup
+    expanding-join lesson) instead of an O(n²) cross join or a
+    Σ|block|²-row self-join."""
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
     dup = (
@@ -372,16 +398,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     keyed = corpus.select("vec_id", "emb", sig.alias("block"))
-    a = keyed.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"), "block")
-    b = keyed.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"), "block")
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
-    return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("sim"))
-        .filter(F.col("sim") >= 0.9)
+
+    # Per-block vectorized pair scan (late-r12, the SemDeDup
+    # expanding-join lesson applied registry-wide): the block
+    # self-join materializes Σ|block|² candidate rows each paying
+    # three interpreted array-folds, and AQE coalesces the expansion
+    # by its (small) INPUT size — measured 115.8 s at the 64× smoke.
+    # One applyInPandas pass per block runs the same comparisons as a
+    # row-chunked BLAS matmul and emits only qualifying pairs; numpy's
+    # dot-sum order differs from a sequential fold by ~1e-13, far
+    # inside the 6-dp grid both engines round to.
+    import numpy as np
+    import pandas as pd
+
+    def pair_scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64),
+                    "sim": np.array([], dtype=np.float64),
+                }
+            )
+        m = np.array([np.asarray(v) for v in pdf["emb"]])
+        ids = pdf["vec_id"].to_numpy()
+        nr = np.sqrt((m * m).sum(axis=1))
+        out = [
+            pd.DataFrame({"id_a": ids[gi], "id_b": ids[jj], "sim": sims})
+            for gi, jj, sims in _cosine_pair_chunks(m, ids, nr, 0.9)
+        ]
+        return pd.concat(out, ignore_index=True)
+
+    return keyed.groupBy("block").applyInPandas(
+        pair_scan, "id_a bigint, id_b bigint, sim double"
     )
 
 
@@ -1430,8 +1479,7 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, ivf: bool = False):
     import pandas as pd
 
     def pair_scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
-        if n < 2:
+        if len(pdf) < 2:
             return pd.DataFrame(
                 {
                     "ia": np.array([], dtype=np.int64),
@@ -1443,29 +1491,13 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, ivf: bool = False):
         m = np.array([np.asarray(v) for v in pdf["emb"]])
         ids = pdf["vec_id"].to_numpy()
         q = pdf["quality"].to_numpy()
-        nr = pdf["nrm"].to_numpy()
-        out = []
-        # row-chunk so the (chunk, n) similarity block stays bounded
-        step = max(1, 32_000_000 // n)
-        for lo in range(0, n, step):
-            blk = m[lo : lo + step]
-            sims = np.round(
-                (blk @ m.T) / np.outer(nr[lo : lo + step], nr), 6
+        nr = pdf["nrm"].to_numpy()  # hoisted norms from the meta frame
+        out = [
+            pd.DataFrame(
+                {"ia": ids[gi], "ib": ids[jj], "qa": q[gi], "qb": q[jj]}
             )
-            ii, jj = np.nonzero(sims >= SEMDEDUP_TAU)
-            gi = ii + lo
-            keep = ids[gi] < ids[jj]
-            gi, jj = gi[keep], jj[keep]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "ia": ids[gi],
-                        "ib": ids[jj],
-                        "qa": q[gi],
-                        "qb": q[jj],
-                    }
-                )
-            )
+            for gi, jj, _ in _cosine_pair_chunks(m, ids, nr, SEMDEDUP_TAU)
+        ]
         return pd.concat(out, ignore_index=True)
 
     pairs = (

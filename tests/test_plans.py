@@ -90,11 +90,14 @@ def test_topk_avoids_global_sort(spark):
 
 
 def test_blocked_similarity_join_is_not_cartesian(spark):
-    """The sign-block near-dup join must plan as an equi-join on the
-    block key — a CartesianProduct here would be O(n²) at scale."""
+    """The sign-block near-dup pair stage must be the per-block
+    vectorized scan (ONE FlatMapGroupsInPandas shuffled on the block
+    key — late-r12 rewrite; the old block self-join expanded to
+    Σ|block|² interpreted per-pair folds) — and never a
+    CartesianProduct, which would be O(n²) at scale."""
     plan = plan_of(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
-    assert "Join" in plan
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
 
 
 def test_hot_paths_stay_in_codegen(spark):

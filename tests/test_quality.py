@@ -1180,6 +1180,44 @@ def test_ivf_two_level_assign_matches_bruteforce_reference(spark):
     assert got == expected
 
 
+def test_cosine_pair_chunks_matches_bruteforce_reference():
+    """Independent reference for _cosine_pair_chunks — the ONE shared
+    core behind every per-group vectorized pair stage
+    (dedup_embedding_cosine + both SemDeDup keys): a pure-python
+    double loop over a deterministic synthetic block must produce the
+    identical (i, j, sim) set for several tau values. ids are
+    deliberately NOT in row order, so the ids[i] < ids[j] orientation
+    is exercised independently of matrix position."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _cosine_pair_chunks,
+    )
+
+    rng_free = [
+        [((i * 13 + j * 7) % 23) / 5.0 - 2.0 for j in range(16)]
+        for i in range(60)
+    ]
+    m = np.array(rng_free)
+    ids = np.array([i * 3 % 61 for i in range(60)], dtype=np.int64)
+    nr = np.sqrt((m * m).sum(axis=1))
+
+    for tau in (0.5, 0.8, 0.95):
+        got = set()
+        for gi, jj, sims in _cosine_pair_chunks(m, ids, nr, tau):
+            for a, b, s in zip(gi, jj, sims):
+                got.add((int(ids[a]), int(ids[b]), float(s)))
+        expected = set()
+        for i in range(60):
+            for j in range(60):
+                s = round(
+                    float(np.dot(m[i], m[j]) / (nr[i] * nr[j])), 6
+                )
+                if s >= tau and ids[i] < ids[j]:
+                    expected.add((int(ids[i]), int(ids[j]), s))
+        assert got == expected, tau
+
+
 def test_dsir_importance_matches_pure_python_reference(spark):
     """Independent reference for sample_dsir_importance: a pure-python
     reimplementation (hashlib.md5, dict counters, Decimal

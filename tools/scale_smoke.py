@@ -276,6 +276,10 @@ SMOKE_OPS = {
     # quadratic term that dominates the flat key at 64× shrinks to
     # n^1.5; pairs/audit tail identical to pipeline_semantic_dedup
     "pipeline_semantic_dedup_ivf": "embeddings+documents",
+    # late-r12: the expanding-join lesson applied registry-wide — the
+    # sign-block near-dup pair stage shares the SemDeDup shape
+    # (Σ|block|² candidate pairs), so it gets the same smoke coverage
+    "dedup_embedding_cosine": "embeddings",
     # r12 third batch: DSIR importance selection — two 256-bucket
     # count passes + one broadcast-join weight pass over the token
     # stream, a distinct-weight threshold window, a w6-partitioned
