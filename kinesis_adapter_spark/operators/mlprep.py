@@ -1124,6 +1124,94 @@ def _auc_rank(s: DataFrame) -> DataFrame:
     )
 
 
+PASSK_K = 10  # the k of pass@k (pass@1 is also published)
+
+# The unbiased estimator's complement C(n-c,k)/C(n,k) as an UNROLLED
+# left-associated product of k double divisions — the identical
+# expression text runs on both engines (never-fork), so the IEEE
+# result is bit-identical before the shared 6-dp round.
+_PASSK_PROD = " * ".join(
+    f"(CAST(n - c - {i} AS DOUBLE) / (n - {i}))" for i in range(PASSK_K)
+)
+
+_PASSK_SELECT = f"""
+    SELECT event_type, task_bucket,
+           n AS n_samples, c AS n_correct,
+           ROUND(CAST(c AS DOUBLE) / n, 6) AS pass_at_1,
+           CASE WHEN n < {PASSK_K} THEN CAST(NULL AS DOUBLE)
+                WHEN n - c < {PASSK_K} THEN 1.0
+                ELSE ROUND(1.0 - ({_PASSK_PROD}), 6)
+           END AS pass_at_{PASSK_K}
+    FROM t
+    ORDER BY event_type, task_bucket"""
+
+
+@query(
+    "eval_pass_at_k",
+    f"""
+    WITH s AS (
+      SELECT event_type, user_id % 10 AS task_bucket,
+             CASE WHEN value >= 60.0 THEN 1 ELSE 0 END AS ok
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, task_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ok) AS BIGINT) AS c
+      FROM s GROUP BY 1, 2
+    )
+    {_PASSK_SELECT}
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k over grouped samples (Chen et al. 2021's unbiased
+    estimator, public literature — the standard code-generation
+    metric): tasks are (event_type, user_id mod 10) groups, a sample
+    is 'correct' when its value clears the fixed 60.0 bar, and
+    pass@k = 1 - C(n-c, k)/C(n, k) estimates the probability that at
+    least one of k drawn samples is correct. Published per task with
+    n, c, and pass@1 (= c/n, the raw accuracy) beside pass@10 — the
+    table an eval harness aggregates over its benchmark.
+
+    Determinism: n and c are exact integer counts; the combinatorial
+    ratio is evaluated as an UNROLLED left-associated product of k
+    double divisions whose expression text is shared verbatim between
+    the Spark projection and the oracle (_PASSK_PROD — never-fork),
+    so both engines execute the identical IEEE operation sequence on
+    identical integers before the shared 6-dp round. The n-c < k
+    branch (some draw must contain a correct sample) publishes exact
+    1.0; n < k publishes NULL (the estimator is undefined), mirrored
+    in both engines.
+
+    Scale shape: one partial-agg corpus pass to the (task, n, c)
+    frame (map-side combine carries two counters per task), then the
+    estimator is a map-only projection over the bounded task table —
+    at 100 TB nothing after the first aggregate sees more than
+    |tasks| rows."""
+    s = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).alias("task_bucket"),
+        F.when(F.col("value") >= 60.0, 1).otherwise(0).alias("ok"),
+    )
+    t = s.groupBy("event_type", "task_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("c"),
+    )
+    passk = F.expr(
+        f"CASE WHEN n < {PASSK_K} THEN CAST(NULL AS DOUBLE)"
+        f" WHEN n - c < {PASSK_K} THEN 1.0"
+        f" ELSE ROUND(1.0 - ({_PASSK_PROD}), 6) END"
+    )
+    return t.select(
+        "event_type",
+        "task_bucket",
+        F.col("n").alias("n_samples"),
+        F.col("c").alias("n_correct"),
+        F.expr("ROUND(CAST(c AS DOUBLE) / n, 6)").alias("pass_at_1"),
+        passk.alias(f"pass_at_{PASSK_K}"),
+    ).orderBy("event_type", "task_bucket")
+
+
 @query(
     "eval_auc_roc",
     f"""

@@ -1224,6 +1224,18 @@ def test_compressed_domain_rank_pass_stays_distinct_sized(spark, key):
         ), (key, order_col, below)
 
 
+def test_pass_at_k_is_one_aggregate_then_projection(spark):
+    """eval_pass_at_k: ONE partial+final aggregate pair collapses
+    events to the bounded (task, n, c) frame; the combinatorial
+    estimator is a map-only projection over it — exactly one
+    hashpartitioning exchange (the group key), nothing after the
+    aggregate but project + the presentation sort."""
+    plan = plan_of(spark, "eval_pass_at_k")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
 def test_dsir_threshold_window_stays_distinct_sized(spark):
     """sample_dsir_importance's only UNPARTITIONED window (the
     cumulative selection threshold) must run over the DISTINCT-weight

@@ -1180,6 +1180,60 @@ def test_ivf_two_level_assign_matches_bruteforce_reference(spark):
     assert got == expected
 
 
+def test_pass_at_k_matches_combinatorial_reference(spark):
+    """Independent reference for eval_pass_at_k: recompute every task's
+    n/c by pure-python counting over the raw events, then check the
+    published pass@10 two ways — (a) STRUCTURALLY against the exact
+    combinatorial estimator 1 - C(n-c,10)/C(n,10) via math.comb and
+    Fraction (a completely different formula path; agreement within
+    1e-9 of the float product), and (b) EXACTLY against a python
+    replication of the same left-associated IEEE product the key's
+    shared expression runs, rounded Decimal-half-up. pass@1 must be
+    exactly round(c/n, 6)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    rows = QUERIES["eval_pass_at_k"](spark, SF_TEST).collect()
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    n_of: dict[tuple, int] = {}
+    c_of: dict[tuple, int] = {}
+    for e in ev:
+        key = (e["event_type"], e["user_id"] % 10)
+        n_of[key] = n_of.get(key, 0) + 1
+        if e["value"] >= 60.0:
+            c_of[key] = c_of.get(key, 0) + 1
+    assert len(rows) == len(n_of) and rows
+    for r in rows:
+        key = (r["event_type"], r["task_bucket"])
+        n, c = n_of[key], c_of.get(key, 0)
+        assert (r["n_samples"], r["n_correct"]) == (n, c), r
+        assert r["pass_at_1"] == r6(c / n), r
+        if n < 10:
+            assert r["pass_at_10"] is None, r
+            continue
+        if n - c < 10:
+            assert r["pass_at_10"] == 1.0, r
+            continue
+        # (a) exact combinatorial estimator, different formula path —
+        # the published value is 6-dp rounded, so agreement is within
+        # one grid step of the exact ratio
+        exact = 1 - Fraction(math.comb(n - c, 10), math.comb(n, 10))
+        assert abs(r["pass_at_10"] - float(exact)) < 1.1e-6, (r, exact)
+        # (b) bit-exact replication of the shared IEEE product
+        prod = 1.0
+        for i in range(10):
+            prod = prod * ((n - c - i) / (n - i))
+        assert r["pass_at_10"] == r6(1.0 - prod), r
+
+
 def test_cosine_pair_chunks_matches_bruteforce_reference():
     """Independent reference for _cosine_pair_chunks — the ONE shared
     core behind every per-group vectorized pair stage

@@ -285,6 +285,10 @@ SMOKE_OPS = {
     # stream, a distinct-weight threshold window, a w6-partitioned
     # boundary rank; expected ~linear in corpus tokens
     "sample_dsir_importance": "documents",
+    # late-r12: pass@k estimator — one partial-agg pass to the
+    # (task, n, c) frame, then a map-only combinatorial projection
+    # over the bounded task table; expected ~flat
+    "eval_pass_at_k": "events",
 }
 
 # (table, id columns to offset, per-replica offset)
