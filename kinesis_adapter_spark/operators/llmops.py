@@ -2182,18 +2182,42 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "eval_ngram_overlap_f1",
-    """
-    WITH base AS (
-      SELECT doc_id, str_split(text, ' ') AS rt
+# Reference/candidate pair fixture shared by the generation-eval keys
+# (eval_ngram_overlap_f1 and eval_bleu_corpus — never-fork): every 7th
+# doc is the reference; its candidate drops the last two words and
+# re-appends the FIRST word, which makes count clipping real and
+# creates an unseen seam n-gram.
+_RC_PAIR_SQL = """base AS (
+      SELECT doc_id, lang, str_split(text, ' ') AS rt
       FROM documents WHERE doc_id % 7 = 0
     ),
     pair AS (
-      SELECT doc_id, rt,
+      SELECT doc_id, lang, rt,
              list_append(rt[1:GREATEST(len(rt) - 2, 0)], rt[1]) AS ct
       FROM base
-    ),
+    )"""
+
+
+def _rc_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _RC_PAIR_SQL: (doc_id, lang, rt, ct)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "lang", F.split("text", " ").alias("rt"))
+    )
+    return d.withColumn(
+        "ct",
+        F.concat(
+            F.slice("rt", 1, F.greatest(F.size("rt") - 2, F.lit(0))),
+            F.array(F.col("rt")[0]),
+        ),
+    )
+
+
+@query(
+    "eval_ngram_overlap_f1",
+    f"""
+    WITH {_RC_PAIR_SQL},
     r1c AS (
       SELECT doc_id, g, COUNT(*) AS c
       FROM (SELECT doc_id, unnest(rt) AS g FROM pair) GROUP BY doc_id, g
@@ -2281,18 +2305,7 @@ def eval_ngram_overlap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical ints; F1 is computed from the UNROUNDED p/r in the same
     expression order on both engines, then everything shares the 6-dp
     round."""
-    d = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 7 == 0)
-        .select("doc_id", F.split("text", " ").alias("rt"))
-    )
-    pair = d.withColumn(
-        "ct",
-        F.concat(
-            F.slice("rt", 1, F.greatest(F.size("rt") - 2, F.lit(0))),
-            F.array(F.col("rt")[0]),
-        ),
-    )
+    pair = _rc_pair_frame(spark, sf_dir)
     bigrams = "transform(sequence(1, greatest(size({c}) - 1, 0)), i -> concat_ws(' ', {c}[i-1], {c}[i]))"
 
     def gram_counts(expr: str, alias: str) -> DataFrame:
@@ -2348,6 +2361,241 @@ def eval_ngram_overlap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r2", 6).alias("rouge2_recall"),
         F.round(f1(F.col("p2"), F.col("r2")), 6).alias("rouge2_f1"),
     ).orderBy("doc_id")
+
+
+# Corpus BLEU (Papineni et al. 2002, public literature) over the same
+# reference/candidate pair fixture as eval_ngram_overlap_f1. The
+# modified-precision / brevity-penalty / geometric-mean expressions are
+# module constants used VERBATIM by both the Spark projection and the
+# oracle (never-fork), so both engines run the identical IEEE sequence
+# on identical integer corpus sums before the shared 6-dp round.
+_BLEU_P_EXPR = {
+    n: f"CASE WHEN t{n} > 0 THEN CAST(o{n} AS DOUBLE) / t{n}"
+    f" ELSE 0.0 END"
+    for n in range(1, 5)
+}
+_BLEU_BP_EXPR = (
+    "CASE WHEN cand_len > ref_len THEN 1.0"
+    " ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END"
+)
+_BLEU_EXPR = (
+    "CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0"
+    " THEN ROUND(bp * exp(0.25 * ln(p1) + 0.25 * ln(p2)"
+    " + 0.25 * ln(p3) + 0.25 * ln(p4)), 6)"
+    " ELSE 0.0 END"
+)
+
+
+@query(
+    "eval_bleu_corpus",
+    f"""
+    WITH {_RC_PAIR_SQL},
+    r1c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(rt) AS g FROM pair) GROUP BY doc_id, g
+    ),
+    c1c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(ct) AS g FROM pair) GROUP BY doc_id, g
+    ),
+    bov1 AS (
+      SELECT a.doc_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+      FROM r1c a JOIN c1c b ON a.doc_id = b.doc_id AND a.g = b.g
+      GROUP BY a.doc_id
+    ),
+    r2c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, concat_ws(' ', rt[i], rt[i+1]) AS g
+        FROM (SELECT doc_id, rt,
+                     unnest(generate_series(1, GREATEST(len(rt) - 1, 0))) AS i
+              FROM pair)) GROUP BY doc_id, g
+    ),
+    c2c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, concat_ws(' ', ct[i], ct[i+1]) AS g
+        FROM (SELECT doc_id, ct,
+                     unnest(generate_series(1, GREATEST(len(ct) - 1, 0))) AS i
+              FROM pair)) GROUP BY doc_id, g
+    ),
+    bov2 AS (
+      SELECT a.doc_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+      FROM r2c a JOIN c2c b ON a.doc_id = b.doc_id AND a.g = b.g
+      GROUP BY a.doc_id
+    ),
+    r3c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, concat_ws(' ', rt[i], rt[i+1], rt[i+2]) AS g
+        FROM (SELECT doc_id, rt,
+                     unnest(generate_series(1, GREATEST(len(rt) - 2, 0))) AS i
+              FROM pair)) GROUP BY doc_id, g
+    ),
+    c3c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, concat_ws(' ', ct[i], ct[i+1], ct[i+2]) AS g
+        FROM (SELECT doc_id, ct,
+                     unnest(generate_series(1, GREATEST(len(ct) - 2, 0))) AS i
+              FROM pair)) GROUP BY doc_id, g
+    ),
+    bov3 AS (
+      SELECT a.doc_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+      FROM r3c a JOIN c3c b ON a.doc_id = b.doc_id AND a.g = b.g
+      GROUP BY a.doc_id
+    ),
+    r4c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, concat_ws(' ', rt[i], rt[i+1], rt[i+2], rt[i+3]) AS g
+        FROM (SELECT doc_id, rt,
+                     unnest(generate_series(1, GREATEST(len(rt) - 3, 0))) AS i
+              FROM pair)) GROUP BY doc_id, g
+    ),
+    c4c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, concat_ws(' ', ct[i], ct[i+1], ct[i+2], ct[i+3]) AS g
+        FROM (SELECT doc_id, ct,
+                     unnest(generate_series(1, GREATEST(len(ct) - 3, 0))) AS i
+              FROM pair)) GROUP BY doc_id, g
+    ),
+    bov4 AS (
+      SELECT a.doc_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+      FROM r4c a JOIN c4c b ON a.doc_id = b.doc_id AND a.g = b.g
+      GROUP BY a.doc_id
+    ),
+    dl AS (
+      SELECT p.doc_id, p.lang,
+             CAST(len(p.rt) AS BIGINT) AS lr,
+             CAST(len(p.ct) AS BIGINT) AS lc,
+             COALESCE(o1.ov, 0) AS ov1, COALESCE(o2.ov, 0) AS ov2,
+             COALESCE(o3.ov, 0) AS ov3, COALESCE(o4.ov, 0) AS ov4,
+             GREATEST(len(p.ct), 0) AS tv1,
+             GREATEST(len(p.ct) - 1, 0) AS tv2,
+             GREATEST(len(p.ct) - 2, 0) AS tv3,
+             GREATEST(len(p.ct) - 3, 0) AS tv4
+      FROM pair p
+      LEFT JOIN bov1 o1 ON o1.doc_id = p.doc_id
+      LEFT JOIN bov2 o2 ON o2.doc_id = p.doc_id
+      LEFT JOIN bov3 o3 ON o3.doc_id = p.doc_id
+      LEFT JOIN bov4 o4 ON o4.doc_id = p.doc_id
+    ),
+    g AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(lr) AS BIGINT) AS ref_len,
+             CAST(SUM(lc) AS BIGINT) AS cand_len,
+             CAST(SUM(ov1) AS BIGINT) AS o1, CAST(SUM(ov2) AS BIGINT) AS o2,
+             CAST(SUM(ov3) AS BIGINT) AS o3, CAST(SUM(ov4) AS BIGINT) AS o4,
+             CAST(SUM(tv1) AS BIGINT) AS t1, CAST(SUM(tv2) AS BIGINT) AS t2,
+             CAST(SUM(tv3) AS BIGINT) AS t3, CAST(SUM(tv4) AS BIGINT) AS t4
+      FROM dl GROUP BY lang
+    ),
+    scored AS (
+      SELECT lang, n_pairs, ref_len, cand_len,
+             {_BLEU_P_EXPR[1]} AS p1, {_BLEU_P_EXPR[2]} AS p2,
+             {_BLEU_P_EXPR[3]} AS p3, {_BLEU_P_EXPR[4]} AS p4,
+             {_BLEU_BP_EXPR} AS bp
+      FROM g
+    )
+    SELECT lang, n_pairs, ref_len, cand_len,
+           ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+           ROUND(p3, 6) AS p3, ROUND(p4, 6) AS p4,
+           ROUND(bp, 6) AS brevity_penalty,
+           {_BLEU_EXPR} AS bleu
+    FROM scored
+    ORDER BY lang
+    """,
+)
+def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002, public literature) per
+    language over the shared reference/candidate pair fixture
+    (_RC_PAIR_SQL / _rc_pair_frame — eval_ngram_overlap_f1's): clipped
+    modified precisions p1..p4 from CORPUS-summed per-pair clipped
+    overlaps and candidate gram totals, the brevity penalty from the
+    corpus length sums, and BLEU as BP times the uniform-weight
+    geometric mean — zero if any order's precision is zero (the
+    paper's convention). ROUGE (the sibling key) grades per-pair
+    recall-oriented overlap; this grades corpus-level precision with
+    a length prior — together they are the two canonical generation
+    metrics an eval harness publishes.
+
+    Determinism: every overlap/total/length is an exact integer sum;
+    the precision, brevity-penalty, and geometric-mean expressions
+    are module constants (_BLEU_P_EXPR/_BLEU_BP_EXPR/_BLEU_EXPR)
+    spliced VERBATIM into both engines' projections, so the IEEE
+    op sequence cannot fork before the shared 6-dp round.
+
+    Shape: per-order gram counts are explode + partial-agg passes and
+    the per-pair clip joins co-partition on doc_id (the ROUGE cost
+    model, x4 orders); everything after the per-lang aggregate is a
+    map-only projection over |langs| rows."""
+    pair = _rc_pair_frame(spark, sf_dir)
+
+    def gram_expr(c: str, n: int) -> str:
+        if n == 1:
+            return c
+        terms = ", ".join(
+            [f"{c}[i-1]"] + [f"{c}[i+{j}]" if j else f"{c}[i]" for j in range(n - 1)]
+        )
+        return (
+            f"transform(sequence(1, greatest(size({c}) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', {terms}))"
+        )
+
+    def clip_overlap(n: int) -> DataFrame:
+        rc = (
+            pair.select("doc_id", F.explode(F.expr(gram_expr("rt", n))).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cr"))
+        )
+        cc = (
+            pair.select("doc_id", F.explode(F.expr(gram_expr("ct", n))).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cc"))
+        )
+        return (
+            rc.join(cc, ["doc_id", "g"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("cr", "cc")).cast("bigint").alias(f"ov{n}"))
+        )
+
+    dl = pair.select(
+        "doc_id",
+        "lang",
+        F.size("rt").cast("bigint").alias("lr"),
+        F.size("ct").cast("bigint").alias("lc"),
+    )
+    for n in range(1, 5):
+        dl = dl.join(clip_overlap(n), "doc_id", "left")
+    g = (
+        dl.select(
+            "lang",
+            "lr",
+            "lc",
+            *[
+                F.coalesce(f"ov{n}", F.lit(0)).alias(f"ov{n}")
+                for n in range(1, 5)
+            ],
+            *[
+                F.greatest(F.col("lc") - (n - 1), F.lit(0)).alias(f"tv{n}")
+                for n in range(1, 5)
+            ],
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("lr").cast("bigint").alias("ref_len"),
+            F.sum("lc").cast("bigint").alias("cand_len"),
+            *[F.sum(f"ov{n}").cast("bigint").alias(f"o{n}") for n in range(1, 5)],
+            *[F.sum(f"tv{n}").cast("bigint").alias(f"t{n}") for n in range(1, 5)],
+        )
+    )
+    scored = g.select(
+        "lang",
+        "n_pairs",
+        "ref_len",
+        "cand_len",
+        *[F.expr(_BLEU_P_EXPR[n]).alias(f"p{n}") for n in range(1, 5)],
+        F.expr(_BLEU_BP_EXPR).alias("bp"),
+    )
+    return scored.select(
+        "lang",
+        "n_pairs",
+        "ref_len",
+        "cand_len",
+        *[F.round(f"p{n}", 6).alias(f"p{n}") for n in range(1, 5)],
+        F.round("bp", 6).alias("brevity_penalty"),
+        F.expr(_BLEU_EXPR).alias("bleu"),
+    ).orderBy("lang")
 
 
 # splice the classifier oracle in AFTER registration so both keys share

@@ -1224,6 +1224,16 @@ def test_compressed_domain_rank_pass_stays_distinct_sized(spark, key):
         ), (key, order_col, below)
 
 
+def test_bleu_clip_joins_on_keys_not_cartesian(spark):
+    """eval_bleu_corpus: all four per-order clip joins must be keyed
+    (doc_id, gram) hash/sort-merge joins — never a cartesian — and
+    everything after the per-lang aggregate is projection over |langs|
+    rows (no further corpus-sized exchange)."""
+    plan = plan_of(spark, "eval_bleu_corpus")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoop" not in plan, plan[:3000]
+
+
 def test_pass_at_k_is_one_aggregate_then_projection(spark):
     """eval_pass_at_k: ONE partial+final aggregate pair collapses
     events to the bounded (task, n, c) frame; the combinatorial

@@ -1180,6 +1180,82 @@ def test_ivf_two_level_assign_matches_bruteforce_reference(spark):
     assert got == expected
 
 
+def test_bleu_corpus_matches_pure_python_reference(spark):
+    """Independent reference for eval_bleu_corpus: a pure-python
+    Counter-based corpus BLEU over the same pair fixture — per-pair
+    clipped n-gram overlaps (n=1..4), corpus-summed precisions,
+    brevity penalty, uniform-weight geometric mean — replicating the
+    engines' IEEE expression order, Decimal-half-up rounded, must
+    reproduce every published column exactly."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    rows = QUERIES["eval_bleu_corpus"](spark, SF_TEST).collect()
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def grams(ws, n):
+        return Counter(
+            tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+
+    agg: dict[str, dict] = {}
+    for d in docs:
+        if d["doc_id"] % 7 != 0:
+            continue
+        rt = d["text"].split(" ")
+        ct = rt[: max(len(rt) - 2, 0)] + [rt[0]]
+        a = agg.setdefault(
+            d["lang"],
+            {"n": 0, "lr": 0, "lc": 0, "o": [0] * 5, "t": [0] * 5},
+        )
+        a["n"] += 1
+        a["lr"] += len(rt)
+        a["lc"] += len(ct)
+        for n in range(1, 5):
+            gr, gc = grams(rt, n), grams(ct, n)
+            a["o"][n] += sum(min(c, gr.get(g, 0)) for g, c in gc.items())
+            a["t"][n] += max(len(ct) - n + 1, 0)
+
+    assert {r["lang"] for r in rows} == set(agg) and rows
+    for r in rows:
+        a = agg[r["lang"]]
+        assert (r["n_pairs"], r["ref_len"], r["cand_len"]) == (
+            a["n"],
+            a["lr"],
+            a["lc"],
+        ), r
+        ps = [
+            (a["o"][n] / a["t"][n]) if a["t"][n] > 0 else 0.0
+            for n in range(1, 5)
+        ]
+        for n in range(1, 5):
+            assert r[f"p{n}"] == r6(ps[n - 1]), (r, n)
+        bp = (
+            1.0
+            if a["lc"] > a["lr"]
+            else math.exp(1.0 - a["lr"] / a["lc"])
+        )
+        assert r["brevity_penalty"] == r6(bp), r
+        if min(ps) > 0:
+            gm = math.exp(
+                0.25 * math.log(ps[0])
+                + 0.25 * math.log(ps[1])
+                + 0.25 * math.log(ps[2])
+                + 0.25 * math.log(ps[3])
+            )
+            assert r["bleu"] == r6(bp * gm), r
+        else:
+            assert r["bleu"] == 0.0, r
+
+
 def test_pass_at_k_matches_combinatorial_reference(spark):
     """Independent reference for eval_pass_at_k: recompute every task's
     n/c by pure-python counting over the raw events, then check the

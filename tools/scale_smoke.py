@@ -289,6 +289,10 @@ SMOKE_OPS = {
     # (task, n, c) frame, then a map-only combinatorial projection
     # over the bounded task table; expected ~flat
     "eval_pass_at_k": "events",
+    # late-r12: corpus BLEU — the ROUGE cost model x4 orders (per-doc
+    # gram counts + co-partitioned clip joins), then a |langs|-row
+    # projection; expected ~linear in corpus grams
+    "eval_bleu_corpus": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
