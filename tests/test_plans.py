@@ -281,14 +281,13 @@ def test_compaction_reduces_file_count_losslessly(spark):
     """compact_small_files: 64 fragments in, ≤4 right-sized files out,
     zero rows lost (row-count equality is the cheap invariant here; the
     oracle already proves value equality)."""
-    import os
     from pathlib import Path
 
-    QUERIES["compact_small_files"](spark, SF_TEST).collect()  # stage
-    import tempfile
+    from kinesis_adapter_spark.staging import pid_staging_dir
 
+    QUERIES["compact_small_files"](spark, SF_TEST).collect()  # stage
     sf_tag = SF_TEST.rstrip("/").split("/")[-1].replace(".", "_")
-    root = Path(tempfile.gettempdir()) / f"kas_compact_{sf_tag}_{os.getpid()}"
+    root = Path(pid_staging_dir(f"kas_compact_{sf_tag}"))
     frag = len(list((root / "fragmented").glob("part-*.parquet")))
     comp = len(list((root / "compacted").glob("part-*.parquet")))
     assert frag == 64 and comp <= 4, (frag, comp)
@@ -303,15 +302,14 @@ def test_zorder_localizes_both_dimensions(spark):
     only its leading column — the trailing column's per-file range
     would stay ~full-width). Verified from the files' actual contents,
     the same min/max the parquet row-group stats expose to skipping."""
-    import os
-    import tempfile
-
     import pyarrow.parquet as pq_
     from pathlib import Path
 
+    from kinesis_adapter_spark.staging import pid_staging_dir
+
     QUERIES["cluster_zorder"](spark, SF_TEST).collect()  # stage layout
     sf_tag = SF_TEST.rstrip("/").split("/")[-1].replace(".", "_")
-    root = Path(tempfile.gettempdir()) / f"kas_zorder_{sf_tag}_{os.getpid()}"
+    root = Path(pid_staging_dir(f"kas_zorder_{sf_tag}"))
     spans = {"o_custkey": [], "o_orderkey": []}
     for f in root.glob("part-*.parquet"):
         t = pq_.read_table(f, columns=["o_custkey", "o_orderkey"])
@@ -1295,3 +1293,69 @@ def test_quality_filter_single_audit_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_join_expansion_gate_on_pair_stage_keys(spark):
+    """The r12 SemDeDup cliff as a mechanical gate (VERDICT r12 item
+    #6): a corpus-sized equi self-join whose output is Σ|group|²
+    candidate rows looks like ANY equi-join to plan-shape pins and is
+    invisible to AQE (it coalesces by INPUT bytes) — it only shows in
+    the join node's numOutputRows vs its inputs'. For every key in
+    the pair-stage family (the keys where a contributor could
+    reintroduce the shape) no executed join node may expand its
+    larger input by more than 8x (the blocked/banded designs emit
+    only qualifying or 1:1-keyed rows, so legit expansion stays ~1x;
+    8x leaves headroom for small-sf noise)."""
+    from kinesis_adapter_spark.session import join_expansion_factors
+
+    for key in (
+        "dedup_embedding_cosine",
+        "dedup_near_minhash",
+        "dedup_simhash",
+        "pipeline_semantic_dedup",
+        "pipeline_semantic_dedup_ivf",
+    ):
+        df = QUERIES[key](spark, SF_TEST)
+        df.collect()
+        for name, out_rows, max_in in join_expansion_factors(df):
+            assert out_rows <= max(8 * max_in, 1000), (
+                key,
+                name,
+                out_rows,
+                max_in,
+            )
+
+
+def test_join_expansion_gate_flags_deliberate_regression(spark):
+    """The gate must be RED on the shape it exists to refuse: the
+    pre-r12 pair stage rebuilt verbatim — a block-key self-join over
+    the sign-blocked embedding corpus, coarsened to 2 sign bits so
+    the Σ|block|² expansion is unambiguous even at sf0.001. If this
+    stops tripping, the detector has gone blind (e.g. a Spark upgrade
+    renamed join nodes or metrics) and the green gate above proves
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from kinesis_adapter_spark.catalog import load
+    from kinesis_adapter_spark.session import join_expansion_factors
+
+    e = load(spark, SF_TEST, "embeddings")
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            for i in range(2)
+        ],
+    )
+    keyed = e.select("vec_id", sig.alias("block"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    j = a.join(b, "block").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    # collect() (not count()) so THIS frame's queryExecution runs and
+    # its join node carries live metrics — count() executes a
+    # different aggregate plan and leaves these metrics at zero
+    j.collect()
+    factors = join_expansion_factors(j)
+    assert factors, "no join node found — detector walked past the join"
+    assert any(
+        out_rows > 8 * max_in for _, out_rows, max_in in factors
+    ), factors

@@ -70,14 +70,22 @@ def main() -> int:
         )
         return ids, empty
 
-    # Staging-hygiene audit (VERDICT r11 item #2): snapshot the kas_*
-    # namespace in /tmp before the sweep; after the sweep (and an
-    # explicit staging.cleanup_now() — atexit would fire only after
-    # this artifact is written) any NEW kas_* entry that is not an
-    # intentional cross-run cache is an orphan. Freshness-gated to [].
+    # Staging-hygiene audit (VERDICT r11 item #2, hardened r13 per
+    # VERDICT r12 item #1): reap dead-pid residue FIRST (a sibling
+    # harness killed without atexit leaves kas_run_<pid> roots the
+    # in-process registry can never clean — the r12 driver-context
+    # failure), snapshot the kas_* namespace, and after the sweep
+    # (cleanup_now + a second reap) count as orphans only NEW entries
+    # that are neither cross-run caches nor owned by a LIVE foreign
+    # pid (a concurrent run's dirs are its own, reaped by convention
+    # once it dies — recorded separately for attribution, not
+    # blamed). Freshness-gated to [].
     import tempfile as _tf
 
+    from kinesis_adapter_spark import staging
+
     tmp_root = _tf.gettempdir()
+    reaped_pre = staging.reap_dead_runs()
     tmp_before = {n for n in os.listdir(tmp_root) if n.startswith("kas_")}
 
     t0 = time.time()
@@ -175,16 +183,16 @@ def main() -> int:
     zero_rows = sorted(
         k for k, r in results.items() if r.get("rows") == 0
     )
-    from kinesis_adapter_spark import staging
-
     staging.cleanup_now()
-    _PERSISTENT = ("kas_derived", "kas_scale_x")  # fingerprint-guarded caches
+    reaped_post = staging.reap_dead_runs()
+    concurrent = staging.live_foreign_runs()
     orphans = sorted(
         n
         for n in os.listdir(tmp_root)
         if n.startswith("kas_")
         and n not in tmp_before
-        and not n.startswith(_PERSISTENT)
+        and not n.startswith(staging.PERSISTENT_CACHES)
+        and n not in concurrent
     )
     artifact = {
         "round": args.round,
@@ -197,6 +205,8 @@ def main() -> int:
         "oracle_sf_bound": n_sf_bound,
         "zero_row_keys": zero_rows,
         "orphan_staging_dirs": orphans,
+        "reaped_dead_run_dirs": sorted(set(reaped_pre) | set(reaped_post)),
+        "concurrent_staging_dirs": concurrent,
         "leaked_persists": leaked,
         "fail": n_fail,
         "wall_sec": round(time.time() - t0, 1),
