@@ -30,17 +30,29 @@ def _cosine_pair_chunks(m, ids, nr, tau):
     ROUND(cos, 6) >= tau and ids[i] < ids[j]. The ONE shared core
     behind every per-group vectorized pair stage
     (dedup_embedding_cosine and both SemDeDup keys), so the 6-dp
-    rounding/tie discipline their oracles replay cannot fork. The
-    (chunk, n) similarity block is bounded by the 32M-element chunk
-    budget; numpy's dot-sum order differs from a sequential fold by
-    ~1e-13, far inside the 6-dp grid."""
+    rounding/tie discipline their oracles replay cannot fork.
+    ``nr`` must be the caller's HOISTED Spark-fold L2 norms (the same
+    fold the oracles compute) so both engines divide by bit-identical
+    operands; numpy's dot-sum order differs from a sequential fold by
+    ~1e-13, far inside the 6-dp grid.
+
+    Memory: exactly ONE (step, n) float64 block lives at a time — the
+    matmul output is normalized by two in-place broadcast divides and
+    rounded in place (no np.outer norm block, no rounded copy), so
+    the 32M-element budget IS the peak chunk allocation. The binding
+    per-task residency is the caller's whole (|group|, d) embedding
+    matrix — applyInPandas hands each group to one task, so group
+    (block/cluster) sizing, not this chunk budget, is what must be
+    controlled as the corpus grows."""
     import numpy as np
 
     n = len(m)
     step = max(1, 32_000_000 // n)
     for lo in range(0, n, step):
-        blk = m[lo : lo + step]
-        sims = np.round((blk @ m.T) / np.outer(nr[lo : lo + step], nr), 6)
+        sims = m[lo : lo + step] @ m.T
+        sims /= nr[lo : lo + step, None]
+        sims /= nr[None, :]
+        np.round(sims, 6, out=sims)
         ii, jj = np.nonzero(sims >= tau)
         gi = ii + lo
         keep = ids[gi] < ids[jj]
@@ -397,7 +409,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     )
-    keyed = corpus.select("vec_id", "emb", sig.alias("block"))
+    # L2 norm hoisted as a SPARK-fold column (ADVICE r12): the same
+    # sequential fold the oracle's sqrt-of-sum computes, so the pair
+    # scan divides by oracle-identical norms — matching
+    # _semantic_dedup_plan's nrm discipline instead of a numpy
+    # pairwise-summation recompute with a different IEEE path.
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x))
+    keyed = corpus.select(
+        "vec_id", "emb", sig.alias("block"), nrm.alias("nrm")
+    )
 
     # Per-block vectorized pair scan (late-r12, the SemDeDup
     # expanding-join lesson applied registry-wide): the block
@@ -422,7 +442,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         m = np.array([np.asarray(v) for v in pdf["emb"]])
         ids = pdf["vec_id"].to_numpy()
-        nr = np.sqrt((m * m).sum(axis=1))
+        nr = pdf["nrm"].to_numpy()  # hoisted Spark-fold norms
         out = [
             pd.DataFrame({"id_a": ids[gi], "id_b": ids[jj], "sim": sims})
             for gi, jj, sims in _cosine_pair_chunks(m, ids, nr, 0.9)
@@ -1322,73 +1342,157 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, plan.schema).orderBy("lang")
 
 
-def _ivf_two_level_assign(e: DataFrame, k: int, kc: int) -> DataFrame:
-    """Two-level IVF-style cluster assignment over ``(vec_id,
-    x: array<double>)``: the kc coarse seeds (vec_id < kc) route both
-    the k fine seeds (vec_id < k) and — inside ONE vectorized
-    mapInPandas pass — every vector; each vector then argmins only
-    over the fine seeds routed to its coarse cell. Seed matrices are
-    6-dp-rounded and every distance is 6-dp-rounded before an argmin
-    that breaks ties on the lowest id, so the oracle's CTE chain
-    (_SEMDEDUP_IVF_SQL) replays the identical routing. The fine→coarse
-    routing table is k×kc driver-side work on k×d model metadata —
-    never data. A vector routed to a coarse cell that attracted no
-    fine seed yields no assignment row (mirroring the oracle's inner
-    join); with distinct seed vectors this cannot happen, because
-    seed c is itself a fine seed at distance 0 from coarse c."""
+def _chunked_sqdist_argmin(m, smat):
+    """Row-chunked argmin over 6-dp-rounded squared distances from the
+    rows of ``m`` to the rows of ``smat`` — ties break on the lowest
+    seed INDEX (callers keep seed ids sorted so index order = id
+    order). The (step, |seeds|, d) broadcast temp is bounded by the
+    16M-element budget; shared by the seed-routing pass and both
+    stages of the vector-assignment pass so the rounding/tie
+    discipline cannot fork."""
+    import numpy as np
+
+    out = np.empty(len(m), dtype=np.int64)
+    step = max(1, 16_000_000 // (smat.shape[0] * smat.shape[1]))
+    for lo in range(0, len(m), step):
+        blk = m[lo : lo + step]
+        d2 = ((blk[:, None, :] - smat[None, :, :]) ** 2).sum(axis=2)
+        out[lo : lo + step] = np.round(d2, 6).argmin(axis=1)
+    return out
+
+
+def _stage_ivf_seed_routing(e: DataFrame, k: int, kc: int, out_dir: str):
+    """Write the routed fine-seed table ``(fc, cc, w: array<double>)``
+    — every fine seed (vec_id < k), 6-dp-rounded, with the coarse cell
+    it routes to — as a parquet artifact at ``out_dir``, computed and
+    WRITTEN distributed (the driver never holds the k ∝ n seed rows;
+    VERDICT r12 item #4). Only the kc = ⌊√k⌋ coarse seeds are
+    collected — O(√n) model metadata under SemDeDup's k ∝ n regime.
+    Returns (cids, cmat) for reuse by the caller's vector pass."""
     import numpy as np
     import pandas as pd
 
-    seeds = (
-        e.filter(F.col("vec_id") < k)
+    coarse = (
+        e.filter(F.col("vec_id") < kc)
         .select("vec_id", "x")
-        .collect()  # k rows: model init, never data
+        .collect()  # kc = ⌊√k⌋ rows: model metadata, O(√n)
     )
-    fine = {int(r["vec_id"]): np.round(np.array(r["x"]), 6) for r in seeds}
-    fids = sorted(fine)
-    fmat = np.stack([fine[i] for i in fids])  # (k, d)
-    cids = [i for i in fids if i < kc]
-    cmat = np.stack([fine[i] for i in cids])  # (kc, d)
-    # fine -> coarse routing: k×kc distances on the driver (metadata)
-    fd = np.round(((fmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2), 6)
-    fcell = fd.argmin(axis=1)  # ties -> first = lowest cc
-    cell_fids: dict[int, list[int]] = {c: [] for c in cids}
-    for f, ci in zip(fids, fcell):
-        cell_fids[cids[int(ci)]].append(f)
-    pos_of = {f: j for j, f in enumerate(fids)}
-    cell_mats = {
-        c: fmat[[pos_of[f] for f in members]]
-        for c, members in cell_fids.items()
-        if members
-    }
+    cseeds = {int(r["vec_id"]): np.round(np.array(r["x"]), 6) for r in coarse}
+    cids = sorted(cseeds)
+    cmat = np.stack([cseeds[i] for i in cids])  # (kc, d)
+    cid_arr = np.array(cids, dtype=np.int64)
+
+    def route(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            w = np.round(np.array([np.asarray(v) for v in pdf["x"]]), 6)
+            cc = cid_arr[_chunked_sqdist_argmin(w, cmat)]
+            yield pd.DataFrame(
+                {
+                    "fc": pdf["vec_id"].to_numpy(),
+                    "cc": cc,
+                    "w": list(w),
+                }
+            )
+
+    routed = e.filter(F.col("vec_id") < k).mapInPandas(
+        route, "fc bigint, cc bigint, w array<double>"
+    )
+    import os
+    import shutil
+
+    out = Path(out_dir)
+    tmp = out.parent / f"{out.name}.tmp-{os.getpid()}"
+    routed.write.mode("overwrite").parquet(str(tmp))
+    if out.exists():
+        shutil.rmtree(out)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a staging race
+    return cids, cmat
+
+
+def _ivf_two_level_assign(
+    e: DataFrame, k: int, kc: int, seed_table: str | None = None
+) -> DataFrame:
+    """Two-level IVF-style cluster assignment over ``(vec_id,
+    x: array<double>)``: the kc coarse seeds (vec_id < kc) route the
+    k fine seeds in one distributed pass staged as a parquet artifact
+    (_stage_ivf_seed_routing), then ONE vectorized mapInPandas pass
+    routes every vector to its coarse cell and argmins only over the
+    fine seeds routed to that cell. Seed matrices are 6-dp-rounded
+    and every distance is 6-dp-rounded before an argmin that breaks
+    ties on the lowest id, so the oracle's CTE chain
+    (_SEMDEDUP_IVF_SQL) replays the identical routing.
+
+    Driver memory is DECOUPLED from k (VERDICT r12 item #4): the
+    driver collects only the kc = ⌊√k⌋ coarse seeds; the k ∝ n fine
+    seeds are routed, written, and read back executor-side. Each
+    assignment task reads the seed artifact once (k·d doubles — ~51 MB
+    at k=10⁵, d=64); beyond k ≈ 10⁶ the scale move is to repartition
+    the corpus BY coarse cell and join each partition with only its
+    own cell's seeds (the ann_ivf_partitioned layout), which this
+    artifact's (cc) column already supports. A vector routed to a
+    coarse cell that attracted no fine seed yields no assignment row
+    (mirroring the oracle's inner join); with distinct seed vectors
+    this cannot happen, because seed c is itself a fine seed at
+    distance 0 from coarse c.
+
+    ``seed_table``: reuse a fingerprint-staged artifact (the
+    pq_codebooks_table discipline) — when None, stages into a
+    per-run ephemeral dir (reaped by kinesis_adapter_spark.staging)."""
+    import numpy as np
+    import pandas as pd
+
+    if seed_table is None:
+        from kinesis_adapter_spark.staging import ephemeral_dir
+
+        seed_table = str(Path(ephemeral_dir("kas_ivfseed_")) / "seeds.parquet")
+    seed_path = Path(seed_table)
+    if not seed_path.exists():
+        cids, cmat = _stage_ivf_seed_routing(e, k, kc, str(seed_path))
+    else:
+        # coarse seeds from the ARTIFACT (fc < kc rows, filter pushed
+        # to the parquet read so only O(√k) rows reach the driver) —
+        # never from ``e``: a streaming micro-batch frame need not
+        # contain the seed vectors at all
+        import pyarrow.parquet as pq_
+
+        art = pq_.read_table(
+            str(seed_path), filters=[("fc", "<", kc)]
+        ).to_pandas()
+        art = art.sort_values("fc")
+        cids = [int(i) for i in art["fc"]]
+        cmat = np.array([np.asarray(v) for v in art["w"]])
+    cid_arr = np.array(cids, dtype=np.int64)
 
     def assign(batches):
+        import pyarrow.parquet as pq_
+
+        art = pq_.read_table(str(seed_path)).to_pandas()
+        fmat_by_cell: dict[int, "np.ndarray"] = {}
+        fids_by_cell: dict[int, "np.ndarray"] = {}
+        for cc, grp in art.groupby("cc"):
+            grp = grp.sort_values("fc")  # index order = id order (ties)
+            fids_by_cell[int(cc)] = grp["fc"].to_numpy()
+            fmat_by_cell[int(cc)] = np.array(
+                [np.asarray(v) for v in grp["w"]]
+            )
         for pdf in batches:
             m = np.array([np.asarray(v) for v in pdf["x"]])
             if not len(m):
                 continue
             out = np.full(len(m), -1, dtype=np.int64)
-            # row-chunked like _kmeans_fit_assign so the (rows, kc, d)
-            # broadcast temp stays bounded
-            step = max(1, 16_000_000 // (cmat.shape[0] * cmat.shape[1]))
-            cell_idx = np.empty(len(m), dtype=np.int64)
-            for lo in range(0, len(m), step):
-                blk = m[lo : lo + step]
-                d2 = ((blk[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-                cell_idx[lo : lo + step] = np.round(d2, 6).argmin(axis=1)
-            for ci, c in enumerate(cids):
-                rows = np.where(cell_idx == ci)[0]
-                if not len(rows) or c not in cell_mats:
+            cell_of = cid_arr[_chunked_sqdist_argmin(m, cmat)]
+            for c in np.unique(cell_of):
+                rows = np.where(cell_of == c)[0]
+                fmat = fmat_by_cell.get(int(c))
+                if fmat is None:
                     continue  # empty cell: no assignment row (see doc)
-                sub = m[rows]
-                dd = np.round(
-                    ((sub[:, None, :] - cell_mats[c][None, :, :]) ** 2).sum(
-                        axis=2
-                    ),
-                    6,
-                )
-                best = dd.argmin(axis=1)  # ties -> lowest fc in cell
-                out[rows] = [cell_fids[c][int(j)] for j in best]
+                best = _chunked_sqdist_argmin(m[rows], fmat)
+                out[rows] = fids_by_cell[int(c)][best]
             keep = out >= 0
             yield pd.DataFrame(
                 {
@@ -1400,16 +1504,25 @@ def _ivf_two_level_assign(e: DataFrame, k: int, kc: int) -> DataFrame:
     return e.mapInPandas(assign, "vec_id bigint, cluster int")
 
 
-def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, ivf: bool = False):
-    """The lazy audit plan plus the persisted (corpus ⋈ assignment ⋈
-    docs) handle the caller must release after materializing (the
-    _q21_plan contract). The persist is load-bearing: meta feeds both
-    pair legs AND the audit base — unpersisted, the assignment's
-    mapInPandas would recompute three times. ``ivf=True`` swaps the
-    flat Lloyd assignment for the two-level IVF routing; everything
-    downstream (pairs, dominance, audit) is the SAME code."""
+def _semdedup_k(n: int) -> tuple[int, int]:
+    """The shared (k, kc) sizing formula — k scales with the corpus
+    (SemDeDup's own regime: intra-cluster pair cost is Σ|cluster|² ≈
+    n · target, LINEAR in n for fixed target cluster size, where a
+    fixed k would be O(n²/k)); kc uses the same IEEE double sqrt the
+    oracle's FLOOR(SQRT(k)) computes. One function so the batch keys
+    and the streaming maintain twin can never fork the sizing."""
     import math
 
+    k = max(KM_K, n // SEMDEDUP_TARGET)
+    return k, max(2, int(math.floor(math.sqrt(float(k)))))
+
+
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup-injected SemDeDup corpus ``(vec_id, emb:
+    array<double>)``: every 10th vector reappears (vec_id + 1M)
+    scaled by 1.001 — cosine-identical near-dups with wide margin.
+    Shared by both batch keys and (as the arrival fixture) the
+    streaming maintain twin."""
     e = load(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
@@ -1421,40 +1534,96 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, ivf: bool = False):
             "emb"
         ),
     )
-    corpus = base.unionByName(dup)
-    # k scales with the corpus (SemDeDup's own regime): intra-cluster
-    # pair cost is Σ|cluster|² ≈ n · target — LINEAR in n for fixed
-    # target cluster size, where a fixed k would be O(n²/k). Both
-    # engines derive k from the same integer formula.
-    k = max(KM_K, corpus.count() // SEMDEDUP_TARGET)
-    xframe = corpus.select("vec_id", F.col("emb").alias("x"))
-    if ivf:
-        # same IEEE double sqrt the oracle's FLOOR(SQRT(k)) computes
-        kc = max(2, int(math.floor(math.sqrt(float(k)))))
-        assign = _ivf_two_level_assign(xframe, k=k, kc=kc)
-    else:
-        assign = _kmeans_fit_assign(xframe, k=k)
+    return base.unionByName(dup)
+
+
+def _semdedup_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, lang, quality)`` — dedup_keep_best's integer quality
+    score, shared by the batch plan and the streaming maintain twin."""
     quality = (
         F.col("n_chars")
         - 2 * F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
     )
-    docs = load(spark, sf_dir, "documents").select(
+    return load(spark, sf_dir, "documents").select(
         "doc_id", "lang", quality.alias("quality")
     )
-    # per-vector L2 norm computed ONCE here (map-side, cached with
-    # meta) instead of per PAIR inside the join filter: the r12 64×
-    # smoke showed the pair stage paying THREE interpreted 64-element
-    # array-fold lambdas per candidate pair (dot + both norms) — the
-    # norms are pair-invariant, so hoisting them cuts the per-pair
-    # work to the one unavoidable dot product. Same expression, same
-    # IEEE result, so the 6-dp-rounded sims the oracle replays agree.
-    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x))
+
+
+def ivf_seed_table(
+    spark: SparkSession, sf_dir: str, xframe: DataFrame, k: int, kc: int
+) -> str:
+    """Fingerprint-staged seed-routing artifact path (the
+    pq_codebooks_table discipline): the k ∝ n fine seeds are routed/
+    written/read executor-side so driver memory stays O(√n) (VERDICT
+    r12 item #4), and reruns at the same sf reuse the staged routing.
+    Shared by pipeline_semantic_dedup_ivf (which stages through
+    _ivf_two_level_assign on first call) and the streaming maintain
+    twin (which freezes it as the published model)."""
+    import shutil
+
+    from kinesis_adapter_spark.sources.scans import source_fingerprint
+
+    name = f"ivf_seed_route_k{k}_c{kc}.parquet"
+    art = derived_dir(sf_dir) / name
+    marker = derived_dir(sf_dir) / f"{name}.src"
+    fp = source_fingerprint(Path(sf_dir) / "embeddings.parquet")
+    if art.exists() and (not marker.exists() or marker.read_text() != fp):
+        shutil.rmtree(art)  # stale: source was regenerated
+    if not art.exists():
+        _stage_ivf_seed_routing(xframe, k, kc, str(art))
+    marker.write_text(fp)
+    return str(art)
+
+
+# NRM_FOLD: per-vector L2 norm computed ONCE map-side (cached with
+# meta) instead of per PAIR inside the pair stage: the r12 64× smoke
+# showed the pair stage paying THREE interpreted 64-element
+# array-fold lambdas per candidate pair (dot + both norms) — the
+# norms are pair-invariant, so hoisting them cuts the per-pair work
+# to the one unavoidable dot product. Same expression, same IEEE
+# result, so the 6-dp-rounded sims the oracle replays agree.
+def _nrm_fold() -> Column:
+    return F.sqrt(F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x))
+
+
+def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, ivf: bool = False):
+    """The lazy audit plan plus the persisted (corpus ⋈ assignment ⋈
+    docs) handle the caller must release after materializing (the
+    _q21_plan contract). The persist is load-bearing: meta feeds both
+    pair legs AND the audit base — unpersisted, the assignment's
+    mapInPandas would recompute three times. ``ivf=True`` swaps the
+    flat Lloyd assignment for the two-level IVF routing; everything
+    downstream (pairs, dominance, audit) is the SAME code
+    (_semdedup_audit, shared with the streaming maintain twin)."""
+    corpus = _semdedup_corpus(spark, sf_dir)
+    k, kc = _semdedup_k(corpus.count())
+    xframe = corpus.select("vec_id", F.col("emb").alias("x"))
+    if ivf:
+        assign = _ivf_two_level_assign(
+            xframe, k=k, kc=kc,
+            seed_table=ivf_seed_table(spark, sf_dir, xframe, k, kc),
+        )
+    else:
+        assign = _kmeans_fit_assign(xframe, k=k)
+    docs = _semdedup_quality_docs(spark, sf_dir)
     meta = (
         corpus.join(assign, "vec_id")
         .join(docs, F.col("doc_id") == F.col("vec_id") % 1_000_000)
-        .select("vec_id", "emb", "cluster", "lang", "quality", nrm.alias("nrm"))
+        .select(
+            "vec_id", "emb", "cluster", "lang", "quality",
+            _nrm_fold().alias("nrm"),
+        )
         .persist()  # read by both pair legs and the audit base
     )
+    return _semdedup_audit(meta), meta
+
+
+def _semdedup_audit(meta: DataFrame) -> DataFrame:
+    """Pairs → dominance → per-lang audit over a ``(vec_id, emb,
+    cluster, lang, quality, nrm)`` frame — the post-assignment tail
+    shared VERBATIM by pipeline_semantic_dedup, its IVF twin, and
+    stream_semdedup_maintain (never-fork: one code path, one oracle
+    tail)."""
     # Intra-cluster pairs as ONE vectorized pass per cluster
     # (applyInPandas + BLAS matmul) instead of a row-expanding SQL
     # self-join. The join formulation materializes Σ|cluster|²
@@ -1533,7 +1702,7 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, ivf: bool = False):
         )
         .orderBy("lang")
     )
-    return audit, meta
+    return audit
 
 
 @query("pipeline_semantic_dedup_ivf", _SEMDEDUP_IVF_SQL)

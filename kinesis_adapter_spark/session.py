@@ -159,3 +159,76 @@ class released_persists:
     def __exit__(self, *exc):
         release_new_persists(self.spark, self.before)
         return False
+
+
+def _physical_nodes(jnode):
+    """DFS over an executed physical plan, descending through the
+    wrappers that hide subtrees from ``children()``: AQE roots
+    (executedPlan), materialized query stages (plan), and cached
+    relations (relation().cachedPlan())."""
+    yield jnode
+    name = jnode.getClass().getSimpleName()
+    try:
+        if name == "AdaptiveSparkPlanExec":
+            yield from _physical_nodes(jnode.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            yield from _physical_nodes(jnode.plan())
+        elif name == "InMemoryTableScanExec":
+            yield from _physical_nodes(jnode.relation().cachedPlan())
+    except Exception:
+        pass  # a wrapper without the accessor on this build: skip into children
+    kids = jnode.children()
+    for i in range(kids.size()):
+        yield from _physical_nodes(kids.apply(i))
+
+
+_JOIN_NODES = frozenset(
+    {
+        "SortMergeJoinExec",
+        "ShuffledHashJoinExec",
+        "BroadcastHashJoinExec",
+        "CartesianProductExec",
+        "BroadcastNestedLoopJoinExec",
+    }
+)
+
+
+def _node_output_rows(jnode):
+    """numOutputRows of a node if it carries the metric, else the
+    first descendant's that does (exchanges/sorts in between don't)."""
+    for n in _physical_nodes(jnode):
+        try:
+            m = n.metrics()
+            if m.contains("numOutputRows"):
+                return int(m.apply("numOutputRows").value())
+        except Exception:
+            continue
+    return None
+
+
+def join_expansion_factors(df) -> list:
+    """Post-action audit of every JOIN node in the executed plan:
+    ``[(node_name, output_rows, max_input_rows), ...]``. The
+    expanding-join gate's measurement surface (VERDICT r12 item #6):
+    the r12 SemDeDup cliff was a block-key self-join whose OUTPUT was
+    Σ|block|² candidate rows — invisible to plan-shape pins (the plan
+    looks like any equi-join) and to AQE (it coalesces by INPUT
+    bytes), but exactly what the join node's numOutputRows metric vs
+    its children's exposes. Call after an action has run; AQE final
+    plans, query stages, and cached subtrees are all descended."""
+    out = []
+    root = df._jdf.queryExecution().executedPlan()
+    for node in _physical_nodes(root):
+        name = node.getClass().getSimpleName()
+        if name not in _JOIN_NODES:
+            continue
+        rows = _node_output_rows(node)
+        kids = node.children()
+        child_rows = [
+            _node_output_rows(kids.apply(i)) for i in range(kids.size())
+        ]
+        child_rows = [c for c in child_rows if c is not None]
+        if rows is None or not child_rows:
+            continue
+        out.append((name, rows, max(child_rows)))
+    return out
