@@ -2055,3 +2055,144 @@ def stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from kinesis_adapter_spark.operators import aggregates as _aggs  # noqa: E402,F401
 
 ORACLES["stream_kmv_maintain"] = ORACLES["agg_kmv_distinct"]
+
+
+def _semdedup_indexer(docs, k, kc, seed_table, meta_path):
+    """The REAL per-batch writer behind stream_semdedup_maintain,
+    exposed so the kill/resume pytest drives the same code path:
+    route ONLY this batch's vectors through the frozen seed artifact
+    (a pure per-vector function — maintenance never re-reads indexed
+    vectors), join the static docs dimension, and append the
+    (vec_id, emb, cluster, lang, quality, nrm, batch_id) rows."""
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _ivf_two_level_assign,
+        _nrm_fold,
+    )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        assigned = _ivf_two_level_assign(
+            batch_df.select("vec_id", F.col("emb").alias("x")),
+            k=k,
+            kc=kc,
+            seed_table=seed_table,
+        )
+        (
+            batch_df.join(assigned, "vec_id")
+            .join(
+                F.broadcast(docs),
+                F.col("doc_id") == F.col("vec_id") % 1_000_000,
+            )
+            .select(
+                "vec_id", "emb", "cluster", "lang", "quality",
+                _nrm_fold().alias("nrm"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(meta_path)
+        )
+
+    return index_batch
+
+
+@query("stream_semdedup_maintain", "__SHARED_WITH_PIPELINE_SEMANTIC_DEDUP_IVF__")
+def stream_semdedup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup maintenance — the ingest half of the
+    semantic-dedup flagship (pipeline_semantic_dedup_ivf assigns the
+    corpus in one shot; this key shows vectors ARRIVING and the
+    cluster-meta tier growing, because at 100 TB nobody re-runs
+    SemDeDup from scratch per ingest):
+
+    - the model is FROZEN and published first: the fingerprint-staged
+      IVF seed-routing artifact (ivf_seed_table — shared with the
+      batch key, so both consume bit-identical 6-dp seeds) plus the
+      (k, kc) sizing from the shared _semdedup_k formula;
+    - the dup-injected corpus (_semdedup_corpus's fixture, exported
+      row-for-row) lands in 3 OUT-OF-ORDER NDJSON micro-batches
+      (split by vec_id % 3, so ids interleave across batches and
+      every batch mixes originals with dups of vectors that arrive
+      in OTHER batches);
+    - foreachBatch routes ONLY its own batch's vectors through the
+      frozen seeds (_ivf_two_level_assign — a pure per-vector
+      function of the published artifact, so maintenance never
+      re-reads indexed vectors), joins the static docs dimension for
+      (lang, quality), computes the hoisted Spark-fold norm, and
+      APPENDS (vec_id, emb, cluster, lang, quality, nrm, batch_id)
+      to the meta parquet tier;
+    - the audit query then runs over the maintained tier alone
+      (replays collapsed by the shared _dedup_replays rule) through
+      _semdedup_audit — the batch keys' post-assignment tail
+      VERBATIM — and must hash-equal pipeline_semantic_dedup_ivf's
+      one-shot result; the oracle IS that key's CTE chain, shared.
+
+    Scale shape: per-batch cost is |batch| routing work (seed
+    artifact read per task + chunked BLAS argmins) + one append —
+    never a corpus re-scan. The query-time pair scan costs
+    Σ|cluster|² per audit; a write-path incremental variant
+    (rectangular new×cluster scan appending to a maintained pairs
+    tier) halves that but adds a second tier to keep consistent —
+    the audit-on-read form is the convergence check this key exists
+    to prove. Determinism: routing/pairs replay the 6-dp discipline
+    the batch keys already hold; the meta tier's values are
+    batch-invariant (each is a pure function of one vector + frozen
+    model), so ANY arrival order converges to the same audit."""
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _ivf_two_level_assign,
+        _nrm_fold,
+        _semdedup_audit,
+        _semdedup_corpus,
+        _semdedup_k,
+        _semdedup_quality_docs,
+        ivf_seed_table,
+    )
+
+    # ---- freeze the model (published before any arrival) ----
+    corpus = _semdedup_corpus(spark, sf_dir)
+    n = corpus.count()
+    k, kc = _semdedup_k(n)
+    xframe = corpus.select("vec_id", F.col("emb").alias("x"))
+    seed_table = ivf_seed_table(spark, sf_dir, xframe, k, kc)
+
+    # ---- stage the corpus as 3 out-of-order NDJSON arrival batches ----
+    work = Path(ephemeral_dir("kas_semdedup_stream_"))
+    src = work / "src"
+    src.mkdir()
+    meta_path = str(work / "meta")
+    # export row-for-row WITHOUT a driver collect of the corpus: each
+    # arrival file is one filtered single-partition write, then the
+    # part file is renamed into the NDJSON source dir (the corpus is
+    # fixture-scale here; at 100 TB arrivals come from the ingest bus)
+    for b in range(3):
+        part_dir = work / f"part_{b}"
+        (
+            corpus.filter(F.col("vec_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(str(part_dir))
+        )
+        part = next(Path(part_dir).glob("part-*.json"))
+        part.rename(src / f"arrivals_{b}.json")
+
+    docs = _semdedup_quality_docs(spark, sf_dir)
+    index_batch = _semdedup_indexer(docs, k, kc, seed_table, meta_path)
+
+    q = (
+        spark.readStream.schema("vec_id bigint, emb array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 180)
+
+    # ---- audit over the maintained tier alone (shared tail) ----
+    meta = _dedup_replays(spark.read.parquet(meta_path), "vec_id").select(
+        "vec_id", "emb", "cluster", "lang", "quality", "nrm"
+    )
+    return _semdedup_audit(meta)
+
+
+ORACLES["stream_semdedup_maintain"] = ORACLES["pipeline_semantic_dedup_ivf"]

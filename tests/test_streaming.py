@@ -714,3 +714,108 @@ def test_cdc_apply_stream_converges_out_of_order(spark):
     assert len(got) > 0
     n_ops = {r[0]: r[4] for r in got}
     assert any(v == 3 for v in n_ops.values())  # I+U1+U2 keys survive whole
+
+
+def test_semdedup_maintain_converges_to_batch_audit(spark):
+    """stream_semdedup_maintain (3 out-of-order arrival micro-batches
+    routed against the FROZEN published seed artifact, append-only
+    meta tier) must end row-equal to pipeline_semantic_dedup_ivf's
+    one-shot audit — only possible if every arriving vector was
+    routed exactly once against the same published model and the
+    shared _semdedup_audit tail saw the identical meta relation."""
+    from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        tuple(r)
+        for r in QUERIES["stream_semdedup_maintain"](spark, sf).collect()
+    ]
+    ref = [
+        tuple(r)
+        for r in QUERIES["pipeline_semantic_dedup_ivf"](spark, sf).collect()
+    ]
+    assert got == ref
+    assert len(got) > 0
+    assert sum(r[2] for r in got) > 0, "vacuous: no drops at all"
+
+
+def test_semdedup_maintain_kill_resume_with_replayed_batch(spark, tmp_path):
+    """The maintain key's exactly-once story end-to-end, driving the
+    REAL writer (_semdedup_indexer): paced arrivals KILLED
+    mid-backlog, resumed from the checkpoint, then one committed
+    batch's meta rows re-appended verbatim (the crash-between-tier-
+    write-and-checkpoint-commit case). The replay-collapsed audit
+    must equal the one-shot batch key's exactly."""
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _semdedup_audit,
+        _semdedup_corpus,
+        _semdedup_k,
+        _semdedup_quality_docs,
+        ivf_seed_table,
+    )
+    from kinesis_adapter_spark.plans.registry import QUERIES, load_all_modules
+    from kinesis_adapter_spark.streaming.pipelines import (
+        _dedup_replays,
+        _semdedup_indexer,
+    )
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    corpus = _semdedup_corpus(spark, sf)
+    k, kc = _semdedup_k(corpus.count())
+    xframe = corpus.select("vec_id", F.col("emb").alias("x"))
+    seed_table = ivf_seed_table(spark, sf, xframe, k, kc)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    meta_path = str(tmp_path / "meta")
+    for b in range(3):
+        part_dir = tmp_path / f"part_{b}"
+        (
+            corpus.filter(F.col("vec_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(str(part_dir))
+        )
+        part = next(Path(part_dir).glob("part-*.json"))
+        part.rename(src / f"arrivals_{b}.json")
+
+    docs = _semdedup_quality_docs(spark, sf)
+    writer = _semdedup_indexer(docs, k, kc, seed_table, meta_path)
+
+    def run_once():
+        return (
+            spark.readStream.schema("vec_id bigint, emb array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run_once()
+    while not any(p["numInputRows"] > 0 for p in q.recentProgress):
+        time.sleep(0.05)
+    q.stop()  # kill mid-backlog
+    q.awaitTermination()
+    q2 = run_once()  # resume: only the unprocessed arrivals replay
+    q2.awaitTermination()
+
+    tier = spark.read.parquet(meta_path)
+    replay_bid = tier.agg(F.min("batch_id")).first()[0]
+    # simulate the replayed write of an already-committed batch
+    tier.filter(F.col("batch_id") == replay_bid).write.mode(
+        "append"
+    ).parquet(meta_path)
+
+    meta = _dedup_replays(spark.read.parquet(meta_path), "vec_id").select(
+        "vec_id", "emb", "cluster", "lang", "quality", "nrm"
+    )
+    got = [tuple(r) for r in _semdedup_audit(meta).collect()]
+    ref = [
+        tuple(r)
+        for r in QUERIES["pipeline_semantic_dedup_ivf"](spark, sf).collect()
+    ]
+    assert got == ref

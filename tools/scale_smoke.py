@@ -293,6 +293,11 @@ SMOKE_OPS = {
     # gram counts + co-partitioned clip joins), then a |langs|-row
     # projection; expected ~linear in corpus grams
     "eval_bleu_corpus": "documents",
+    # r13: the SemDeDup maintain twin — per-arrival-batch routing
+    # against the frozen seed artifact (|batch| work) + the shared
+    # audit tail over the maintained tier; expect the IVF key's cost
+    # model plus the availableNow fixed floor (the stream_cdc class)
+    "stream_semdedup_maintain": "embeddings+documents",
 }
 
 # (table, id columns to offset, per-replica offset)
