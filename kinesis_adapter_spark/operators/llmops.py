@@ -3815,3 +3815,207 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------- exact-substring dedup
+
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate exact SUBSTRINGS, not whole documents: a 50-token
+# window repeated anywhere in the corpus marks both occurrences. The
+# window here is 20 tokens (the fixture's docs run 10–99 tokens); the
+# mechanism is length-independent.
+SUBSTR_L = 20
+
+
+@query(
+    "dedup_exact_substring",
+    f"""
+    WITH corpus AS ({MUTATED_SQL}),
+    tk AS (SELECT doc_id, str_split(text, ' ') AS tk FROM corpus),
+    g AS (
+      SELECT doc_id,
+             md5(array_to_string(tk[pos:pos + {SUBSTR_L} - 1], ' ')) AS gh
+      FROM (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - {SUBSTR_L} + 1)) AS pos
+        FROM tk WHERE len(tk) >= {SUBSTR_L}
+      )
+    ),
+    dup AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_pos,
+           ROUND(SUM(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM g LEFT JOIN dup d USING (gh)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2021's dedup
+    unit, public literature): every doc position opens a SUBSTR_L-token
+    window; a window whose text occurs in ≥2 DISTINCT docs is a
+    duplicated span, and each doc reports its duplicated-position
+    fraction (the quantity a curation pipeline thresholds on — a
+    doc that is mostly repeated substrings is boilerplate even when
+    no WHOLE-doc dup matches it). Fixture: the mutated corpus — the
+    every-7th truncated copy shares every one of its windows with its
+    source, so copies read dup_fraction 1.0 and their sources all but
+    the trailing two positions.
+
+    Scale shape: ONE token pass expands to one row per position, but
+    the shuffled key is md5(window) — 32 bytes/position regardless of
+    window length (the dedup_exact digest discipline), so the
+    gram-count aggregation and the span join move hash-sized rows,
+    both partial-agg/equi-join linear in corpus tokens. At 100 TB the
+    md5-of-joined-string map work swaps for a polynomial rolling hash
+    (one multiply-add per token instead of re-serializing L tokens
+    per position — same relational plan, cheaper map stage); docs
+    shorter than the window emit no positions and are absent here by
+    construction (they cannot carry a duplicated span)."""
+    corpus = mutated_documents(spark, sf_dir)
+    tk = F.split("text", " ")
+    t = corpus.select("doc_id", tk.alias("tk"))
+    n = F.size("tk")
+    g = (
+        t.select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.when(n >= SUBSTR_L, F.sequence(F.lit(1), n - SUBSTR_L + 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("tk", F.col("pos"), SUBSTR_L), " ")
+            ).alias("gh"),
+        )
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh", F.lit(1).alias("is_dup"))
+    )
+    return (
+        g.join(dup, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce("is_dup", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_pos"),
+        )
+        .select(
+            "doc_id",
+            "n_pos",
+            "n_dup_pos",
+            F.round(F.col("n_dup_pos") / F.col("n_pos"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------- Gopher quality rules
+
+# Rae et al. 2021 (Gopher, §A1.1) stop list; the fixture's synthetic
+# vocabulary carries 'the'/'a' only, so the presence threshold is ≥1
+# (documented adaptation — Gopher uses ≥2 on natural English).
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@query(
+    "quality_gopher_rules",
+    f"""
+    WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    w AS (SELECT doc_id, unnest(tk) AS word FROM tk),
+    stats AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             ROUND(AVG(len(word)), 6) AS mean_word_len,
+             ROUND(AVG(CASE WHEN regexp_matches(word, '[a-zA-Z]')
+                            THEN 1 ELSE 0 END), 6) AS frac_alpha_words
+      FROM w GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(list_distinct(tk),
+                  [{", ".join(f"'{s}'" for s in GOPHER_STOPS)}]))
+                  AS INT) AS stop_hits
+      FROM tk
+    )
+    SELECT s.doc_id, n_words, mean_word_len, frac_alpha_words, stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                      AND mean_word_len BETWEEN 3 AND 10
+                      AND frac_alpha_words >= 0.8
+                      AND stop_hits >= 1
+                THEN 1 ELSE 0 END AS INT) AS passes
+    FROM stats s JOIN hits USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1, public
+    literature) — the standard pre-model heuristic filter a curation
+    stack runs BEFORE any learned classifier: word-count bounds, mean
+    word length in [3, 10], ≥80% of words containing an alphabetic
+    character, and stop-word presence. Per-doc stats plus the fused
+    pass flag are emitted so downstream mixtures can threshold or
+    stratify on individual rules.
+
+    Scale shape: one token pass partial-aggregated to per-doc
+    counters (the text_token_stats cost model) joined 1:1 with a
+    map-side array-intersect hit count — no corpus-sized shuffle
+    beyond the per-doc aggregation, no UDF. Determinism: every stat
+    is an integer count or an exact int/int division rounded at 6 dp;
+    the stop list is matched on exact whitespace tokens in both
+    engines. Threshold adaptation for the synthetic fixture (vocab
+    carries 'the'/'a' only): stop-hit threshold ≥1 where Gopher uses
+    ≥2 on natural English; word-count lower bound 30 against the
+    fixture's 10–99-token docs so both classes are populated."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    t = d.select("doc_id", tk.alias("tk"))
+    w = t.select("doc_id", F.explode("tk").alias("word"))
+    stats = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(F.length("word")), 6).alias("mean_word_len"),
+        F.round(
+            F.avg(F.when(F.col("word").rlike("[a-zA-Z]"), 1).otherwise(0)),
+            6,
+        ).alias("frac_alpha_words"),
+    )
+    hits = t.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct("tk"),
+                F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+            )
+        ).alias("stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(30, 100_000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("stop_hits") >= 1)
+    )
+    return (
+        stats.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "frac_alpha_words",
+            "stop_hits",
+            passes.cast("int").alias("passes"),
+        )
+        .orderBy("doc_id")
+    )

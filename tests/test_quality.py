@@ -3429,3 +3429,104 @@ def test_logreg_gd_matches_textbook_reference(spark):
     total_docs = sum(c[0] for c in by_lang.values())
     total_kept = sum(c[1] for c in by_lang.values())
     assert 0 < total_kept < total_docs
+
+
+def test_exact_substring_matches_pure_python_reference(spark):
+    """Independent reference for dedup_exact_substring: a pure-python
+    dict-of-sets sweep (no Spark, no hashing — raw window STRINGS as
+    keys) over the same mutated corpus must reproduce every
+    (n_pos, n_dup_pos, dup_fraction) row exactly, and the injected
+    truncated copies must read dup_fraction 1.0."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kinesis_adapter_spark.operators.llmops import SUBSTR_L
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    corpus = dict(docs)
+    for d, t in docs.items():
+        if d % 7 == 0:
+            corpus[d + 2_000_000] = " ".join(t.split(" ")[:-2])
+
+    owners: dict[str, set] = defaultdict(set)
+    positions: dict[int, list] = {}
+    for d, t in corpus.items():
+        toks = t.split(" ")
+        grams = [
+            " ".join(toks[p : p + SUBSTR_L])
+            for p in range(len(toks) - SUBSTR_L + 1)
+        ]
+        if grams:
+            positions[d] = grams
+            for g in grams:
+                owners[g].add(d)
+    expected = {}
+    for d, grams in positions.items():
+        nd = sum(1 for g in grams if len(owners[g]) >= 2)
+        expected[d] = (len(grams), nd, r6(nd / len(grams)))
+
+    got = {
+        r["doc_id"]: (r["n_pos"], r["n_dup_pos"], r["dup_fraction"])
+        for r in QUERIES["dedup_exact_substring"](spark, SF_TEST).collect()
+    }
+    assert got == expected
+    copies = [d for d in got if d >= 2_000_000]
+    assert copies, "fixture produced no truncated copies"
+    assert all(got[d][2] == 1.0 for d in copies), "copy not fully covered"
+    assert any(v[2] < 1.0 for v in got.values()), "vacuous: everything dup"
+
+
+def test_gopher_rules_match_pure_python_reference(spark):
+    """Independent reference for quality_gopher_rules: plain-python
+    token loops replaying each rule (count bounds, mean word length,
+    alpha fraction, stop-word presence) must reproduce every row, and
+    BOTH pass classes must be populated (non-vacuous gate)."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kinesis_adapter_spark.operators.llmops import GOPHER_STOPS
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    expected = {}
+    for r in (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        toks = r["text"].split(" ")
+        n = len(toks)
+        mwl = r6(sum(len(w) for w in toks) / n)
+        fa = r6(sum(1 for w in toks if re.search("[a-zA-Z]", w)) / n)
+        hits = len(set(toks) & set(GOPHER_STOPS))
+        passes = int(
+            30 <= n <= 100_000 and 3 <= mwl <= 10 and fa >= 0.8 and hits >= 1
+        )
+        expected[r["doc_id"]] = (n, mwl, fa, hits, passes)
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["mean_word_len"],
+            r["frac_alpha_words"],
+            r["stop_hits"],
+            r["passes"],
+        )
+        for r in QUERIES["quality_gopher_rules"](spark, SF_TEST).collect()
+    }
+    assert got == expected
+    flags = {v[4] for v in got.values()}
+    assert flags == {0, 1}, f"gate is vacuous: only {flags}"

@@ -298,6 +298,14 @@ SMOKE_OPS = {
     # audit tail over the maintained tier; expect the IVF key's cost
     # model plus the availableNow fixed floor (the stream_cdc class)
     "stream_semdedup_maintain": "embeddings+documents",
+    # r13: exact-substring dedup — one token pass expanded to one
+    # md5(window) row per position, gram-count aggregation + span
+    # join on the 32-byte digest; expected ~linear in corpus tokens
+    # (replicated copies multiply owners per gram, not positions)
+    "dedup_exact_substring": "documents",
+    # r13: Gopher rule gate — one token pass partial-aggregated to
+    # per-doc counters + a map-side intersect; expected ~linear
+    "quality_gopher_rules": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
