@@ -136,6 +136,16 @@ EXTRAS = {
     # draw). Anchor: BASELINE.md "Round-12 anchor adoption" (two idle
     # FULL-bench runs).
     "dsir_select": "sample_dsir_importance",
+    # round-13 additions: the SemDeDup maintain twin (frozen-seed
+    # routing per arrival batch + the shared audit tail — the round's
+    # new heavy streaming shape) and the exact-substring dedup profile
+    # (per-position md5-window expansion, the round's new token-heavy
+    # batch shape; the Gopher rule gate rides the same token pass and
+    # is anchored as the cheap control). Anchors: BASELINE.md
+    # "Round-13 anchor adoption" (two idle FULL-bench runs).
+    "semdedup_stream": "stream_semdedup_maintain",
+    "exact_substring": "dedup_exact_substring",
+    "gopher_gate": "quality_gopher_rules",
 }
 
 # Per-query anchor seconds at sf0.1 (BASELINE.md): the six headline
@@ -232,6 +242,11 @@ ANCHORS = {
     # late-r12 addition, anchored at the mean of two idle FULL-bench
     # runs' medians-of-5 (BASELINE.md "Late round-12 anchor adoption")
     "dsir_select": 1.27,
+    # round-13 additions (BASELINE.md "Round-13 anchor adoption":
+    # two idle FULL-bench runs at r13 HEAD, midpoint of the medians)
+    "semdedup_stream": 2.79,
+    "exact_substring": 1.92,
+    "gopher_gate": 0.38,
 }
 
 

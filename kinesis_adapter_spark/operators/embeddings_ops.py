@@ -1324,7 +1324,18 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall 6.8×). At 100 TB, assign hierarchically (route vectors
     through the IVF coarse quantizer first, O(n·√k·d)) or fix k per
     shard and dedup shard-locally; flat Lloyd's with k∝n is the
-    reference algorithm's shape, kept here for oracle parity. Output is BOUNDED (one row per lang), so the key
+    reference algorithm's shape, kept here for oracle parity.
+
+    STATUS (r13): this key is the ORACLE-PARITY TWIN — it exists to
+    prove the repo can replay the published algorithm's exact flat
+    assignment against a relational oracle. Consumers running at
+    scale should call `pipeline_semantic_dedup_ivf` (same pair/
+    dominance/audit tail VERBATIM, O(n·√k·d) assignment, measured
+    faster at every smoke factor, no corpus-coupled driver state) or
+    its streaming twin `stream_semdedup_maintain`; the flat
+    assignment's O(n·k·d) term is this registry's one acknowledged
+    super-linear shape and is retired from the recommended path
+    rather than from the registry. Output is BOUNDED (one row per lang), so the key
     materializes it and releases the assignment persist before
     returning (the q21 lifecycle; _semantic_dedup_plan carries the
     lazy plan for the pin test).

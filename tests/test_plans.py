@@ -1312,6 +1312,11 @@ def test_join_expansion_gate_on_pair_stage_keys(spark):
         "dedup_embedding_cosine",
         "dedup_near_minhash",
         "dedup_simhash",
+        "dedup_near_ngram",
+        "dedup_containment",
+        "dedup_winnowing",
+        "contamination_minhash",
+        "dedup_exact_substring",
         "pipeline_semantic_dedup",
         "pipeline_semantic_dedup_ivf",
     ):
