@@ -1407,8 +1407,14 @@ def _stage_ivf_seed_routing(e: DataFrame, k: int, kc: int, out_dir: str):
                 }
             )
 
-    routed = e.filter(F.col("vec_id") < k).mapInPandas(
-        route, "fc bigint, cc bigint, w array<double>"
+    # sorted by fc so the written row groups carry tight fc ranges:
+    # the caller's coarse-seed read (filters=[("fc", "<", kc)]) then
+    # prunes to the head row group(s) instead of scanning k rows —
+    # the sort itself is over seed-sized data, never the corpus
+    routed = (
+        e.filter(F.col("vec_id") < k)
+        .mapInPandas(route, "fc bigint, cc bigint, w array<double>")
+        .sort("fc")
     )
     import os
     import shutil

@@ -1036,7 +1036,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     their probabilities and averages per doc. The probe join shuffles
     on the token key; at 100 TB a bounded vocab (top-k + OOV floor)
     turns it into a broadcast join — the natural production variant.
-    The corpus-total denominator is a 1-row broadcast."""
+    The corpus-total denominator is a 1-row broadcast. The scorer
+    body is _unigram_logprob_frame, shared verbatim with
+    quality_ccnet_buckets (never-fork)."""
+    return _unigram_logprob_frame(spark, sf_dir)
+
+
+def _unigram_logprob_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, n_tokens, avg_logprob)`` — the unigram-LM scorer
+    shared by text_unigram_logprob and quality_ccnet_buckets."""
     d = load(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
@@ -4016,6 +4024,96 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_alpha_words",
             "stop_hits",
             passes.cast("int").alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------ CCNet perplexity buckets
+
+# The unigram-LM scoring CTE chain — text_unigram_logprob's oracle
+# verbatim, factored so the bucket key's oracle cannot fork on it.
+_UNIGRAM_LOGPROB_CTES = """tok AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    lm AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM lm),
+    scores AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(ln(lm.cnt / tot.total)), 6) AS avg_logprob
+      FROM tok2 t JOIN lm USING (token) CROSS JOIN tot
+      GROUP BY t.doc_id
+    )"""
+
+
+@query(
+    "quality_ccnet_buckets",
+    f"""
+    WITH {_UNIGRAM_LOGPROB_CTES},
+    j AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY avg_logprob DESC, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM j
+    )
+    SELECT doc_id, lang, n_tokens, avg_logprob,
+           CASE CAST(FLOOR(3 * (r - 1) / n) AS INT)
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM rk
+    ORDER BY doc_id
+    """,
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    literature): per LANGUAGE, docs are split into head/middle/tail
+    terciles of the corpus-LM perplexity proxy — the standard way a
+    pretraining mixture keeps only the head/middle of each language's
+    quality distribution. The score is text_unigram_logprob's shared
+    scorer verbatim (_unigram_logprob_frame — higher avg logprob =
+    lower perplexity = better), and the tercile is the EXPLICIT
+    integer formula floor(3·(r−1)/n) over the per-lang
+    (score DESC, doc_id) rank — spliced into both engines instead of
+    NTILE so no engine's remainder-distribution semantics can fork
+    the cut (3·(r−1) and n are exact in double, so the division and
+    floor are identical IEEE on both sides).
+
+    Scale shape: the scorer is the logprob key's cost model; the
+    bucket pass is one window partitioned by lang. Per-lang
+    partitions are corpus-sized/|langs| — at 100 TB swap the rank
+    window for the two boundary quantiles per lang (computed from a
+    rank pass or a t-digest) broadcast onto a map-only assign; the
+    tercile definition is unchanged. Determinism: scores are 6-dp
+    rounded by the shared scorer before ranking (the documented
+    rounding-boundary tolerance class), ties break on doc_id, and
+    the bucket formula is integer-exact."""
+    scores = _unigram_logprob_frame(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scores.join(d, "doc_id")
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    tercile = F.floor(
+        F.lit(3) * (F.row_number().over(wr) - 1) / F.count(F.lit(1)).over(wn)
+    ).cast("int")
+    bucket = (
+        F.when(tercile == 0, "head")
+        .when(tercile == 1, "middle")
+        .otherwise("tail")
+    )
+    return (
+        j.select(
+            "doc_id", "lang", "n_tokens", "avg_logprob",
+            bucket.alias("bucket"),
         )
         .orderBy("doc_id")
     )

@@ -3530,3 +3530,60 @@ def test_gopher_rules_match_pure_python_reference(spark):
     assert got == expected
     flags = {v[4] for v in got.values()}
     assert flags == {0, 1}, f"gate is vacuous: only {flags}"
+
+
+def test_ccnet_buckets_match_pure_python_reference(spark):
+    """Independent reference for quality_ccnet_buckets: a pure-python
+    unigram LM (Counter over the lowercased token stream) scores every
+    doc, and plain sort/floor arithmetic replays the per-lang tercile
+    cut — every (n_tokens, avg_logprob, bucket) row must match, each
+    lang must populate ALL THREE buckets, and per-lang bucket sizes
+    may differ by at most one (the equal-split invariant)."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    rows = (
+        spark.read.parquet(f"{SF_TEST}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    toks = {r["doc_id"]: [t for t in r["text"].lower().split(" ") if t] for r in rows}
+    lang = {r["doc_id"]: r["lang"] for r in rows}
+    lm = Counter(t for ts in toks.values() for t in ts)
+    total = sum(lm.values())
+    score = {
+        d: r6(sum(math.log(lm[t] / total) for t in ts) / len(ts))
+        for d, ts in toks.items()
+    }
+    by_lang = defaultdict(list)
+    for d in toks:
+        by_lang[lang[d]].append(d)
+    expected = {}
+    for lg, ids in by_lang.items():
+        ids.sort(key=lambda d: (-score[d], d))
+        n = len(ids)
+        for i, d in enumerate(ids):
+            b = math.floor(3 * i / n)
+            expected[d] = (
+                len(toks[d]),
+                score[d],
+                ["head", "middle", "tail"][b],
+            )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["bucket"])
+        for r in QUERIES["quality_ccnet_buckets"](spark, SF_TEST).collect()
+    }
+    assert got == expected
+    sizes = defaultdict(Counter)
+    for d, (_, _, b) in got.items():
+        sizes[lang[d]][b] += 1
+    for lg, c in sizes.items():
+        assert set(c) == {"head", "middle", "tail"}, (lg, dict(c))
+        assert max(c.values()) - min(c.values()) <= 1, (lg, dict(c))

@@ -306,6 +306,10 @@ SMOKE_OPS = {
     # r13: Gopher rule gate — one token pass partial-aggregated to
     # per-doc counters + a map-side intersect; expected ~linear
     "quality_gopher_rules": "documents",
+    # r13: CCNet tercile bucketing — the unigram-LM scorer (two token
+    # passes + token-key probe join) plus one lang-partitioned rank
+    # window; expected ~linear in corpus tokens
+    "quality_ccnet_buckets": "documents",
 }
 
 # (table, id columns to offset, per-replica offset)
