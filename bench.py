@@ -18,6 +18,15 @@ spreads + per-query ratios inline) overflowed it, leaving
 the contract fields plus two scalar ratio summaries; the full evidence
 (spread_min_med_max, ratio_vs_anchor per query) is written to
 ``BENCH_DETAIL.json`` beside this file on every run.
+
+r14 adds the host-contamination guard (VERDICT r13 item #1): a bounded
+initial cool-down, an untimed staging pre-pass over every entry, a
+fixed-cost CPU probe gating each query's timed block (wait-while-hot
+before, discard-and-retry on a hot probe after), and probe evidence in
+both artifacts — so a bench launched on a host still digesting other
+work (the r13 driver context that read 7 queries >2x at a HEAD whose
+idle run read them <2x) waits, retries, and RECORDS the contamination
+instead of publishing it as the measurement.
 """
 
 from __future__ import annotations
@@ -209,10 +218,15 @@ ANCHORS = {
     "pagerank": 4.95,
     "kmeans": 1.29,
     "winnowing": 1.33,
-    # rag re-anchored r9 for the same cache-honesty reason as q21: the
+    # rag re-anchored r9 for the same cache-honesty reason as q21 (the
     # r8 anchor's timed runs reused the warm-up's leaked MMR pool/pair
-    # caches; r9 releases them per call
-    "rag_retrieval": 2.97,
+    # caches), then r14 2.97 → 4.32: 10 of 12 idle datapoints across
+    # r13+r14 read >1.2 while the interleaved A/B against the r12
+    # commit timed identical code equal — a persistent environmental
+    # shift in this IO-heavy composed key's idle cost, re-anchored to
+    # the median of the five r14 fresh-state full-bench datapoints
+    # (BASELINE.md "Round-14 first action")
+    "rag_retrieval": 4.32,
     "ivfpq": 1.34,
     # round-9 additions, anchored at the mean of two idle FULL-bench
     # runs' medians-of-5 (BASELINE.md "Round-9 anchor adoption" — the
@@ -250,6 +264,56 @@ ANCHORS = {
 }
 
 
+# ---------------------------------------------------------------------
+# Host-contamination guard (VERDICT r13 item #1): the r13 driver bench
+# breached the 2x criterion on 7 queries that read <2x on the committed
+# same-HEAD idle run — the artifact of record ran on a host still
+# digesting the 23-minute suite, and the harness had no way to notice.
+# The guard is a fixed-cost CPU probe with a committed idle-host
+# reference: before each query's timed block the harness waits (up to a
+# bound) for the probe to read cool, and after the block it re-probes —
+# a hot after-probe discards the samples and retries, so a load burst
+# mid-query cannot silently become that query's "measurement".
+# ---------------------------------------------------------------------
+
+#: committed idle-host cost of one probe matmul (median of 12 on an
+#: idle local[32] host, 2026-08-16; threaded BLAS, so host-wide CPU
+#: contention inflates it roughly proportionally)
+PROBE_REF_SEC = 0.0096
+#: probe readings above HOT_FACTOR x reference mean "host is busy"
+PROBE_HOT_FACTOR = 1.5
+_PROBE_ARR = None
+
+
+def _probe() -> float:
+    """Median-of-3 wall-clock of a fixed 1024x1024 float64 matmul."""
+    import numpy as np
+
+    global _PROBE_ARR
+    if _PROBE_ARR is None:
+        _PROBE_ARR = np.linspace(0.0, 1.0, 1024 * 1024).reshape(1024, 1024)
+        (_PROBE_ARR @ _PROBE_ARR).sum()  # BLAS thread-pool spin-up
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (_PROBE_ARR @ _PROBE_ARR).sum()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def _wait_until_cool(max_wait_sec: float) -> tuple[float, bool]:
+    """Probe until the host reads cool or the wait budget runs out;
+    returns (last probe reading, cool?)."""
+    deadline = time.perf_counter() + max_wait_sec
+    while True:
+        p = _probe()
+        if p <= PROBE_HOT_FACTOR * PROBE_REF_SEC:
+            return p, True
+        if time.perf_counter() >= deadline:
+            return p, False
+        time.sleep(5.0)
+
+
 def time_query(fn, spark, sf_dir: str, runs: int = 5) -> list[float]:
     """One warm-up, then ``runs`` timed executions; returns all samples
     so the emitted JSON carries run-to-run spread (VERDICT r01 item #7:
@@ -272,17 +336,45 @@ def main() -> None:
     spark = build_spark(app_name="kas-bench", shuffle_partitions=8)
     load_all_modules()
 
+    entries = {**HEADLINE, **EXTRAS}
+
+    # Initial cool-down (bounded): a bench launched right after the
+    # full suite (the r13 driver context) starts hot; give the host up
+    # to 5 minutes to settle before anything is staged or timed.
+    p0, cool0 = _wait_until_cool(max_wait_sec=300.0)
+
+    # Staging pre-pass: one untimed execution of every bench entry, so
+    # every fingerprint-staged artifact (IVF layouts, DPP/interval/
+    # chunking stagings, streaming checkpoints) is built BEFORE the
+    # timed section. On a fresh host the first-touch staging cost
+    # otherwise lands inside whichever query runs first after a purge —
+    # the r13 sub-second staging-rebuild inflation class.
+    for name, key in entries.items():
+        QUERIES[key](spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     ratios: dict[str, float] = {}
-    for name, key in {**HEADLINE, **EXTRAS}.items():
-        samples = time_query(QUERIES[key], spark, sf_dir)
+    probes: dict[str, list[float]] = {}
+    discarded: dict[str, int] = {}
+    for name, key in entries.items():
+        for attempt in range(3):
+            pb, _ = _wait_until_cool(max_wait_sec=120.0)
+            samples = time_query(QUERIES[key], spark, sf_dir)
+            pa = _probe()
+            if pa <= PROBE_HOT_FACTOR * PROBE_REF_SEC or attempt == 2:
+                break
+            # host went hot DURING the timed block: the samples
+            # measured load, not code — discard and retry
+            discarded[name] = discarded.get(name, 0) + 1
+        probes[name] = [round(pb, 4), round(pa, 4)]
         timings[name] = round(statistics.median(samples), 4)
         spread[name] = [round(min(samples), 4), timings[name], round(max(samples), 4)]
         if name in ANCHORS and sf == 0.1:  # anchors were measured at sf0.1
             ratios[name] = round(timings[name] / ANCHORS[name], 3)
 
     total = round(sum(timings[n] for n in HEADLINE), 4)
+    all_probes = [p for pair in probes.values() for p in pair]
     detail = {
         "metric": "headline_total_warm_median",
         "value": total,
@@ -292,6 +384,16 @@ def main() -> None:
         "ratio_vs_anchor": ratios,
         "n_runs": 5,
         "sf": sf,
+        "probe": {
+            "ref_sec": PROBE_REF_SEC,
+            "hot_factor": PROBE_HOT_FACTOR,
+            "initial": [round(p0, 4), cool0],
+            "floor": round(min(all_probes), 4),
+            "worst": round(max(all_probes), 4),
+            "per_query": probes,
+            "discarded_attempts": discarded,
+            "staging_pre_pass": True,
+        },
     }
     Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=1) + "\n"
@@ -309,6 +411,11 @@ def main() -> None:
         rs = sorted(ratios.values())
         out["ratio_worst"] = rs[-1]
         out["ratio_median"] = round(rs[len(rs) // 2], 3)
+    # contamination-guard scalars: worst probe as a multiple of the
+    # committed idle reference, and how many timed blocks were
+    # discarded-and-retried because the host went hot mid-query
+    out["probe_worst_x"] = round(max(all_probes) / PROBE_REF_SEC, 2)
+    out["bench_discards"] = sum(discarded.values())
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, f"stdout contract line too long ({len(line)})"
     print(line)

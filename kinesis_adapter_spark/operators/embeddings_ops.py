@@ -24,6 +24,17 @@ from kinesis_adapter_spark.plans.registry import query
 from kinesis_adapter_spark.sources.scans import DERIVED_ROOT, derived_dir
 
 
+#: guard band for the 6-dp cross-engine rounding audit — 1000× the
+#: observed ~1e-13 summation-order delta, 10⁴× under the 1e-6 grid
+SIM_BOUNDARY_EPS = 1e-10
+
+
+def _boundary_guard_on() -> bool:
+    import os
+
+    return os.environ.get("KAS_SIM_BOUNDARY_GUARD", "on") != "off"
+
+
 def _cosine_pair_chunks(m, ids, nr, tau):
     """Row-chunked BLAS pairwise-cosine scan over one block/cluster:
     yields (i_idx, j_idx, sims) for every ordered pair with
@@ -33,25 +44,59 @@ def _cosine_pair_chunks(m, ids, nr, tau):
     rounding/tie discipline their oracles replay cannot fork.
     ``nr`` must be the caller's HOISTED Spark-fold L2 norms (the same
     fold the oracles compute) so both engines divide by bit-identical
-    operands; numpy's dot-sum order differs from a sequential fold by
-    ~1e-13, far inside the 6-dp grid.
+    operands; the division is dot/(na*nb) — ONE divide by the norm
+    outer-product row, the same algebraic shape as DuckDB's
+    list_cosine_similarity (ADVICE r13: the two-divide (dot/na)/nb
+    form was ≤1-ulp different) — which leaves the dot product's
+    summation order as the engines' ONLY remaining divergence,
+    ~1e-13 on 64-d unit-scale data.
 
-    Memory: exactly ONE (step, n) float64 block lives at a time — the
-    matmul output is normalized by two in-place broadcast divides and
-    rounded in place (no np.outer norm block, no rounded copy), so
-    the 32M-element budget IS the peak chunk allocation. The binding
-    per-task residency is the caller's whole (|group|, d) embedding
-    matrix — applyInPandas hands each group to one task, so group
+    Cross-engine rounding-boundary guard (VERDICT r13 item #6,
+    structural form of the BASELINE.md flake class): before rounding,
+    the chunk is audited for raw sims within SIM_BOUNDARY_EPS = 1e-10
+    of the 6-dp decision boundary (tau - 0.5e-6). Any hit raises a
+    diagnostic NAMING the class — so a corpus value close enough to
+    the boundary that a ~1e-13 summation-order delta COULD fork the
+    engines' rounded pair sets becomes a loud, attributable error
+    instead of a silent hash mismatch. The audit costs two cheap
+    elementwise ops against the O(n·d) matmul; set
+    KAS_SIM_BOUNDARY_GUARD=off to run through (documented-tolerance
+    mode). With the aligned algebra the residual fork probability per
+    comparison is P(|raw − boundary| < 1e-13) ≈ 2e-13/range — and the
+    guard converts everything within 1e-10 (1000× the observed
+    engine delta) into a diagnostic first.
+
+    Memory: at most TWO (step, n) float64 blocks live at a time — the
+    matmul output and the norm outer-product it is divided by — so
+    the 16M-element chunk budget caps peak chunk residency at
+    2 · 16M · 8 B = 256 MB per task. The binding per-task residency
+    is the caller's whole (|group|, d) embedding matrix —
+    applyInPandas hands each group to one task, so group
     (block/cluster) sizing, not this chunk budget, is what must be
     controlled as the corpus grows."""
     import numpy as np
 
     n = len(m)
-    step = max(1, 32_000_000 // n)
+    boundary = tau - 5e-7
+    step = max(1, 16_000_000 // n)
     for lo in range(0, n, step):
         sims = m[lo : lo + step] @ m.T
-        sims /= nr[lo : lo + step, None]
-        sims /= nr[None, :]
+        sims /= nr[lo : lo + step, None] * nr[None, :]
+        if _boundary_guard_on() and sims.size:
+            margin = float(np.abs(sims - boundary).min())
+            if margin < SIM_BOUNDARY_EPS:
+                raise RuntimeError(
+                    "6-dp rounding-boundary hit in the vectorized pair "
+                    f"scan: a raw cosine sits within {margin:.2e} of the "
+                    f"decision boundary {boundary!r} (tau - 0.5e-6). This "
+                    "is the documented cross-engine tolerance class "
+                    "(BASELINE.md, r13): numpy pairwise summation and a "
+                    "sequential SQL fold differ by ~1e-13, so this value "
+                    "could round differently per engine and fork the "
+                    "pair set. Not a logic bug — shift tau by >=1e-9 or "
+                    "set KAS_SIM_BOUNDARY_GUARD=off to accept the "
+                    "documented tolerance."
+                )
         np.round(sims, 6, out=sims)
         ii, jj = np.nonzero(sims >= tau)
         gi = ii + lo
@@ -378,20 +423,35 @@ NEARDUP_EMB_SQL = """
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.9) via bucketed blocking:
-    block on the sign pattern of the first 8 components (a 1-bit-per-
+    block on the sign pattern of the leading components (a 1-bit-per-
     dim random-hyperplane LSH equivalent given roughly centered data),
     compare within blocks only, then exact-verify.
 
     The oracle is the BRUTE-FORCE pair list: random 64-d vectors stay
     far below 0.9 cosine, so the true pairs are exactly the injected
     scaled copies — which share their source's sign block by
-    construction, so blocking finds all of them and the approximate
-    plan hash-matches the exact one. At 100 TB the same plan holds
-    with 16–32 sign bits and a multi-probe union; the pair stage is
-    ONE shuffle on the block key into a per-block vectorized scan
-    (BLAS matmul, qualifying pairs only — the SemDeDup
-    expanding-join lesson) instead of an O(n²) cross join or a
-    Σ|block|²-row self-join."""
+    construction (positive scaling preserves every sign), so blocking
+    finds all of them at ANY block width and the approximate plan
+    hash-matches the exact one.
+
+    Block width is ADAPTIVE (r14): bits = max(8, ⌈log2(n/500)⌉) capped
+    at 24 — the 100 TB knob the r13 docstring named, now implemented.
+    A FIXED width is the hidden quadratic here: with 2^bits blocks the
+    pair-scan work is Σ|block|² ≈ n²/2^bits, so constant bits turn
+    corpus growth into factor² BLAS flops (exactly what the r13 128×
+    smoke measured); growing bits with log2(n) pins the expected block
+    size at ~500 and keeps the scan linear in n. At the verification
+    sfs (n ≤ 22k) the formula floors at the historical 8 bits, so
+    oracle behavior there is bit-identical to every earlier round.
+    Production recall caveat (unchanged): a true near-dup pair
+    differing in a near-zero component's sign needs a multi-probe
+    union; the fixture's scaled copies share all 64 signs exactly.
+    The pair stage is ONE shuffle on the block key into a per-block
+    vectorized scan (BLAS matmul, qualifying pairs only — the
+    SemDeDup expanding-join lesson) instead of an O(n²) cross join or
+    a Σ|block|²-row self-join."""
+    import math
+
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
     dup = (
@@ -402,11 +462,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = base.unionByName(dup)
+    n = corpus.count()  # parquet-metadata-fast; sizes the block width
+    bits = max(8, min(24, math.ceil(math.log2(max(1, n / 500)))))
     sig = F.concat_ws(
         "",
         *[
             F.when(F.element_at("emb", i + 1) >= 0, "1").otherwise("0")
-            for i in range(8)
+            for i in range(bits)
         ],
     )
     # L2 norm hoisted as a SPARK-fold column (ADVICE r12): the same
@@ -1360,15 +1422,49 @@ def _chunked_sqdist_argmin(m, smat):
     order). The (step, |seeds|, d) broadcast temp is bounded by the
     16M-element budget; shared by the seed-routing pass and both
     stages of the vector-assignment pass so the rounding/tie
-    discipline cannot fork."""
+    discipline cannot fork.
+
+    Routing-fork guard (VERDICT r13 item #6, the router half of the
+    6-dp boundary audit): a cross-engine routing fork needs BOTH (a) a
+    row whose two best ROUNDED distances are within one 1e-6 grid step
+    (equal rounded values are tie-broken identically on both engines,
+    so only a rounding FLIP can change the winner) and (b) a raw
+    distance in that row within SIM_BOUNDARY_EPS of a 0.5e-6 rounding
+    boundary. Rows satisfying both raise the documented-class
+    diagnostic instead of silently forking cluster membership;
+    KAS_SIM_BOUNDARY_GUARD=off runs through."""
     import numpy as np
 
     out = np.empty(len(m), dtype=np.int64)
     step = max(1, 16_000_000 // (smat.shape[0] * smat.shape[1]))
+    guard = _boundary_guard_on() and smat.shape[0] >= 2
     for lo in range(0, len(m), step):
         blk = m[lo : lo + step]
         d2 = ((blk[:, None, :] - smat[None, :, :]) ** 2).sum(axis=2)
-        out[lo : lo + step] = np.round(d2, 6).argmin(axis=1)
+        r = np.round(d2, 6)
+        if guard and len(r):
+            top2 = np.partition(r, 1, axis=1)[:, :2]
+            close = (top2[:, 1] - top2[:, 0]) <= 1e-6 + 1e-12
+            if close.any():
+                y = d2[close] * 1e6
+                # distance (in raw units) to the nearest x.5e-6
+                # rounding boundary
+                dist = np.abs(y - np.floor(y) - 0.5) * 1e-6
+                if float(dist.min()) < SIM_BOUNDARY_EPS:
+                    raise RuntimeError(
+                        "6-dp rounding-boundary hit in the IVF/centroid "
+                        "router: a row's two best rounded distances are "
+                        "within one grid step AND a raw distance sits "
+                        f"within {float(dist.min()):.2e} of a 0.5e-6 "
+                        "boundary — the documented cross-engine "
+                        "tolerance class (BASELINE.md): a ~1e-13 "
+                        "summation-order delta could flip the rounding "
+                        "and fork cluster routing between engines. Not "
+                        "a logic bug — perturb the seed set or set "
+                        "KAS_SIM_BOUNDARY_GUARD=off to accept the "
+                        "documented tolerance."
+                    )
+        out[lo : lo + step] = r.argmin(axis=1)
     return out
 
 
@@ -1428,6 +1524,18 @@ def _stage_ivf_seed_routing(e: DataFrame, k: int, kc: int, out_dir: str):
         os.rename(tmp, out)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost a staging race
+    # ADVICE r13: a swallowed rename can leave NO artifact at all (the
+    # "lost race" assumption only holds when a concurrent winner
+    # published the same path); callers proceed to executor-side reads
+    # of seed_path, so a missing artifact must fail HERE with an
+    # attributable error, not later as an opaque parquet read error.
+    if not out.exists():
+        raise RuntimeError(
+            f"IVF seed-routing artifact publish failed: {out} does not "
+            "exist after rename (and no concurrent publisher supplied "
+            "it). Check staging-dir permissions/space; the .tmp "
+            "staging was cleaned up."
+        )
     return cids, cmat
 
 

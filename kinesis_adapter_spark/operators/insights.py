@@ -10,6 +10,8 @@ DuckDB reads parquet NANOS at µs precision.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -439,13 +441,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE chain the oracle runs — both sides are generated from the same
     loop, so the dataflow is identical by construction.
 
-    Scale notes: each iteration is one shuffle of (node, contribution)
-    pairs — the edge relation is computed once and re-read (persist it
-    at scale); for unbounded iteration counts truncate the growing
-    lineage every ~10 rounds with localCheckpoint, and handle degree
-    skew with the salted-join pattern (join_salted_skew). Undirected
-    bipartite edges mean no dangling-mass correction is needed — every
-    node has outdegree ≥ 1."""
+    Scale notes (r14, VERDICT r13 item #3): the edge and degree
+    relations are PERSISTED across the unrolled iterations — each
+    iteration references edges once and deg once, so unpersisted the
+    lineitem⋈orders→distinct subtree re-derived up to 2·K times
+    (unless AQE happened to reuse an exchange). Because the returned
+    frame must not own a live persist (the leak gate) and the
+    node-sized result must not be collected (the no-corpus-collect
+    rule), the plan is materialized INSIDE the call to a per-process
+    staging parquet with the caches live, the caches are released,
+    and a read of the staged result is returned — the honest
+    per-invocation cost a driver pays, with the per-iteration rebuild
+    gone. For unbounded iteration counts truncate the growing lineage
+    every ~10 rounds with localCheckpoint, and handle degree skew with
+    the salted-join pattern (join_salted_skew). Undirected bipartite
+    edges mean no dangling-mass correction is needed — every node has
+    outdegree ≥ 1."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -458,8 +469,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
         ranks = (
@@ -469,7 +480,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.lit(0.15) + 0.85 * F.sum(F.col("r") / F.col("outdeg"))).alias("r"))
             .select(F.col("dst").alias("node"), "r")
         )
-    return ranks.select("node", F.round("r", 6).alias("pagerank")).orderBy("node")
+    out = ranks.select("node", F.round("r", 6).alias("pagerank"))
+    return _materialize_iterative(
+        spark, out, "kas_pagerank", sf_dir, release=(edges, deg)
+    ).orderBy("node")
 
 
 @query(
@@ -1650,6 +1664,38 @@ _TRADE_EDGES_CTE = """pairs AS MATERIALIZED (
     )"""
 
 
+def _materialize_iterative(
+    spark: SparkSession,
+    out: DataFrame,
+    name: str,
+    sf_dir: str,
+    release: tuple,
+) -> DataFrame:
+    """Lifecycle shared by the unrolled-loop graph keys (r14, VERDICT
+    r13 item #3): run ``out``'s plan ONCE with its persisted inputs
+    live by writing the node-sized result to a per-process staging
+    parquet, release every persist in ``release``, and return a read
+    of the staged result. This keeps all three house invariants at
+    once: the per-iteration re-derivation of the edge relation is
+    gone (the persists are hit K times inside one job), the returned
+    frame owns no live persist (the leak gate), and the corpus-coupled
+    result never crosses the driver (the no-collect rule — the q21
+    collect lifecycle only fits bounded outputs). The staging path is
+    per-(process, sf) under the kas_run_<pid> root, overwritten per
+    call — reaped by the staging convention even after SIGKILL."""
+    from kinesis_adapter_spark.staging import pid_staging_dir
+
+    dest = str(
+        Path(pid_staging_dir(f"{name}")) / Path(sf_dir).name
+    )
+    try:
+        out.write.mode("overwrite").parquet(dest)
+    finally:
+        for df in release:
+            df.unpersist()
+    return spark.read.parquet(dest)
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark mirror of ``_TRADE_EDGES_CTE``: symmetric (src, dst)
     edges of the customer↔supplier trade graph, shared by
@@ -1739,7 +1785,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized shuffles; persist the edge relation at scale, salt skewed
     hubs); unlabeled nodes simply stay absent, no sentinel rows."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    edges = _trade_edges(spark, sf_dir)
+    # r14 (VERDICT r13 item #3 sweep): persist the relations every
+    # round re-reads — edges once per round (the expensive
+    # lineitem⋈orders→distinct subtree), seeds three times per round
+    # (union + anti-join) — then materialize through the shared
+    # _materialize_iterative lifecycle so no persist leaks past return
+    edges = _trade_edges(spark, sf_dir).persist()
     seeds = (
         c.filter(F.col("c_custkey") % 20 == 0)
         .select(
@@ -1748,6 +1799,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("c_nationkey").cast("int").alias("label"),
         )
+        .persist()
     )
     lab = seeds
     wlp = Window.partitionBy("src").orderBy(F.desc("n"), "label")
@@ -1765,7 +1817,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab = seeds.unionByName(
             picked.join(seeds.select("node"), "node", "left_anti")
         )
-    return lab.orderBy("node", "label")
+    return _materialize_iterative(
+        spark, lab, "kas_labelprop", sf_dir, release=(edges, seeds)
+    ).orderBy("node", "label")
 
 
 LP_QUERY_MAX = 8  # link-prediction query set: part ids <= 8 (bounded)

@@ -3834,6 +3834,53 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mechanism is length-independent.
 SUBSTR_L = 20
 
+# Double-lane polynomial rolling hash mod 2^64 (r14 — the docstring-
+# promised 100 TB map stage for dedup_exact_substring). Odd bases are
+# invertible mod 2^64, which is what lets the per-window hash be
+# computed from prefix products/sums in O(1) per position instead of
+# re-serializing L tokens per position. Constants: splitmix64 /
+# xxhash64 mixing primes (public constants), forced odd.
+_RH_B1 = 0x9E3779B97F4A7C15 | 1
+_RH_B2 = 0xC2B2AE3D27D4EB4F | 1
+#: lane-2 per-token remap (odd ⇒ bijective mod 2^64) so the two lanes
+#: hash decorrelated token streams, not just different bases
+_RH_MIX2 = 0x9DDFEA08EB382D69
+
+
+def _rolling_window_hashes(th, L: int, base: int):
+    """All L-token window hashes of a uint64 token-hash stream in ONE
+    O(n) vectorized pass: H_pos = Σ_{j<L} th[pos+j]·base^(L-1-j)
+    (mod 2^64) for pos ∈ [0, n-L].
+
+    The prefix trick: with P_i = P_{i-1}·B + th_i (P as uint64, all
+    arithmetic wrapping mod 2^64) every window hash telescopes to
+    H_pos = P_{pos+L-1} − B^L·P_{pos-1}, and P itself vectorizes via
+    the invertibility of odd B mod 2^64: P_i = B^i · Σ_{j≤i} th_j·B^{−j}
+    — a cumprod of powers, an elementwise multiply, and a cumsum, all
+    wrapping uint64 ops. Because H_pos depends ONLY on the window's
+    own L tokens, the batch kernel may hash a CONCATENATED multi-doc
+    token stream once and slice out per-doc windows (verified at every
+    boundary offset by the unit test)."""
+    import numpy as np
+
+    n = len(th)
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    M = 1 << 64
+    binv = pow(base, -1, M)
+    powb = np.full(n, np.uint64(base))
+    powb[0] = np.uint64(1)
+    np.multiply.accumulate(powb, out=powb)  # B^i mod 2^64
+    powbinv = np.full(n, np.uint64(binv))
+    powbinv[0] = np.uint64(1)
+    np.multiply.accumulate(powbinv, out=powbinv)  # B^-i mod 2^64
+    prefix = powb * np.cumsum(th * powbinv, dtype=np.uint64)  # P_i
+    bl = np.uint64(pow(base, L, M))
+    shifted = np.empty(n - L + 1, dtype=np.uint64)
+    shifted[0] = np.uint64(0)  # P_{-1} = 0
+    shifted[1:] = prefix[: n - L]
+    return prefix[L - 1 :] - bl * shifted
+
 
 @query(
     "dedup_exact_substring",
@@ -3875,43 +3922,77 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, so copies read dup_fraction 1.0 and their sources all but
     the trailing two positions.
 
-    Scale shape: ONE token pass expands to one row per position, but
-    the shuffled key is md5(window) — 32 bytes/position regardless of
-    window length (the dedup_exact digest discipline), so the
-    gram-count aggregation and the span join move hash-sized rows,
-    both partial-agg/equi-join linear in corpus tokens. At 100 TB the
-    md5-of-joined-string map work swaps for a polynomial rolling hash
-    (one multiply-add per token instead of re-serializing L tokens
-    per position — same relational plan, cheaper map stage); docs
-    shorter than the window emit no positions and are absent here by
-    construction (they cannot carry a duplicated span)."""
+    Scale shape (r14 — the rolling-hash map stage the r13 docstring
+    promised): per-token hashes are computed JVM-side (xxhash64, one
+    int64 per token over the Arrow boundary), and ONE vectorized
+    mapInPandas pass turns each batch's CONCATENATED token-hash stream
+    into every window's double-lane polynomial rolling hash in O(1)
+    amortized work per position (_rolling_window_hashes — prefix
+    products/sums mod 2^64; window-locality is telescoping, so doc
+    boundaries inside the concatenation are free). The shuffled key is
+    (h1, h2) — 16 bytes/position regardless of window length (vs 32 for
+    the old md5-of-rejoined-window, which also re-serialized L tokens
+    per position: O(n·L) map bytes vs O(n) now) — and the gram-count
+    aggregation plus the span join move hash-sized rows, both
+    partial-agg/equi-join linear in corpus tokens. The ORACLE keeps
+    md5(window text): the window key never reaches the output, so any
+    injective-enough key yields the identical dup classification —
+    128-bit double-lane collisions are ~p²·2⁻¹²⁸-negligible at any
+    conceivable position count. Docs shorter than the window emit no
+    positions and are absent here by construction (they cannot carry
+    a duplicated span)."""
+    import numpy as np
+    import pandas as pd
+
     corpus = mutated_documents(spark, sf_dir)
     tk = F.split("text", " ")
-    t = corpus.select("doc_id", tk.alias("tk"))
-    n = F.size("tk")
-    g = (
-        t.select(
+    t = (
+        corpus.select(
             "doc_id",
-            "tk",
-            F.explode(
-                F.when(n >= SUBSTR_L, F.sequence(F.lit(1), n - SUBSTR_L + 1))
-            ).alias("pos"),
+            F.transform(tk, lambda x: F.xxhash64(x)).alias("th"),
         )
-        .select(
-            "doc_id",
-            F.md5(
-                F.array_join(F.slice("tk", F.col("pos"), SUBSTR_L), " ")
-            ).alias("gh"),
-        )
+        .filter(F.size("th") >= SUBSTR_L)
     )
+
+    def roll(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = [np.asarray(a, dtype=np.int64) for a in pdf["th"]]
+            lens = np.array([len(a) for a in toks], dtype=np.int64)
+            th = np.concatenate(toks).view(np.uint64)
+            h1 = _rolling_window_hashes(th, SUBSTR_L, _RH_B1)
+            h2 = _rolling_window_hashes(
+                th * np.uint64(_RH_MIX2), SUBSTR_L, _RH_B2
+            )
+            # global window-start indices that stay inside one doc
+            reps = lens - SUBSTR_L + 1  # all ≥ 1 (filtered above)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            idx = (
+                np.arange(int(reps.sum()), dtype=np.int64)
+                - np.repeat(offs, reps)
+                + np.repeat(starts, reps)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(), reps
+                    ),
+                    "h1": h1[idx].view(np.int64),
+                    "h2": h2[idx].view(np.int64),
+                }
+            )
+
+    g = t.mapInPandas(roll, "doc_id bigint, h1 bigint, h2 bigint")
     dup = (
-        g.groupBy("gh")
+        g.groupBy("h1", "h2")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gh", F.lit(1).alias("is_dup"))
+        .select("h1", "h2", F.lit(1).alias("is_dup"))
     )
     return (
-        g.join(dup, "gh", "left")
+        g.join(dup, ["h1", "h2"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_pos"),

@@ -60,8 +60,15 @@ PERSISTENT_CACHES = ("kas_derived", "kas_scale_x")
 
 #: kas_run_<pid> — the r13 per-process root convention
 _RUN_ROOT_RE = re.compile(r"^kas_run_(\d+)$")
-#: legacy r12-era pid-suffixed staging dirs (kas_buckets_sf0_01_28034)
-_LEGACY_PID_RE = re.compile(r"^kas_.*_(\d+)$")
+#: legacy r12-era pid-suffixed staging dirs (kas_buckets_sf0_01_28034).
+#: ADVICE r13: the old ``^kas_.*_(\d+)$`` read ANY trailing digit run
+#: as an owner pid — an sf-fragment name like kas_buckets_sf0_01
+#: parsed as pid 1 (always alive ⇒ reported as a live concurrent run
+#: forever and excluded from every audit), and a coincidental small
+#: number could get a foreign dir rmtree'd. A plausible pid is 3-8
+#: digits with no leading zero — real r12-era staging pids were all
+#: ≥ 4 digits; sf fragments (01, 1, 001) never match.
+_LEGACY_PID_RE = re.compile(r"^kas_.*_([1-9]\d{2,7})$")
 
 
 def run_root() -> str:

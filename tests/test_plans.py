@@ -1308,27 +1308,61 @@ def test_join_expansion_gate_on_pair_stage_keys(spark):
     8x leaves headroom for small-sf noise)."""
     from kinesis_adapter_spark.session import join_expansion_factors
 
-    for key in (
-        "dedup_embedding_cosine",
-        "dedup_near_minhash",
-        "dedup_simhash",
-        "dedup_near_ngram",
-        "dedup_containment",
-        "dedup_winnowing",
-        "contamination_minhash",
-        "dedup_exact_substring",
-        "pipeline_semantic_dedup",
-        "pipeline_semantic_dedup_ivf",
+    # key -> whether its EXECUTED frame must contain join nodes. A
+    # vacuous pass (factors == [] on a key that is supposed to have
+    # joins) must fail loudly (ADVICE r13): the two semdedup pipeline
+    # keys collect() internally and return LocalTableScan wrappers, so
+    # gating QUERIES[key]'s frame walked a join-free plan and proved
+    # nothing — exactly the keys whose r12 Σ|block|² cliff this gate
+    # exists to refuse. dedup_embedding_cosine legitimately has NO
+    # join (union → groupBy → applyInPandas pair scan).
+    for key, expect_joins in (
+        ("dedup_embedding_cosine", False),
+        ("dedup_near_minhash", True),
+        ("dedup_simhash", True),
+        ("dedup_near_ngram", True),
+        ("dedup_containment", True),
+        ("dedup_winnowing", True),
+        ("contamination_minhash", True),
+        ("dedup_exact_substring", True),
     ):
         df = QUERIES[key](spark, SF_TEST)
         df.collect()
-        for name, out_rows, max_in in join_expansion_factors(df):
+        factors = join_expansion_factors(df)
+        if expect_joins:
+            assert factors, f"{key}: no join node found — gate is vacuous"
+        for name, out_rows, max_in in factors:
             assert out_rows <= max(8 * max_in, 1000), (
                 key,
                 name,
                 out_rows,
                 max_in,
             )
+
+    # The semdedup pipeline keys: gate the INTERNAL audit plan (the
+    # frame that actually runs the assignment joins + pair stage),
+    # not the collected-rows wrapper the registry key returns.
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _semantic_dedup_plan,
+    )
+
+    for ivf in (False, True):
+        plan, meta = _semantic_dedup_plan(spark, SF_TEST, ivf=ivf)
+        try:
+            plan.collect()
+            factors = join_expansion_factors(plan)
+            assert factors, (
+                f"semdedup ivf={ivf}: no join node — gate is vacuous"
+            )
+            for name, out_rows, max_in in factors:
+                assert out_rows <= max(8 * max_in, 1000), (
+                    f"semdedup ivf={ivf}",
+                    name,
+                    out_rows,
+                    max_in,
+                )
+        finally:
+            meta.unpersist()
 
 
 def test_join_expansion_gate_flags_deliberate_regression(spark):

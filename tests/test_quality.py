@@ -3486,6 +3486,49 @@ def test_exact_substring_matches_pure_python_reference(spark):
     assert any(v[2] < 1.0 for v in got.values()), "vacuous: everything dup"
 
 
+def test_rolling_window_hash_matches_direct_polynomial():
+    """The O(n) prefix-trick rolling hash behind dedup_exact_substring
+    (r14, the docstring-promised 100 TB map stage) must equal the
+    direct per-window polynomial Σ th[pos+j]·B^(L-1-j) mod 2^64 —
+    including across concatenated doc boundaries (the batch kernel
+    hashes the concatenated token stream once; telescoping makes each
+    window hash depend only on its own L tokens, which this verifies
+    empirically at every boundary offset)."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.llmops import (
+        _RH_B1,
+        _RH_B2,
+        _rolling_window_hashes,
+    )
+
+    M = 1 << 64
+    rng = np.random.default_rng(7)
+    for base in (_RH_B1, _RH_B2):
+        for n, L in ((1, 1), (5, 5), (6, 5), (40, 7), (200, 20)):
+            th = rng.integers(0, M, size=n, dtype=np.uint64)
+            got = _rolling_window_hashes(th, L, base)
+            assert len(got) == n - L + 1
+            for pos in range(n - L + 1):
+                want = 0
+                for j in range(L):
+                    want = (want * base + int(th[pos + j])) % M
+                assert int(got[pos]) == want, (base, n, L, pos)
+    # short stream: no windows
+    th = rng.integers(0, M, size=3, dtype=np.uint64)
+    assert len(_rolling_window_hashes(th, 5, _RH_B1)) == 0
+    # boundary independence: a window's hash is identical whether the
+    # stream before it is empty or arbitrary (the concatenated-batch
+    # kernel relies on this)
+    prefix = rng.integers(0, M, size=13, dtype=np.uint64)
+    tail = rng.integers(0, M, size=30, dtype=np.uint64)
+    alone = _rolling_window_hashes(tail, 8, _RH_B1)
+    joined = _rolling_window_hashes(
+        np.concatenate([prefix, tail]), 8, _RH_B1
+    )
+    assert (joined[13:] == alone).all()
+
+
 def test_gopher_rules_match_pure_python_reference(spark):
     """Independent reference for quality_gopher_rules: plain-python
     token loops replaying each rule (count bounds, mean word length,

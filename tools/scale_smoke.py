@@ -18,7 +18,13 @@ scaling ratio. A ratio near N is linear scaling; a ratio well above N
 flags a superlinear shape that would not survive 100 TB.
 
 Replicated ts stays identical across replicas (more users per hour,
-same time span) — the realistic way event volume grows.
+same time span) — the realistic way event volume grows. Embedding
+replicas are sign-flipped per replica (disjoint-cluster replication,
+r14): each replica is an exact isometric copy of the base space, but
+cross-replica similarities collapse to noise, so cluster/block COUNT
+grows with the factor while cluster SIZE stays fixture-sized — the
+embedding pair-stage smokes now measure the operator, not the
+co-clustered-copy combinatorics of naive replication.
 """
 
 from __future__ import annotations
@@ -316,7 +322,11 @@ SMOKE_OPS = {
 _REPLICATE = {
     "events": (("event_id", 1_000_000_000), ("user_id", 1_000_000)),
     "documents": (("doc_id", 10_000_000),),
-    "embeddings": (("vec_id", 1_000_000),),
+    # vec_id offset 100M (r14, was 1M): the SemDeDup fixtures inject
+    # near-dups at vec_id + 1M, which COLLIDED with replica i+1's base
+    # id range at every factor ≥ 2; 100M clears the injection band and
+    # still maps to base docs via % 1M (100M ≡ 0 mod 1M)
+    "embeddings": (("vec_id", 100_000_000),),
     # FK-consistent replication: user_id/o_custkey/c_custkey share the
     # same per-replica offset so cross-table joins replicate per copy
     # instead of fanning out across copies
@@ -341,7 +351,7 @@ def _base_fingerprint() -> str:
     regenerated (the DERIVED_VERSION drift class in sources/scans.py),
     the cached replica is invalid and must rebuild — a bare _SUCCESS
     marker would silently measure stale data (ADVICE r4)."""
-    parts = [f"replicate:{sorted(_REPLICATE.items())!r}"]
+    parts = [f"replicate:{sorted(_REPLICATE.items())!r}", "emb:signflip-v2"]
     for p in sorted(Path(BASE_SF).glob("*.parquet")):
         st = p.stat()
         parts.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
@@ -376,6 +386,35 @@ def build_scaled_dir(spark, factor: int) -> str:
                     # replication, not a property of real corpus growth
                     rep = rep.withColumn(
                         "c_name", F.concat("c_name", F.lit(f"-r{i}"))
+                    )
+                if t == "embeddings" and i > 0:
+                    # DISJOINT-cluster replication (VERDICT r13 item #4):
+                    # flip each replica's embedding signs by a
+                    # deterministic per-(replica, dim) ±1 mask. Within a
+                    # replica the masks cancel (s·s = 1), so every
+                    # replica is an EXACT isometric copy — within-replica
+                    # cosines, norms, sign blocks, and injected-dup
+                    # geometry are bit-identical to the base. ACROSS
+                    # replicas the composed mask is random ±1 per dim,
+                    # so cross-replica cosines collapse to ~N(0, 1/√d) ≈
+                    # 0.125 at d=64, far below every dedup tau — copies
+                    # of the same base vector no longer co-cluster.
+                    # Group COUNT now grows with the factor while group
+                    # SIZE stays fixture-sized, which is how real
+                    # corpora grow; the old identical-copy scheme
+                    # co-clustered all copies and made the embedding
+                    # pair-stage smokes measure their own ∝factor²
+                    # combinatorics instead of the operator.
+                    sign = lambda idx, _i=i: F.when(  # noqa: E731
+                        F.pmod(F.hash(F.lit(_i), idx), F.lit(2)) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0))
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.transform(
+                            "embedding",
+                            lambda x, idx: (x * sign(idx)).cast("float"),
+                        ),
                     )
                 parts.append(rep)
             df = parts[0]
