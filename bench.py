@@ -259,7 +259,12 @@ ANCHORS = {
     # round-13 additions (BASELINE.md "Round-13 anchor adoption":
     # two idle FULL-bench runs at r13 HEAD, midpoint of the medians)
     "semdedup_stream": 2.79,
-    "exact_substring": 1.92,
+    # exact_substring re-anchored r14 1.92 → 1.02 (mean of the two
+    # closing idle medians 1.0612 / 0.9785): a CODE change moved it —
+    # the rolling-hash map stage replaced md5-of-rejoined-window, so a
+    # bench iteration now measures O(n) map bytes instead of O(n·L)
+    # (BASELINE.md "Round-14 closing")
+    "exact_substring": 1.02,
     "gopher_gate": 0.38,
 }
 

@@ -3486,6 +3486,69 @@ def test_exact_substring_matches_pure_python_reference(spark):
     assert any(v[2] < 1.0 for v in got.values()), "vacuous: everything dup"
 
 
+def test_pair_scan_boundary_guard_fires_and_gates(monkeypatch):
+    """The 6-dp rounding-boundary guard (VERDICT r13 item #6): a raw
+    cosine within SIM_BOUNDARY_EPS of the decision boundary
+    (tau - 0.5e-6) must raise the documented-class diagnostic; clear
+    values must pass through; KAS_SIM_BOUNDARY_GUARD=off must run
+    through (documented-tolerance mode)."""
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _cosine_pair_chunks,
+    )
+
+    tau = 0.9
+    boundary = tau - 5e-7
+    ids = np.array([1, 2], dtype=np.int64)
+    nr = np.array([1.0, 1.0])
+    # off-diagonal dot = boundary exactly (norms 1): margin ~0 → raise
+    m_hit = np.array([[1.0], [boundary]])
+    with pytest.raises(RuntimeError, match="rounding-boundary"):
+        list(_cosine_pair_chunks(m_hit, ids, nr, tau))
+    # guard off: same input runs through
+    monkeypatch.setenv("KAS_SIM_BOUNDARY_GUARD", "off")
+    got = list(_cosine_pair_chunks(m_hit, ids, nr, tau))
+    assert got  # chunks yielded, no raise
+    monkeypatch.delenv("KAS_SIM_BOUNDARY_GUARD")
+    # clear of the boundary: normal operation, qualifying pair found
+    m_ok = np.array([[1.0], [0.95]])
+    pairs = [
+        (int(g[0]), int(j[0]), float(s[0]))
+        for g, j, s in list(_cosine_pair_chunks(m_ok, ids, nr, tau))
+        if len(g)
+    ]
+    assert pairs == [(0, 1, 0.95)]
+
+
+def test_router_boundary_guard_fires_and_gates(monkeypatch):
+    """The router half of the 6-dp guard: a row whose two best rounded
+    distances sit within one grid step AND whose raw distance lands on
+    a 0.5e-6 rounding boundary must raise; well-separated seeds must
+    not; KAS_SIM_BOUNDARY_GUARD=off must run through."""
+    import math
+
+    import numpy as np
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _chunked_sqdist_argmin,
+    )
+
+    m = np.array([[0.0]])
+    # d2 = 2.5e-6 (exactly on a x.5e-6 boundary) and 3.0e-6 → rounded
+    # gap is one grid step → decision-relevant → guard fires
+    smat_hit = np.array([[math.sqrt(2.5e-6)], [math.sqrt(3.0e-6)]])
+    with pytest.raises(RuntimeError, match="rounding-boundary"):
+        _chunked_sqdist_argmin(m, smat_hit)
+    monkeypatch.setenv("KAS_SIM_BOUNDARY_GUARD", "off")
+    out = _chunked_sqdist_argmin(m, smat_hit)
+    assert out[0] in (0, 1)
+    monkeypatch.delenv("KAS_SIM_BOUNDARY_GUARD")
+    # well-separated seeds: no close rows, argmin as usual
+    smat_ok = np.array([[0.1], [5.0]])
+    assert _chunked_sqdist_argmin(m, smat_ok)[0] == 0
+
+
 def test_rolling_window_hash_matches_direct_polynomial():
     """The O(n) prefix-trick rolling hash behind dedup_exact_substring
     (r14, the docstring-promised 100 TB map stage) must equal the
