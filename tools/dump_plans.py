@@ -75,6 +75,12 @@ SHOWCASE = {
         "scan, no shingle recompute); column pruning splits the reads — "
         "band join scans (doc_id, h*), verify scans (doc_id, sh)"
     ),
+    "dedup_exact_substring": (
+        "r14 rolling-hash map stage: one JVM token pass (xxhash64 per "
+        "token) into a single MapInPandas emitting (doc_id, h1, h2) — "
+        "16 B/position keys, no O(n·L) window re-serialization; the "
+        "tail is digest-keyed partial aggs + one left equi-join"
+    ),
     "ann_ivf_partitioned": (
         "PartitionFilters: cell IN (nprobe ids) on the written IVF "
         "layout — the scan lists only the probed cell directories"
