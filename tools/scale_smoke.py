@@ -610,6 +610,74 @@ def smoke_cc_prop_build(spark, factor: int, scaled: str) -> dict:
     )
 
 
+def smoke_minhash_vocab_growth(spark, factor: int, scaled: str) -> dict:
+    """dedup_near_minhash under VOCABULARY growth — how real corpora
+    grow (r14; closes the r13 'annotated-away' hole in the minhash
+    top-tier rows). Uniform document replication re-uses the SAME tiny
+    synthetic vocabulary in every replica, so every shingle's df grows
+    with the factor and saturates the stop-shingle cap
+    (min(1%·n_docs, 64)) — at 128× most shingles are stopped and the
+    timed band join got CHEAPER than at 1×, which says nothing about
+    real scaling. Here each replica's tokens carry a replica suffix:
+    vocabulary (and with it the shingle space) grows with the corpus,
+    per-shingle df stays at its 1× profile, cross-replica candidate
+    pairs are impossible — group COUNT grows, group size doesn't, the
+    same disjoint-growth principle as the r14 sign-flip embedding
+    replication. The registry key runs UNMODIFIED on the staged docs
+    dir (it loads only documents)."""
+    out = Path(f"/tmp/kas_scale_minhashvocab_x{factor}")
+    marker = out / "_SUCCESS"
+    fp = _base_fingerprint() + "|minhashvocab-v1"
+    if not (marker.exists() and marker.read_text() == fp):
+        if out.exists():
+            import shutil
+
+            shutil.rmtree(out)
+        out.mkdir(parents=True, exist_ok=True)
+        src = catalog.load(spark, BASE_SF, "documents")
+        parts = []
+        for i in range(factor):
+            rep = src.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            )
+            if i > 0:
+                rep = rep.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda t, _i=i: F.concat(t, F.lit(f"_r{_i}")),
+                        ),
+                        " ",
+                    ),
+                )
+            parts.append(rep)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+        marker.write_text(fp)
+    fn = QUERIES["dedup_near_minhash"]
+    n1 = fn(spark, BASE_SF).count()  # warm (stages signatures)
+    t0 = time.perf_counter()
+    fn(spark, BASE_SF).count()
+    t1 = time.perf_counter() - t0
+    nn = fn(spark, str(out)).count()  # warm
+    t0 = time.perf_counter()
+    fn(spark, str(out)).count()
+    tn = time.perf_counter() - t0
+    return {
+        "op": "minhash_vocab_growth",
+        "table": "documents (replica-suffixed vocabulary)",
+        "t_1x_sec": round(t1, 3),
+        f"t_{factor}x_sec": round(tn, 3),
+        "ratio": round(tn / t1, 2),
+        "factor": factor,
+        "pairs_1x": n1,
+        f"pairs_{factor}x": nn,
+    }
+
+
 SPECIAL_SMOKES = {
     "join_spatial_grid_area": lambda spark, factor, scaled: smoke_spatial_area(
         spark, factor
@@ -617,6 +685,7 @@ SPECIAL_SMOKES = {
     "incremental_mv_fixed_delta": smoke_ivm_fixed_delta,
     "cc_stars_build": smoke_cc_stars_build,
     "cc_prop_build": smoke_cc_prop_build,
+    "minhash_vocab_growth": smoke_minhash_vocab_growth,
 }
 
 
