@@ -3486,6 +3486,42 @@ def test_exact_substring_matches_pure_python_reference(spark):
     assert any(v[2] < 1.0 for v in got.values()), "vacuous: everything dup"
 
 
+def test_ivf_cell_local_assignment_matches_artifact_path(spark, monkeypatch):
+    """The >10⁶-seed cell-local cogroup path (r14) must produce the
+    EXACT assignment map of the default artifact-read path on the same
+    staged seed routing — both paths share _chunked_sqdist_argmin and
+    the fc-sorted tie discipline, so any divergence is a bug, not a
+    tolerance. Forced via KAS_IVF_CELL_LOCAL at sf0.001 (k far below
+    the production threshold)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        _ivf_two_level_assign,
+        _semdedup_corpus,
+        _semdedup_k,
+        ivf_seed_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _semdedup_corpus(spark, sf)
+    k, kc = _semdedup_k(corpus.count())
+    xframe = corpus.select("vec_id", F.col("emb").alias("x"))
+    seed_table = ivf_seed_table(spark, sf, xframe, k, kc)
+
+    def amap():
+        rows = _ivf_two_level_assign(
+            xframe, k=k, kc=kc, seed_table=seed_table
+        ).collect()
+        return {r["vec_id"]: r["cluster"] for r in rows}
+
+    default = amap()
+    monkeypatch.setenv("KAS_IVF_CELL_LOCAL", "force")
+    forced = amap()
+    monkeypatch.delenv("KAS_IVF_CELL_LOCAL")
+    assert default, "vacuous: no assignments produced"
+    assert forced == default
+
+
 def test_pair_scan_boundary_guard_fires_and_gates(monkeypatch):
     """The 6-dp rounding-boundary guard (VERDICT r13 item #6): a raw
     cosine within SIM_BOUNDARY_EPS of the decision boundary
