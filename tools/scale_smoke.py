@@ -625,7 +625,9 @@ def smoke_minhash_vocab_growth(spark, factor: int, scaled: str) -> dict:
     same disjoint-growth principle as the r14 sign-flip embedding
     replication. The registry key runs UNMODIFIED on the staged docs
     dir (it loads only documents)."""
-    out = Path(f"/tmp/kas_scale_minhashvocab_x{factor}")
+    # kas_scale_x prefix => covered by staging.PERSISTENT_CACHES (an
+    # intentional cross-run cache, never reaped, bounded per factor)
+    out = Path(f"/tmp/kas_scale_x{factor}_minhashvocab")
     marker = out / "_SUCCESS"
     fp = _base_fingerprint() + "|minhashvocab-v1"
     if not (marker.exists() and marker.read_text() == fp):
