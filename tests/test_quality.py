@@ -3486,6 +3486,51 @@ def test_exact_substring_matches_pure_python_reference(spark):
     assert any(v[2] < 1.0 for v in got.values()), "vacuous: everything dup"
 
 
+def test_iterative_graph_keys_release_every_persist(spark):
+    """The r14 _materialize_iterative lifecycle contract: after the
+    unrolled-loop graph keys return (and their frame is collected),
+    NO persistent RDD and no cache-manager entry may remain — the
+    persists that carried the edge/degree/seed relations across the
+    iterations must be released inside the call (the r9 leak rule the
+    replica sweep enforces registry-wide, pinned here at the unit
+    level for the two keys that persist aggressively)."""
+
+    def persist_state():
+        ids = frozenset(spark.sparkContext._jsc.getPersistentRDDs().keys())
+        empty = bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+        return ids, empty
+
+    for key in ("graph_pagerank", "graph_label_propagation"):
+        before = persist_state()
+        rows = QUERIES[key](spark, SF_TEST).collect()
+        assert rows, f"{key}: vacuous output"
+        assert persist_state() == before, f"{key} leaked a persist"
+
+
+def test_bench_probe_guard_respects_budget():
+    """bench._probe returns a sane sub-second reading and
+    _wait_until_cool honors its wait budget even when the threshold is
+    impossible (ref forced to 0 → every probe reads 'hot' → it must
+    return not-cool within the budget rather than spin forever)."""
+    import time as _time
+
+    import bench
+
+    p = bench._probe()
+    assert 0 < p < 1.0
+    old = bench.PROBE_REF_SEC
+    try:
+        bench.PROBE_REF_SEC = 0.0  # unreachably cool
+        t0 = _time.perf_counter()
+        reading, cool = bench._wait_until_cool(max_wait_sec=0.5)
+        assert not cool and reading > 0
+        assert _time.perf_counter() - t0 < 30.0
+    finally:
+        bench.PROBE_REF_SEC = old
+
+
 def test_ivf_cell_local_assignment_matches_artifact_path(spark, monkeypatch):
     """The >10⁶-seed cell-local cogroup path (r14) must produce the
     EXACT assignment map of the default artifact-read path on the same
