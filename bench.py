@@ -287,6 +287,12 @@ ANCHORS = {
 PROBE_REF_SEC = 0.0096
 #: probe readings above HOT_FACTOR x reference mean "host is busy"
 PROBE_HOT_FACTOR = 1.5
+#: effective reference used by the guard; main() may raise it above
+#: the committed pin when the host's measured idle floor shows this is
+#: a slower machine (ADVICE r14: a pin-only guard on a slower host
+#: reads permanently hot and burns the full wait budget — hours — while
+#: recording an idle host as contaminated).
+_REF_SEC = PROBE_REF_SEC
 _PROBE_ARR = None
 
 
@@ -306,13 +312,41 @@ def _probe() -> float:
     return statistics.median(samples)
 
 
+def _calibrate_ref_fallback() -> float:
+    """Measured-idle-floor fallback, taken ONLY after the initial
+    cool-down exhausted its full 300s budget without one cool reading —
+    persistent evidence this host is slower (or differently-threaded)
+    than the of-record pin, not a transient burst (ADVICE r14: a
+    pin-only guard on such a host reads permanently hot and burns every
+    wait budget, recording an idle host as contaminated).
+
+    Floor = min of 10 probes spaced 1s apart (spaced so a multi-second
+    burst cannot contaminate all of them); never below the pin itself.
+    Returns the new effective reference.
+    """
+    global _REF_SEC
+    samples = []
+    for _ in range(10):
+        samples.append(_probe())
+        time.sleep(1.0)
+    floor = max(min(samples), PROBE_REF_SEC)
+    print(
+        f"bench: initial cool-down never read cool vs the pin "
+        f"({PROBE_REF_SEC}s); using measured idle floor {floor:.4f}s "
+        f"as the guard reference",
+        file=sys.stderr,
+    )
+    _REF_SEC = floor
+    return floor
+
+
 def _wait_until_cool(max_wait_sec: float) -> tuple[float, bool]:
     """Probe until the host reads cool or the wait budget runs out;
     returns (last probe reading, cool?)."""
     deadline = time.perf_counter() + max_wait_sec
     while True:
         p = _probe()
-        if p <= PROBE_HOT_FACTOR * PROBE_REF_SEC:
+        if p <= PROBE_HOT_FACTOR * _REF_SEC:
             return p, True
         if time.perf_counter() >= deadline:
             return p, False
@@ -345,8 +379,17 @@ def main() -> None:
 
     # Initial cool-down (bounded): a bench launched right after the
     # full suite (the r13 driver context) starts hot; give the host up
-    # to 5 minutes to settle before anything is staged or timed.
+    # to 5 minutes to settle before anything is staged or timed. If the
+    # pin NEVER reads cool across the whole budget, this machine's idle
+    # floor is above the pin — recalibrate to a measured floor so the
+    # per-query guards detect relative contamination instead of
+    # sleeping every budget (ADVICE r14).
     p0, cool0 = _wait_until_cool(max_wait_sec=300.0)
+    pin_kept = True
+    if not cool0:
+        _calibrate_ref_fallback()
+        pin_kept = False
+        p0, cool0 = _wait_until_cool(max_wait_sec=60.0)
 
     # Staging pre-pass: one untimed execution of every bench entry, so
     # every fingerprint-staged artifact (IVF layouts, DPP/interval/
@@ -367,7 +410,7 @@ def main() -> None:
             pb, _ = _wait_until_cool(max_wait_sec=120.0)
             samples = time_query(QUERIES[key], spark, sf_dir)
             pa = _probe()
-            if pa <= PROBE_HOT_FACTOR * PROBE_REF_SEC or attempt == 2:
+            if pa <= PROBE_HOT_FACTOR * _REF_SEC or attempt == 2:
                 break
             # host went hot DURING the timed block: the samples
             # measured load, not code — discard and retry
@@ -391,6 +434,8 @@ def main() -> None:
         "sf": sf,
         "probe": {
             "ref_sec": PROBE_REF_SEC,
+            "effective_ref_sec": round(_REF_SEC, 4),
+            "pin_kept": pin_kept,
             "hot_factor": PROBE_HOT_FACTOR,
             "initial": [round(p0, 4), cool0],
             "floor": round(min(all_probes), 4),
@@ -419,7 +464,7 @@ def main() -> None:
     # contamination-guard scalars: worst probe as a multiple of the
     # committed idle reference, and how many timed blocks were
     # discarded-and-retried because the host went hot mid-query
-    out["probe_worst_x"] = round(max(all_probes) / PROBE_REF_SEC, 2)
+    out["probe_worst_x"] = round(max(all_probes) / _REF_SEC, 2)
     out["bench_discards"] = sum(discarded.values())
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, f"stdout contract line too long ({len(line)})"

@@ -3520,15 +3520,38 @@ def test_bench_probe_guard_respects_budget():
 
     p = bench._probe()
     assert 0 < p < 1.0
-    old = bench.PROBE_REF_SEC
+    old = bench._REF_SEC
     try:
-        bench.PROBE_REF_SEC = 0.0  # unreachably cool
+        bench._REF_SEC = 0.0  # unreachably cool
         t0 = _time.perf_counter()
         reading, cool = bench._wait_until_cool(max_wait_sec=0.5)
         assert not cool and reading > 0
         assert _time.perf_counter() - t0 < 30.0
     finally:
-        bench.PROBE_REF_SEC = old
+        bench._REF_SEC = old
+
+
+def test_bench_probe_fallback_calibration(monkeypatch):
+    """When the initial cool-down exhausts its budget (slower host than
+    the of-record pin — ADVICE r14), _calibrate_ref_fallback adopts the
+    measured idle floor as the effective reference: never below the
+    committed pin, and equal to the min of its spaced probe samples
+    when that min exceeds the pin."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    fake = iter([0.05, 0.04, 0.06, 0.041, 0.05, 0.07, 0.04, 0.05, 0.06, 0.05])
+    monkeypatch.setattr(bench, "_probe", lambda: next(fake))
+    old = bench._REF_SEC
+    try:
+        floor = bench._calibrate_ref_fallback()
+        assert floor == 0.04  # min of the fake samples, > pin
+        assert bench._REF_SEC == floor
+        # and with a floor BELOW the pin, the pin is the lower bound
+        monkeypatch.setattr(bench, "_probe", lambda: 0.0001)
+        assert bench._calibrate_ref_fallback() == bench.PROBE_REF_SEC
+    finally:
+        bench._REF_SEC = old
 
 
 def test_ivf_cell_local_assignment_matches_artifact_path(spark, monkeypatch):
