@@ -465,34 +465,130 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # T3: nondeterministic vs oracle; pytest tolerance-checks
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event type (±5 % asserted in
-    tests against the exact count). At 100 TB this is the only sane
-    default for ad-hoc distincts: no expand, single pass, mergeable."""
+#: declared relative-error gate for the HLL-backed distinct keys —
+#: 2.5× the configured rsd (0.02), same band the pytest gates assert
+HLL_REL_ERR_BOUND = 0.05
+#: quantile shift for the approx-percentile bracket: 10× the sketch's
+#: 1/accuracy rank error (accuracy 10000 → ε=1e-4), so the exact
+#: quantile_cont values at q±QEPS strictly bracket any estimate whose
+#: rank lands within the sketch's guarantee
+QEPS = 0.001
+
+
+def _approx_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, approx_users, exact_users) — the raw HLL++ estimate
+    next to its truth; shared by the registered bound-checked key and
+    the pytest tolerance gate (which asserts on the raw estimate)."""
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
     )
 
 
-@query("agg_approx_percentile")  # T3: sketch-based; pytest bounds error vs exact
+@query(
+    "agg_approx_distinct",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST({HLL_REL_ERR_BOUND} AS DOUBLE) AS rel_err_bound,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type. At 100 TB this is
+    the only sane default for ad-hoc distincts: no expand, single
+    pass, mergeable.
+
+    ORACLED VIA THE ERROR BOUND (VERDICT r14 item #6): the raw HLL
+    estimate is engine-specific, so the declared surface emits the
+    exact count, the declared relative-error bound, and
+    ``within_bound`` — computed HERE from the live estimate — while
+    the oracle reproduces the exact count, the bound arithmetic, and
+    the claim TRUE. An estimate drifting outside ±5% becomes a loud
+    hash mismatch instead of an unchecked `no_oracle` row; the raw
+    estimate itself stays pytest-gated via _approx_distinct_frame."""
+    a = _approx_distinct_frame(spark, sf_dir)
+    return a.select(
+        "event_type",
+        "exact_users",
+        F.lit(HLL_REL_ERR_BOUND).alias("rel_err_bound"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= HLL_REL_ERR_BOUND * F.col("exact_users")
+        ).alias("within_bound"),
+    )
+
+
+def _approx_percentile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status sketch p50/p90/p99 of order totals NEXT TO the exact
+    quantile_cont brackets at q±QEPS — one aggregation pass; shared by
+    the registered bound-checked key and the pytest gate."""
+    aggs = []
+    for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        aggs.append(
+            F.approx_percentile("o_totalprice", q, 10000).alias(tag)
+        )
+        aggs.append(
+            F.percentile("o_totalprice", q - QEPS).alias(f"{tag}_lo")
+        )
+        aggs.append(
+            F.percentile("o_totalprice", min(q + QEPS, 1.0)).alias(f"{tag}_hi")
+        )
+    return (
+        load(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(*aggs)
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    f"""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, {0.5 - QEPS}), 6) AS p50_lo,
+           ROUND(quantile_cont(o_totalprice, {0.5 + QEPS}), 6) AS p50_hi,
+           TRUE AS p50_ok,
+           ROUND(quantile_cont(o_totalprice, {0.9 - QEPS}), 6) AS p90_lo,
+           ROUND(quantile_cont(o_totalprice, {0.9 + QEPS}), 6) AS p90_hi,
+           TRUE AS p90_ok,
+           ROUND(quantile_cont(o_totalprice, {0.99 - QEPS}), 6) AS p99_lo,
+           ROUND(quantile_cont(o_totalprice, {0.99 + QEPS}), 6) AS p99_hi,
+           TRUE AS p99_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL/GK-sketch approximate p50/p90/p99 of order totals per
     status — the mergeable single-pass companion to the exact
     percentile key (exact percentiles need a full sort per group; the
-    sketch is what survives 100 TB). Relative error bounded in pytest
-    against agg_percentile_exact."""
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50"),
-            F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90"),
-            F.approx_percentile("o_totalprice", 0.99, 10000).alias("p99"),
+    sketch is what survives 100 TB).
+
+    ORACLED VIA THE RANK-ERROR BRACKET (VERDICT r14 item #6): with
+    accuracy 10000 the sketch guarantees rank error ≤ 1e-4, so the
+    exact interpolated quantiles at q±QEPS (=10× that) strictly
+    bracket any conforming estimate. The declared surface emits the
+    brackets (the same quantile_cont the already-oracled
+    agg_percentile_exact key proves cross-engine-stable) plus
+    ``{{tag}}_ok`` computed HERE from the live estimate; the oracle
+    reproduces the brackets and claims TRUE. The raw estimates stay
+    pytest-gated via _approx_percentile_frame."""
+    a = _approx_percentile_frame(spark, sf_dir)
+    cols = ["o_orderstatus"]
+    for tag in ("p50", "p90", "p99"):
+        cols.append(F.round(F.col(f"{tag}_lo"), 6).alias(f"{tag}_lo"))
+        cols.append(F.round(F.col(f"{tag}_hi"), 6).alias(f"{tag}_hi"))
+        cols.append(
+            (
+                (F.col(tag) >= F.col(f"{tag}_lo") - F.lit(1e-9))
+                & (F.col(tag) <= F.col(f"{tag}_hi") + F.lit(1e-9))
+            ).alias(f"{tag}_ok")
         )
-    )
+    return a.select(*cols)
 
 
 @query(
@@ -580,19 +676,11 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_mergeable")  # T3: sketch bytes are engine-specific — ±5% gate in pytest
-def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches (Datasketches HLL): per-
-    event-type sketches built in one pass, then UNIONED to the global
-    estimate without touching raw data again — the property that makes
-    multi-tier rollups (hour → day → month) and cross-partition
-    distinct counts affordable at 100 TB. count_distinct cannot
-    re-aggregate (distinct-of-sums ≠ sum-of-distincts); sketch bytes
-    can: store the per-tier sketch column, union upward, estimate at
-    read. Output: per-type estimates + the unioned global estimate,
-    each next to its exact truth (the pytest gate bounds the error;
-    the sketch binary itself is engine-specific, hence no SQL
-    oracle)."""
+def _hll_mergeable_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, estimate, exact) with an ``__all__`` row whose
+    estimate comes from UNIONING the per-type sketches (never re-
+    scanning raw data) and whose exact is the true global distinct —
+    shared by the registered bound-checked key and the pytest gate."""
     ev = load(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
@@ -605,12 +693,57 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = per.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
-    ).select(
-        F.lit("__all__").alias("event_type"),
-        "estimate",
-        F.lit(None).cast("bigint").alias("exact"),
-    )
+    ).crossJoin(
+        ev.agg(F.count_distinct("user_id").alias("exact"))
+    ).select(F.lit("__all__").alias("event_type"), "estimate", "exact")
     return per_est.unionByName(glob).orderBy("event_type")
+
+
+@query(
+    "agg_hll_mergeable",
+    f"""
+    SELECT event_type,
+           CAST(exact AS BIGINT) AS exact,
+           CAST({HLL_REL_ERR_BOUND} AS DOUBLE) AS rel_err_bound,
+           TRUE AS within_bound
+    FROM (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', COUNT(DISTINCT user_id) FROM events
+    )
+    ORDER BY event_type
+    """,
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Datasketches HLL): per-
+    event-type sketches built in one pass, then UNIONED to the global
+    estimate without touching raw data again — the property that makes
+    multi-tier rollups (hour → day → month) and cross-partition
+    distinct counts affordable at 100 TB. count_distinct cannot
+    re-aggregate (distinct-of-sums ≠ sum-of-distincts); sketch bytes
+    can: store the per-tier sketch column, union upward, estimate at
+    read.
+
+    ORACLED VIA THE ERROR BOUND (VERDICT r14 item #6, the
+    agg_approx_distinct pattern): sketch bytes and estimates are
+    engine-specific, so the declared surface emits the exact counts
+    (INCLUDING the global one — the union's no-double-count property
+    is exactly what ``within_bound`` on the ``__all__`` row checks),
+    the declared ±5% bound, and ``within_bound`` computed HERE from
+    the live sketch estimates; the oracle reproduces the exacts and
+    claims TRUE. Raw estimates stay pytest-gated via
+    _hll_mergeable_frame."""
+    a = _hll_mergeable_frame(spark, sf_dir)
+    return a.select(
+        "event_type",
+        "exact",
+        F.lit(HLL_REL_ERR_BOUND).alias("rel_err_bound"),
+        (
+            F.abs(F.col("estimate") - F.col("exact"))
+            <= HLL_REL_ERR_BOUND * F.col("exact")
+        ).alias("within_bound"),
+    ).orderBy("event_type")
 
 
 KMV_K = 64

@@ -355,27 +355,39 @@ def _staged_cc_labels(spark, sf_dir: str, stem: str, core) -> DataFrame:
     derived_dir keyed by the source fingerprint PLUS the algorithm/
     fixture spec tokens (so a semantics change invalidates the artifact
     even without a DERIVED_VERSION bump), and return a lazy read that
-    owns no persist."""
+    owns no persist.
+
+    CONTENT-ADDRESSED as of r15 (the ivf_seed_table discipline,
+    VERDICT r14 item #3): the combined fingerprint is hashed into the
+    final directory NAME via publish_fingerprinted — the pre-r15
+    ``mode("overwrite")`` onto the shared ``{stem}.parquet`` path had
+    the delete-then-write window where a concurrent engine's held
+    read path could FileNotFound mid-query when the fingerprint (or
+    spec token) changed."""
     from pathlib import Path
 
     from kinesis_adapter_spark.sources.scans import (
         derived_dir,
+        publish_fingerprinted,
+        reap_stale_fingerprints,
         source_fingerprint,
     )
 
-    out = derived_dir(sf_dir) / f"{stem}.parquet"
-    marker = derived_dir(sf_dir) / f"{stem}.parquet.src"
+    base = derived_dir(sf_dir) / f"{stem}.parquet"
     src_fp = source_fingerprint(Path(sf_dir) / "documents.parquet")
     fp = f"{src_fp}|{_CC_PAIRS_SPEC}|{_CC_CORE_SPEC[stem]}"
-    if not (out.exists() and marker.exists() and marker.read_text() == fp):
+
+    def stage(tmp: str) -> None:
         with released_persists(spark):
             labels = core(_cc_pairs(spark, sf_dir))
             labels.select(
                 F.col("node").alias("doc_id"),
                 F.col("label").alias("cluster_id"),
-            ).write.mode("overwrite").parquet(str(out))
-        marker.write_text(fp)
-    return spark.read.parquet(str(out)).orderBy("doc_id")
+            ).write.parquet(tmp)
+
+    final = publish_fingerprinted(base, fp, stage)
+    reap_stale_fingerprints(base, keep=final)
+    return spark.read.parquet(str(final)).orderBy("doc_id")
 
 
 def cc_propagate_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:

@@ -1664,6 +1664,11 @@ _TRADE_EDGES_CTE = """pairs AS MATERIALIZED (
     )"""
 
 
+#: process-monotonic sequence for per-call staging paths (see
+#: _materialize_iterative)
+_ITER_STAGE_SEQ = 0
+
+
 def _materialize_iterative(
     spark: SparkSession,
     out: DataFrame,
@@ -1681,15 +1686,28 @@ def _materialize_iterative(
     frame owns no live persist (the leak gate), and the corpus-coupled
     result never crosses the driver (the no-collect rule — the q21
     collect lifecycle only fits bounded outputs). The staging path is
-    per-(process, sf) under the kas_run_<pid> root, overwritten per
-    call — reaped by the staging convention even after SIGKILL."""
+    per-CALL under the kas_run_<pid> root — full-sf_dir hash plus a
+    process-monotonic sequence number (ADVICE r14: a fixed
+    per-(process, sf-basename) path overwritten per call can
+    FileNotFound a still-held frame from an earlier call, and two
+    sf_dirs sharing a basename collide) — so a returned frame stays
+    readable for the life of the run; the node-sized copies are
+    reaped with the run root, even after SIGKILL."""
+    import hashlib
     from kinesis_adapter_spark.staging import pid_staging_dir
 
+    global _ITER_STAGE_SEQ
+    _ITER_STAGE_SEQ += 1
+    sf_tag = hashlib.md5(
+        str(Path(sf_dir).resolve()).encode()
+    ).hexdigest()[:12]
     dest = str(
-        Path(pid_staging_dir(f"{name}")) / Path(sf_dir).name
+        Path(pid_staging_dir(f"{name}")) / f"{sf_tag}-{_ITER_STAGE_SEQ}"
     )
     try:
-        out.write.mode("overwrite").parquet(dest)
+        # unique path per call: existence would be a bug, so error
+        # instead of overwrite
+        out.write.mode("errorifexists").parquet(dest)
     finally:
         for df in release:
             df.unpersist()

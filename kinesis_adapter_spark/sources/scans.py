@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -81,6 +82,93 @@ def fresh_staging(out: Path, src: Path) -> tuple[Path, str] | None:
         shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     return marker, fp
+
+
+def publish_fingerprinted(base: Path, fp: str, stage_fn) -> Path:
+    """Content-addressed publication of a derived DIRECTORY artifact
+    (VERDICT r14 item #3): the final directory name embeds a hash of
+    the source fingerprint and is NEVER deleted or renamed-over once
+    published, so a reader holding the returned path can never hit the
+    delete-then-rename window a shared mutable name has when the
+    fingerprint changes (second-order: two concurrent engines on one
+    host). A fingerprint change simply publishes a NEW sibling; stale
+    siblings are collected by :func:`reap_stale_fingerprints`.
+
+    Concurrency: each stager builds under a pid-unique dot-tmp; the
+    first ``os.rename`` wins, a loser discards its tmp and reads the
+    winner's copy (content is deterministic from the fingerprinted
+    source, so copies are interchangeable). ``stage_fn(tmp_path)``
+    must create the artifact at exactly ``tmp_path``.
+    """
+    import hashlib
+
+    tag = hashlib.md5(fp.encode()).hexdigest()[:16]
+    final = base.parent / f"{base.stem}-{tag}{base.suffix}"
+    if final.exists():
+        return final
+    tmp = base.parent / f".{final.name}.tmp-{os.getpid()}"
+    stage_fn(str(tmp))
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(str(tmp), ignore_errors=True)  # concurrent winner
+    if not final.exists():
+        raise RuntimeError(
+            f"fingerprinted artifact publish failed: {final} does not "
+            "exist after rename (and no concurrent publisher supplied "
+            "it). Check staging-dir permissions/space; the tmp staging "
+            "was cleaned up."
+        )
+    return final
+
+
+def reap_stale_fingerprints(
+    base: Path, keep: Path, grace_sec: float = 1800.0
+) -> list[str]:
+    """Collect dead-fingerprint siblings of a content-addressed
+    artifact: every ``{base.stem}-*{base.suffix}`` entry other than
+    ``keep``, plus the legacy unfingerprinted ``base`` itself (and its
+    ``.src`` marker) from the pre-r15 mutable-name scheme. Deletion is
+    deferred while (a) the entry was published less than ``grace_sec``
+    ago or (b) another live kas run exists on this host — a concurrent
+    engine may still hold the stale path (it corresponds to
+    regenerated source data, so it is semantically dead, but it must
+    not FileNotFound mid-query). Returns the reaped names."""
+    from kinesis_adapter_spark import staging
+
+    now = time.time()
+    reaped = []
+    candidates = [
+        p
+        for p in base.parent.glob(f"{base.stem}-*{base.suffix}")
+        if p != keep
+    ]
+    legacy = base.parent / base.name
+    if legacy.exists():
+        candidates.append(legacy)
+    # abandoned pid-tagged tmps (stager SIGKILLed mid-publish): reap
+    # only when the owning pid is dead, same age grace
+    for p in base.parent.glob(f".{base.stem}-*{base.suffix}.tmp-*"):
+        try:
+            owner = int(p.name.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if not staging._pid_alive(owner):
+            candidates.append(p)
+    for p in candidates:
+        try:
+            if now - p.stat().st_mtime < grace_sec:
+                continue
+        except OSError:
+            continue  # raced another reaper
+        if staging.live_foreign_runs():
+            break
+        shutil.rmtree(str(p), ignore_errors=True)
+        src_marker = p.parent / f"{p.name}.src"
+        if src_marker.exists():
+            src_marker.unlink(missing_ok=True)
+        reaped.append(p.name)
+    return reaped
 
 
 def _events_table(sf_dir: str):

@@ -1122,21 +1122,11 @@ def stream_minhash_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_hll_rollup")  # T3: sketch estimates — ±5% gate in tests/test_quality.py
-def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL distinct-count maintenance — the streaming twin of
-    agg_hll_mergeable. Each arriving micro-batch (file source, 4 files
-    per trigger) is collapsed to one HLL sketch row per event_type and
-    APPENDED to a sketch-tier parquet; the read-side query unions the
-    stored sketches per type (and globally) and estimates. No raw
-    event is ever reprocessed, and a user appearing in many batches or
-    types is still counted once — the merge property count_distinct
-    lacks. At 100 TB this tier is a few KB per (type, batch): distinct
-    counts over any window of batches become a metadata-sized union
-    instead of a shuffle of user ids. Per-batch sketch rows carry
-    batch_id, so a replayed micro-batch (restart between write and
-    commit) can be deduplicated by (type, batch_id) at read — the
-    shared `_dedup_replays` discipline, applied before the union."""
+def _stream_hll_rollup_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, est_users, n_sketches) with an ``__all__`` row —
+    the raw sketch-tier estimates; shared by the registered
+    bound-checked key and the pytest gate (which asserts the raw
+    estimates and the multi-batch merge property)."""
     sink = ephemeral_dir("kas_hllroll_") + "/sketches"
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1167,6 +1157,75 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sketches"),
     ).select(F.lit("__all__").alias("event_type"), "est_users", "n_sketches")
     return per.unionByName(glob).orderBy("event_type")
+
+
+@query(
+    "stream_hll_rollup",
+    """
+    SELECT event_type,
+           CAST(exact AS BIGINT) AS exact_users,
+           CAST(0.05 AS DOUBLE) AS rel_err_bound,
+           TRUE AS within_bound
+    FROM (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', COUNT(DISTINCT user_id) FROM events
+    )
+    ORDER BY event_type
+    """,
+)
+def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL distinct-count maintenance — the streaming twin of
+    agg_hll_mergeable. Each arriving micro-batch (file source, 4 files
+    per trigger) is collapsed to one HLL sketch row per event_type and
+    APPENDED to a sketch-tier parquet; the read-side query unions the
+    stored sketches per type (and globally) and estimates. No raw
+    event is ever reprocessed, and a user appearing in many batches or
+    types is still counted once — the merge property count_distinct
+    lacks. At 100 TB this tier is a few KB per (type, batch): distinct
+    counts over any window of batches become a metadata-sized union
+    instead of a shuffle of user ids. Per-batch sketch rows carry
+    batch_id, so a replayed micro-batch (restart between write and
+    commit) can be deduplicated by (type, batch_id) at read — the
+    shared `_dedup_replays` discipline, applied before the union.
+
+    ORACLED VIA THE ERROR BOUND as of r15 (the agg_hll_mergeable
+    pattern — this was the last convertible rows-only key): the
+    declared surface emits the exact distinct counts (batch-computed
+    from the same events the stream consumed), the declared ±5%
+    bound, and ``within_bound`` computed HERE from the live
+    sketch-tier estimates; the oracle replays the exacts and claims
+    TRUE. A rollup that double-counted a user active in several
+    batches/types would push the union estimate out of bound and
+    hash-mismatch loudly. Raw estimates and the multi-batch merge
+    property stay pytest-gated via _stream_hll_rollup_frame."""
+    from kinesis_adapter_spark.catalog import load
+
+    est = _stream_hll_rollup_frame(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .unionByName(
+            ev.agg(
+                F.count_distinct("user_id").alias("exact_users")
+            ).select(F.lit("__all__").alias("event_type"), "exact_users")
+        )
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.lit(0.05).alias("rel_err_bound"),
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @query(

@@ -9,6 +9,10 @@ so the NEXT drift is one loud, named failure.
 
 from __future__ import annotations
 
+import os
+import time
+from pathlib import Path
+
 import pytest
 
 from kinesis_adapter_spark import catalog
@@ -126,3 +130,148 @@ def test_fresh_staging_rebuilds_on_source_change(tmp_path):
     staging2 = fresh_staging(out, src)
     assert staging2 is not None
     assert not (out / "data.txt").exists(), "stale staging survived"
+
+
+def test_publish_fingerprinted_content_addressed(tmp_path):
+    """VERDICT r14 item #3: a fingerprint change publishes a NEW
+    sibling directory — the old one is never deleted or renamed-over,
+    so a concurrent reader's path stays valid; a cache hit never
+    re-stages; a lost rename race falls back to the winner's copy."""
+    from kinesis_adapter_spark.sources.scans import publish_fingerprinted
+
+    base = tmp_path / "art.parquet"
+    calls = []
+
+    def stage(dest):
+        calls.append(dest)
+        p = Path(dest)
+        p.mkdir()
+        (p / "part-0").write_text("v1")
+
+    final_a = publish_fingerprinted(base, "fp-A", stage)
+    assert final_a.exists() and (final_a / "part-0").read_text() == "v1"
+    assert final_a.name != base.name  # tag embedded in the name
+    # cache hit: same fp, no restage
+    assert publish_fingerprinted(base, "fp-A", stage) == final_a
+    assert len(calls) == 1
+
+    # fingerprint miss (regenerated source): republish as a SIBLING,
+    # the old artifact untouched — the race-window class is gone
+    def stage2(dest):
+        calls.append(dest)
+        p = Path(dest)
+        p.mkdir()
+        (p / "part-0").write_text("v2")
+
+    final_b = publish_fingerprinted(base, "fp-B", stage2)
+    assert final_b != final_a and len(calls) == 2
+    assert (final_a / "part-0").read_text() == "v1"  # still readable
+    assert (final_b / "part-0").read_text() == "v2"
+
+    # lost rename race: a concurrent winner created the final mid-
+    # stage; the loser must discard its tmp and serve the winner's
+    def stage_racing(dest):
+        p = Path(dest)
+        p.mkdir()
+        (p / "part-0").write_text("loser")
+        winner = base.parent / Path(dest).name.split(".tmp-")[0][1:]
+        winner.mkdir()
+        (winner / "part-0").write_text("winner")
+
+    final_c = publish_fingerprinted(base, "fp-C", stage_racing)
+    assert (final_c / "part-0").read_text() == "winner"
+    assert not list(tmp_path.glob(".*tmp*")), "loser tmp not cleaned"
+
+
+def test_reap_stale_fingerprints(tmp_path, monkeypatch):
+    """Dead-fingerprint siblings, the legacy shared-name artifact (and
+    its .src marker), and dead-pid tmps are collected once past the
+    age grace and with no live foreign run; the kept artifact and
+    young/live entries survive."""
+    from kinesis_adapter_spark import staging
+    from kinesis_adapter_spark.sources.scans import reap_stale_fingerprints
+
+    monkeypatch.setattr(staging, "live_foreign_runs", lambda: [])
+    base = tmp_path / "art.parquet"
+    keep = tmp_path / "art-aaaa.parquet"
+    stale = tmp_path / "art-bbbb.parquet"
+    legacy = tmp_path / "art.parquet"
+    for d in (keep, stale, legacy):
+        d.mkdir()
+    (tmp_path / "art.parquet.src").write_text("fp")
+    dead_tmp = tmp_path / ".art-cccc.parquet.tmp-999999"
+    dead_tmp.mkdir()
+    live_tmp = tmp_path / f".art-dddd.parquet.tmp-{os.getpid()}"
+    live_tmp.mkdir()
+    old = time.time() - 3600
+    for d in (stale, legacy, dead_tmp, live_tmp):
+        os.utime(d, (old, old))
+
+    # young entries survive even when stale
+    young = tmp_path / "art-eeee.parquet"
+    young.mkdir()
+    reaped = reap_stale_fingerprints(base, keep=keep, grace_sec=1800.0)
+    assert sorted(reaped) == [
+        ".art-cccc.parquet.tmp-999999", "art-bbbb.parquet", "art.parquet",
+    ]
+    assert keep.exists() and young.exists() and live_tmp.exists()
+    assert not stale.exists() and not legacy.exists()
+    assert not (tmp_path / "art.parquet.src").exists()
+
+    # a live foreign run defers ALL reaping
+    os.utime(young, (old, old))
+    monkeypatch.setattr(staging, "live_foreign_runs", lambda: ["kas_run_1"])
+    assert reap_stale_fingerprints(base, keep=keep, grace_sec=0.0) == []
+    assert young.exists()
+
+
+def test_publish_fingerprinted_concurrent_reader(tmp_path):
+    """The two-process race the content-addressed scheme exists to
+    close (VERDICT r14 item #3): a second engine holding a published
+    artifact path must NEVER hit FileNotFound while this engine
+    republishes changed fingerprints and runs the reaper — publication
+    never deletes, and reaping defers via the age grace."""
+    import multiprocessing as mp
+
+    from kinesis_adapter_spark.sources.scans import (
+        publish_fingerprinted,
+        reap_stale_fingerprints,
+    )
+
+    base = tmp_path / "art.parquet"
+
+    def stage_v(tag):
+        def stage(dest):
+            p = Path(dest)
+            p.mkdir()
+            (p / "part-0").write_text(tag)
+
+        return stage
+
+    first = publish_fingerprinted(base, "fp-0", stage_v("v0"))
+    stop = mp.Event()
+    errs: "mp.Queue" = mp.Queue()
+
+    def reader(path: str) -> None:
+        while not stop.is_set():
+            try:
+                with open(path + "/part-0") as f:
+                    assert f.read() == "v0"
+            except Exception as e:  # noqa: BLE001 — reported to parent
+                errs.put(repr(e))
+                return
+        errs.put(None)
+
+    proc = mp.Process(target=reader, args=(str(first),))
+    proc.start()
+    try:
+        for i in range(1, 40):
+            final = publish_fingerprinted(base, f"fp-{i}", stage_v(f"v{i}"))
+            # default grace defers deletion of young siblings — the
+            # reader's fp-0 copy survives the whole republish storm
+            reap_stale_fingerprints(base, keep=final)
+    finally:
+        stop.set()
+        proc.join(10)
+    assert errs.get(timeout=10) is None, "concurrent reader hit an error"
+    assert (first / "part-0").read_text() == "v0"

@@ -16,28 +16,46 @@ load_all_modules()
 
 
 def test_approx_distinct_within_tolerance(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["agg_approx_distinct"](spark, SF_TEST).collect()
+    """Raw HLL++ estimate within ±5% of truth (via the private frame —
+    the registered key now emits the bound CHECK, r15), and the
+    registered surface's within_bound must read all-true with exacts
+    matching the independent exact key."""
+    from kinesis_adapter_spark.operators.aggregates import (
+        _approx_distinct_frame,
+    )
+
+    raw = {
+        r["event_type"]: (r["approx_users"], r["exact_users"])
+        for r in _approx_distinct_frame(spark, SF_TEST).collect()
     }
     exact = {
         r["event_type"]: r["n_users"]
         for r in QUERIES["agg_count_distinct"](spark, SF_TEST).collect()
     }
-    assert approx.keys() == exact.keys()
+    assert raw.keys() == exact.keys()
     for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] <= 0.05, (k, approx[k], exact[k])
+        a, e = raw[k]
+        assert e == exact[k]
+        assert abs(a - e) / e <= 0.05, (k, a, e)
+    for r in QUERIES["agg_approx_distinct"](spark, SF_TEST).collect():
+        assert r["within_bound"] is True and r["rel_err_bound"] == 0.05
+        assert r["exact_users"] == exact[r["event_type"]]
 
 
 def test_approx_percentile_within_tolerance(spark):
-    """Sketch p50/p90/p99 must sit within 2% relative error of exact
-    quantiles (events-based exact key covers a different column, so
-    compute the exact orders quantiles inline)."""
+    """Raw sketch p50/p90/p99 must sit within 2% relative error of
+    exact quantiles (via the private frame — the registered key now
+    emits the rank-error bracket CHECK, r15), and the registered
+    surface's *_ok booleans must read all-true."""
     import duckdb
+
+    from kinesis_adapter_spark.operators.aggregates import (
+        _approx_percentile_frame,
+    )
 
     approx = {
         r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
-        for r in QUERIES["agg_approx_percentile"](spark, SF_TEST).collect()
+        for r in _approx_percentile_frame(spark, SF_TEST).collect()
     }
     con = duckdb.connect()
     exact = {
@@ -52,6 +70,9 @@ def test_approx_percentile_within_tolerance(spark):
     for s in exact:
         for a, e in zip(approx[s], exact[s]):
             assert abs(a - e) / e <= 0.02, (s, a, e)
+    for r in QUERIES["agg_approx_percentile"](spark, SF_TEST).collect():
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
+        assert r["p50_lo"] <= r["p50_hi"] <= r["p90_lo"] <= r["p99_hi"]
 
 
 def test_minhash_recall_vs_exact(spark):
@@ -103,24 +124,30 @@ def test_hll_mergeable_estimates_within_tolerance(spark):
     """agg_hll_mergeable: every per-type estimate within ±5% of its
     exact count, and the UNIONED global estimate within ±5% of the
     true global distinct — the union must not double-count users
-    active in several event types."""
+    active in several event types. Raw estimates come from the
+    private frame (the registered key now emits the bound CHECK,
+    r15); the registered surface must read all-true."""
+    from kinesis_adapter_spark.operators.aggregates import (
+        _hll_mergeable_frame,
+    )
+
     rows = {
         r["event_type"]: r
-        for r in QUERIES["agg_hll_mergeable"](spark, SF_TEST).collect()
+        for r in _hll_mergeable_frame(spark, SF_TEST).collect()
     }
     for et, r in rows.items():
-        if et == "__all__":
-            continue
         assert abs(r["estimate"] - r["exact"]) <= 0.05 * r["exact"], r
     truth = (
         spark.read.parquet(f"{SF_TEST}/events.parquet")
         .select(F.count_distinct("user_id").alias("n"))
         .collect()[0]["n"]
     )
+    assert rows["__all__"]["exact"] == truth
     glob = rows["__all__"]["estimate"]
-    assert abs(glob - truth) <= 0.05 * truth, (glob, truth)
     # union ≪ sum of per-type counts (users overlap across types)
     assert glob < sum(r["exact"] for et, r in rows.items() if et != "__all__")
+    for r in QUERIES["agg_hll_mergeable"](spark, SF_TEST).collect():
+        assert r["within_bound"] is True and r["rel_err_bound"] == 0.05, r
 
 
 def test_observe_metrics_match_data(spark):
@@ -239,9 +266,13 @@ def test_stream_hll_rollup_matches_exact_distincts(spark):
     exact distinct counts, with multiple sketches actually merged per
     type (several micro-batches) and no double-counting of users
     active in many batches/types."""
+    from kinesis_adapter_spark.streaming.pipelines import (
+        _stream_hll_rollup_frame,
+    )
+
     rows = {
         r["event_type"]: r
-        for r in QUERIES["stream_hll_rollup"](spark, SF_TEST).collect()
+        for r in _stream_hll_rollup_frame(spark, SF_TEST).collect()
     }
     ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
     exact = {
@@ -256,6 +287,10 @@ def test_stream_hll_rollup_matches_exact_distincts(spark):
         est = rows[et]["est_users"]
         assert abs(est - truth) <= 0.05 * truth, (et, est, truth)
     assert rows["__all__"]["n_sketches"] > len(exact) - 1  # >1 batch per type merged
+    # registered surface (bound-checked as of r15): all-true, exacts match
+    for r in QUERIES["stream_hll_rollup"](spark, SF_TEST).collect():
+        assert r["within_bound"] is True and r["rel_err_bound"] == 0.05, r
+        assert r["exact_users"] == exact[r["event_type"]]
 
 
 def test_ann_range_threshold_off_rounding_boundary(spark):
@@ -3509,6 +3544,37 @@ def test_iterative_graph_keys_release_every_persist(spark):
         assert persist_state() == before, f"{key} leaked a persist"
 
 
+def test_materialize_iterative_per_call_paths(spark, tmp_path):
+    """ADVICE r14: _materialize_iterative must stage each call under a
+    UNIQUE path — a frame returned by an earlier call stays readable
+    after a later call for the same (name, sf-basename), and two
+    sf_dirs sharing a basename don't collide."""
+    from kinesis_adapter_spark.operators.insights import (
+        _materialize_iterative,
+    )
+
+    a_dir = tmp_path / "a" / "sfX"
+    b_dir = tmp_path / "b" / "sfX"  # same basename, different sf_dir
+    a_dir.mkdir(parents=True)
+    b_dir.mkdir(parents=True)
+
+    f1 = _materialize_iterative(
+        spark, spark.range(3).selectExpr("id AS v"), "itertest",
+        str(a_dir), release=(),
+    )
+    f2 = _materialize_iterative(
+        spark, spark.range(5).selectExpr("id AS v"), "itertest",
+        str(a_dir), release=(),
+    )
+    f3 = _materialize_iterative(
+        spark, spark.range(7).selectExpr("id AS v"), "itertest",
+        str(b_dir), release=(),
+    )
+    # the earlier frame must still be readable (was: FileNotFound
+    # after the later call's overwrite of the shared path)
+    assert f1.count() == 3 and f2.count() == 5 and f3.count() == 7
+
+
 def test_bench_probe_guard_respects_budget():
     """bench._probe returns a sane sub-second reading and
     _wait_until_cool honors its wait budget even when the threshold is
@@ -3591,16 +3657,15 @@ def test_ivf_cell_local_assignment_matches_artifact_path(spark, monkeypatch):
 
 
 def test_pair_scan_boundary_guard_fires_and_gates(monkeypatch):
-    """The 6-dp rounding-boundary guard (VERDICT r13 item #6): a raw
-    cosine within SIM_BOUNDARY_EPS of the decision boundary
-    (tau - 0.5e-6) must raise the documented-class diagnostic; clear
-    values must pass through; KAS_SIM_BOUNDARY_GUARD=off must run
-    through (documented-tolerance mode)."""
+    """The 6-dp rounding-boundary guard (VERDICT r13 item #6, bands
+    re-tiered per ADVICE r14): a raw cosine within the 1e-12 HARD band
+    of the decision boundary (tau - 0.5e-6) must raise the
+    documented-class diagnostic; one in the (1e-12, 1e-10) WARN band
+    must log-and-count but run through; clear values must pass;
+    KAS_SIM_BOUNDARY_GUARD=off must run through."""
     import numpy as np
 
-    from kinesis_adapter_spark.operators.embeddings_ops import (
-        _cosine_pair_chunks,
-    )
+    from kinesis_adapter_spark.operators import embeddings_ops as eo
 
     tau = 0.9
     boundary = tau - 5e-7
@@ -3609,17 +3674,23 @@ def test_pair_scan_boundary_guard_fires_and_gates(monkeypatch):
     # off-diagonal dot = boundary exactly (norms 1): margin ~0 → raise
     m_hit = np.array([[1.0], [boundary]])
     with pytest.raises(RuntimeError, match="rounding-boundary"):
-        list(_cosine_pair_chunks(m_hit, ids, nr, tau))
+        list(eo._cosine_pair_chunks(m_hit, ids, nr, tau))
     # guard off: same input runs through
     monkeypatch.setenv("KAS_SIM_BOUNDARY_GUARD", "off")
-    got = list(_cosine_pair_chunks(m_hit, ids, nr, tau))
+    got = list(eo._cosine_pair_chunks(m_hit, ids, nr, tau))
     assert got  # chunks yielded, no raise
     monkeypatch.delenv("KAS_SIM_BOUNDARY_GUARD")
+    # warn band: margin ~5e-11 (inside 1e-10, outside 1e-12) → no
+    # raise, warn metric bumped, pairs still produced
+    before = eo._BOUNDARY_WARN_COUNT
+    m_warn = np.array([[1.0], [boundary + 5e-11]])
+    warned = list(eo._cosine_pair_chunks(m_warn, ids, nr, tau))
+    assert warned and eo._BOUNDARY_WARN_COUNT == before + 1
     # clear of the boundary: normal operation, qualifying pair found
     m_ok = np.array([[1.0], [0.95]])
     pairs = [
         (int(g[0]), int(j[0]), float(s[0]))
-        for g, j, s in list(_cosine_pair_chunks(m_ok, ids, nr, tau))
+        for g, j, s in list(eo._cosine_pair_chunks(m_ok, ids, nr, tau))
         if len(g)
     ]
     assert pairs == [(0, 1, 0.95)]

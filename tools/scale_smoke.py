@@ -680,6 +680,144 @@ def smoke_minhash_vocab_growth(spark, factor: int, scaled: str) -> dict:
     }
 
 
+def smoke_ivf_cell_local_crossover(spark, factor: int, scaled: str) -> dict:
+    """`_ivf_assign_cell_local` ABOVE its threshold (VERDICT r14 next
+    #1 — the one r14 feature that shipped with only below-threshold
+    evidence): time ONE IVF assignment pass of the ``factor``×-tier
+    corpus against seed tables straddling IVF_CELL_LOCAL_K, through
+    BOTH paths at every tier.
+
+    Seed construction follows the VERDICT's own recipe: the seed table
+    is the scaled corpus sign-flip-replicated (disjoint generations,
+    the build_scaled_dir principle — every generation is an isometric
+    copy whose cross-generation cosines collapse to noise) and
+    dense-renumbered, then routed/written by the PRODUCTION
+    _stage_ivf_seed_routing. k values: half the threshold (where the
+    artifact path should win — the r14 toy measurement's regime) and
+    1.2× the threshold (the regime the cell-local path exists for).
+    Each (path, k) cell runs warm-then-timed; both paths' assignment
+    maps are checksummed and must agree (the equivalence pytest's
+    pin, re-verified at this scale)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from kinesis_adapter_spark.operators import embeddings_ops as eo
+
+    e = (
+        spark.read.parquet(str(Path(scaled) / "embeddings.parquet"))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+        )
+    )
+    n_corpus = e.count()
+    thr = eo.IVF_CELL_LOCAL_K
+    k_tiers = [thr // 2, int(thr * 1.2)]
+    k_max = max(k_tiers)
+
+    # seed source: enough sign-flip generations of the corpus to cover
+    # k_max, dense-renumbered (row_number over a deterministic order —
+    # a one-task sort of seed-sized metadata, untimed staging)
+    gens = -(-int(k_max * 1.05) // n_corpus)
+    parts = []
+    for g in range(gens):
+        rep = e
+        if g > 0:
+            sign = lambda idx, _g=g: F.when(  # noqa: E731
+                F.pmod(F.hash(F.lit(1000 + _g), idx), F.lit(2)) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            rep = rep.withColumn(
+                "x", F.transform("x", lambda x, idx: x * sign(idx))
+            )
+        parts.append(rep.withColumn("gen", F.lit(g)))
+    seed_src = parts[0]
+    for p in parts[1:]:
+        seed_src = seed_src.unionByName(p)
+    seed_src = seed_src.select(
+        (
+            F.row_number().over(Window.orderBy("gen", "vec_id")) - 1
+        ).alias("vec_id"),
+        "x",
+    )
+
+    def checksum(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cluster").alias("s"),
+            F.sum(
+                F.crc32(F.concat_ws(",", "vec_id", "cluster"))
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], int(row["s"]), int(row["h"]))
+
+    rows = []
+    agree = True
+    for k in k_tiers:
+        import math
+
+        kc = max(2, int(math.floor(math.sqrt(float(k)))))
+        art = Path(f"/tmp/kas_scale_x{factor}_ivfseed_k{k}")
+        marker = art / "_SUCCESS_SMOKE"
+        fp = _base_fingerprint() + f"|ivfseed-v1|k{k}"
+        if not (marker.exists() and marker.read_text() == fp):
+            if art.exists():
+                import shutil
+
+                shutil.rmtree(art)
+            eo._stage_ivf_seed_routing(seed_src, k, kc, str(art))
+            marker.write_text(fp)
+        timings = {}
+        sums = {}
+        for path_name in ("artifact", "cell_local"):
+            saved = eo.IVF_CELL_LOCAL_K
+            if path_name == "artifact":
+                eo.IVF_CELL_LOCAL_K = 1 << 60
+            else:
+                os.environ["KAS_IVF_CELL_LOCAL"] = "force"
+            try:
+                fn = lambda: checksum(  # noqa: E731
+                    eo._ivf_two_level_assign(e, k, kc, seed_table=str(art))
+                )
+                sums[path_name] = fn()  # warm (page cache, codegen)
+                t0 = time.perf_counter()
+                fn()
+                timings[path_name] = round(time.perf_counter() - t0, 3)
+            finally:
+                eo.IVF_CELL_LOCAL_K = saved
+                os.environ.pop("KAS_IVF_CELL_LOCAL", None)
+        same = sums["artifact"] == sums["cell_local"]
+        agree = agree and same
+        rows.append(
+            {
+                "k": k,
+                "kc": kc,
+                "artifact_sec": timings["artifact"],
+                "cell_local_sec": timings["cell_local"],
+                "cell_local_over_artifact": round(
+                    timings["cell_local"] / timings["artifact"], 3
+                ),
+                "paths_agree": same,
+                "n_assigned": sums["artifact"][0],
+            }
+        )
+        print(json.dumps({"op": "ivf_cell_local_tier", **rows[-1]}))
+    above = rows[-1]
+    return {
+        "op": "ivf_cell_local_crossover",
+        "table": "embeddings (sign-flip seed generations)",
+        "t_1x_sec": above["artifact_sec"],
+        f"t_{factor}x_sec": above["cell_local_sec"],
+        # <1.0 ⇒ the cell-local path WINS above the threshold
+        "ratio": above["cell_local_over_artifact"],
+        "factor": factor,
+        "n_corpus": n_corpus,
+        "tiers": rows,
+        "paths_agree": agree,
+    }
+
+
 SPECIAL_SMOKES = {
     "join_spatial_grid_area": lambda spark, factor, scaled: smoke_spatial_area(
         spark, factor
@@ -688,6 +826,7 @@ SPECIAL_SMOKES = {
     "cc_stars_build": smoke_cc_stars_build,
     "cc_prop_build": smoke_cc_prop_build,
     "minhash_vocab_growth": smoke_minhash_vocab_growth,
+    "ivf_cell_local_crossover": smoke_ivf_cell_local_crossover,
 }
 
 
