@@ -1591,7 +1591,17 @@ def _stage_ivf_seed_routing(e: DataFrame, k: int, kc: int, out_dir: str):
 #: above this fine-seed count the artifact-read assignment path stops
 #: scaling (every task re-reads all k·d seed doubles — ~51 MB at
 #: k=10⁵, d=64; ~0.5 GB at 10⁶) and _ivf_two_level_assign switches to
-#: the cell-local cogroup path. KAS_IVF_CELL_LOCAL=force exercises the
+#: the cell-local cogroup path. MEASURED r15 (SCALE.md §r15, 128k-row
+#: corpus, local[32], both paths checksum-identical at every tier):
+#: artifact/cell-local wall 3.5/9.7 s at k=25k, 11.2/14.4 at 60k,
+#: 19.4/16.8 at 100k, 57.8/30.0 at 240k — the artifact path grows
+#: ~superlinearly in k (32 workers × whole-artifact deserialize) while
+#: cell-local grows gently, crossing at k≈80k under local 4k-row
+#: tasks. The binding criterion is k vs ROWS-PER-TASK (aggregate
+#: artifact read = k·d·8·n_tasks vs one corpus+seed shuffle), so at
+#: production partition sizes (~10⁵-10⁶ rows/task at 128 MB) 200k is
+#: the conservative switch point; the k ∝ n regimes this path exists
+#: for (10⁶+) are deep in its winning range.
 #: path at any k (the equivalence pytest pins identical assignments).
 IVF_CELL_LOCAL_K = 200_000
 
