@@ -287,12 +287,30 @@ ANCHORS = {
 PROBE_REF_SEC = 0.0096
 #: probe readings above HOT_FACTOR x reference mean "host is busy"
 PROBE_HOT_FACTOR = 1.5
-#: effective reference used by the guard; main() may raise it above
-#: the committed pin when the host's measured idle floor shows this is
-#: a slower machine (ADVICE r14: a pin-only guard on a slower host
-#: reads permanently hot and burns the full wait budget — hours — while
-#: recording an idle host as contaminated).
+#: idle-noise headroom for the hot threshold (r16): on hosts whose
+#: BLAS build/thread budget differs from the pin host (observed: a
+#: MAX_THREADS=2 OpenBLAS reading 5-20x the pin AT IDLE with a 1.3-4x
+#: idle spread), a pure factor-over-floor rule classifies idle noise
+#: as contamination forever; the threshold therefore also clears the
+#: measured idle ceiling (robust second-max of the calibration
+#: window) by this margin.
+PROBE_NOISE_HEADROOM = 1.25
+#: total seconds the run may spend SLEEPING in wait-until-cool across
+#: all queries (r16): the r15 guard allowed 120s per query per attempt
+#: — on a host whose idle floor defeats the threshold that is hours of
+#: sleep for a ~25-minute bench. Once the budget is gone each gate is
+#: a single recorded probe, never a wait.
+WAIT_BUDGET_TOTAL_SEC = 240.0
+#: effective reference used by the guard; _calibrate_guard() raises it
+#: above the committed pin when the host's measured idle floor shows
+#: this is a slower machine (ADVICE r14: a pin-only guard on a slower
+#: host reads permanently hot and burns the full wait budget — hours —
+#: while recording an idle host as contaminated).
 _REF_SEC = PROBE_REF_SEC
+#: probe readings above this are "hot" (set by _calibrate_guard)
+_HOT_SEC = PROBE_HOT_FACTOR * PROBE_REF_SEC
+#: remaining global sleep budget (list so tests can reset it)
+_WAIT_BUDGET = [WAIT_BUDGET_TOTAL_SEC]
 _PROBE_ARR = None
 
 
@@ -312,45 +330,73 @@ def _probe() -> float:
     return statistics.median(samples)
 
 
-def _calibrate_ref_fallback() -> float:
-    """Measured-idle-floor fallback, taken ONLY after the initial
-    cool-down exhausted its full 300s budget without one cool reading —
-    persistent evidence this host is slower (or differently-threaded)
-    than the of-record pin, not a transient burst (ADVICE r14: a
-    pin-only guard on such a host reads permanently hot and burns every
-    wait budget, recording an idle host as contaminated).
+def _calibrate_guard(n: int = 8, spacing_sec: float = 0.5) -> dict:
+    """Startup guard calibration (r16 measurement fix, replacing the
+    r15 'exhaust the 300s cool-down, then fall back' flow): ALWAYS
+    sample the idle probe cost up front and derive BOTH the effective
+    reference and the hot threshold from it.
 
-    Floor = min of 10 probes spaced 1s apart (spaced so a multi-second
-    burst cannot contaminate all of them); never below the pin itself.
-    Returns the new effective reference.
+    Why: the r15 guard compared every probe to 1.5x a floor. On the
+    r16 host (OpenBLAS MAX_THREADS=2, ~5-20x the pin at idle, idle
+    spread 1.3-4x) idle noise exceeded that factor permanently, so the
+    guard slept its full budget before EVERY query — hours of wait for
+    a 25-minute bench — while recording an idle host as contaminated.
+    The fix: the floor (min of spaced samples; a multi-second burst
+    cannot contaminate all of them) sets the reference, and the hot
+    threshold additionally clears the measured idle CEILING (robust
+    second-max, dropping one outlier) by PROBE_NOISE_HEADROOM. On a
+    pin-class host (floor <= 1.5x pin) the pin is kept and the
+    threshold reduces to the r15 rule, so of-record comparability is
+    preserved exactly where the pin is meaningful.
     """
-    global _REF_SEC
+    global _REF_SEC, _HOT_SEC
     samples = []
-    for _ in range(10):
+    for i in range(n):
         samples.append(_probe())
-        time.sleep(1.0)
-    floor = max(min(samples), PROBE_REF_SEC)
-    print(
-        f"bench: initial cool-down never read cool vs the pin "
-        f"({PROBE_REF_SEC}s); using measured idle floor {floor:.4f}s "
-        f"as the guard reference",
-        file=sys.stderr,
+        if i < n - 1:
+            time.sleep(spacing_sec)
+    floor = min(samples)
+    pin_kept = floor <= PROBE_HOT_FACTOR * PROBE_REF_SEC
+    _REF_SEC = PROBE_REF_SEC if pin_kept else floor
+    ceiling = sorted(samples)[-2] if n >= 2 else samples[0]
+    _HOT_SEC = max(
+        PROBE_HOT_FACTOR * _REF_SEC, PROBE_NOISE_HEADROOM * ceiling
     )
-    _REF_SEC = floor
-    return floor
+    if not pin_kept:
+        print(
+            f"bench: idle probe floor {floor:.4f}s exceeds the pin "
+            f"({PROBE_REF_SEC}s x{PROBE_HOT_FACTOR}); slower host — "
+            f"guard reference {_REF_SEC:.4f}s, hot above {_HOT_SEC:.4f}s",
+            file=sys.stderr,
+        )
+    return {
+        "samples": [round(s, 4) for s in samples],
+        "pin_kept": pin_kept,
+        "ref_sec": round(_REF_SEC, 4),
+        "hot_sec": round(_HOT_SEC, 4),
+    }
 
 
 def _wait_until_cool(max_wait_sec: float) -> tuple[float, bool]:
-    """Probe until the host reads cool or the wait budget runs out;
-    returns (last probe reading, cool?)."""
-    deadline = time.perf_counter() + max_wait_sec
-    while True:
-        p = _probe()
-        if p <= PROBE_HOT_FACTOR * _REF_SEC:
-            return p, True
-        if time.perf_counter() >= deadline:
-            return p, False
-        time.sleep(5.0)
+    """Probe until the host reads cool, the per-call wait budget runs
+    out, or the GLOBAL sleep budget (_WAIT_BUDGET) is exhausted;
+    returns (last probe reading, cool?). Sleep time is drawn from the
+    global budget so a host the guard cannot read as cool costs the
+    run a bounded number of minutes total, never per query (r16)."""
+    start = time.perf_counter()
+    deadline = start + min(max_wait_sec, _WAIT_BUDGET[0])
+    try:
+        while True:
+            p = _probe()
+            if p <= _HOT_SEC:
+                return p, True
+            if time.perf_counter() >= deadline:
+                return p, False
+            time.sleep(2.0)
+    finally:
+        _WAIT_BUDGET[0] = max(
+            0.0, _WAIT_BUDGET[0] - (time.perf_counter() - start)
+        )
 
 
 def time_query(fn, spark, sf_dir: str, runs: int = 5) -> list[float]:
@@ -377,19 +423,15 @@ def main() -> None:
 
     entries = {**HEADLINE, **EXTRAS}
 
-    # Initial cool-down (bounded): a bench launched right after the
-    # full suite (the r13 driver context) starts hot; give the host up
-    # to 5 minutes to settle before anything is staged or timed. If the
-    # pin NEVER reads cool across the whole budget, this machine's idle
-    # floor is above the pin — recalibrate to a measured floor so the
-    # per-query guards detect relative contamination instead of
-    # sleeping every budget (ADVICE r14).
-    p0, cool0 = _wait_until_cool(max_wait_sec=300.0)
-    pin_kept = True
-    if not cool0:
-        _calibrate_ref_fallback()
-        pin_kept = False
-        p0, cool0 = _wait_until_cool(max_wait_sec=60.0)
+    # Guard calibration (r16): sample the idle probe cost up front and
+    # set reference + hot threshold from it (see _calibrate_guard — the
+    # r15 pin-factor rule read a slower-BLAS host as permanently hot).
+    # Then one bounded cool-down before anything is staged or timed: a
+    # bench launched right after the full suite (the r13 driver
+    # context) starts hot.
+    cal = _calibrate_guard()
+    pin_kept = cal["pin_kept"]
+    p0, cool0 = _wait_until_cool(max_wait_sec=120.0)
 
     # Staging pre-pass: one untimed execution of every bench entry, so
     # every fingerprint-staged artifact (IVF layouts, DPP/interval/
@@ -410,7 +452,7 @@ def main() -> None:
             pb, _ = _wait_until_cool(max_wait_sec=120.0)
             samples = time_query(QUERIES[key], spark, sf_dir)
             pa = _probe()
-            if pa <= PROBE_HOT_FACTOR * _REF_SEC or attempt == 2:
+            if pa <= _HOT_SEC or attempt == 2:
                 break
             # host went hot DURING the timed block: the samples
             # measured load, not code — discard and retry
@@ -437,6 +479,9 @@ def main() -> None:
             "effective_ref_sec": round(_REF_SEC, 4),
             "pin_kept": pin_kept,
             "hot_factor": PROBE_HOT_FACTOR,
+            "hot_sec": round(_HOT_SEC, 4),
+            "calibration": cal["samples"],
+            "wait_budget_left_sec": round(_WAIT_BUDGET[0], 1),
             "initial": [round(p0, 4), cool0],
             "floor": round(min(all_probes), 4),
             "worst": round(max(all_probes), 4),

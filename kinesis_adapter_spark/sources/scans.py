@@ -107,6 +107,11 @@ def publish_fingerprinted(base: Path, fp: str, stage_fn) -> Path:
     if final.exists():
         return final
     tmp = base.parent / f".{final.name}.tmp-{os.getpid()}"
+    # a prior attempt in THIS process may have left the tmp behind
+    # (stage_fn raised before the rename): clear it so a retry with a
+    # default-errorifexists stage_fn cannot fail on its own leftovers
+    # (ADVICE r15)
+    shutil.rmtree(tmp, ignore_errors=True)
     stage_fn(str(tmp))
     try:
         os.rename(tmp, final)

@@ -3578,46 +3578,67 @@ def test_materialize_iterative_per_call_paths(spark, tmp_path):
 def test_bench_probe_guard_respects_budget():
     """bench._probe returns a sane sub-second reading and
     _wait_until_cool honors its wait budget even when the threshold is
-    impossible (ref forced to 0 → every probe reads 'hot' → it must
-    return not-cool within the budget rather than spin forever)."""
+    impossible (hot threshold forced to 0 → every probe reads 'hot' →
+    it must return not-cool within the budget rather than spin
+    forever), and draws its sleep time from the GLOBAL budget (r16)."""
     import time as _time
 
     import bench
 
     p = bench._probe()
     assert 0 < p < 1.0
-    old = bench._REF_SEC
+    old_hot, old_budget = bench._HOT_SEC, bench._WAIT_BUDGET[0]
     try:
-        bench._REF_SEC = 0.0  # unreachably cool
+        bench._HOT_SEC = 0.0  # unreachably cool
+        bench._WAIT_BUDGET[0] = bench.WAIT_BUDGET_TOTAL_SEC
         t0 = _time.perf_counter()
         reading, cool = bench._wait_until_cool(max_wait_sec=0.5)
         assert not cool and reading > 0
         assert _time.perf_counter() - t0 < 30.0
+        assert bench._WAIT_BUDGET[0] < bench.WAIT_BUDGET_TOTAL_SEC
+        # exhausted global budget → a gate is one probe, no sleep
+        bench._WAIT_BUDGET[0] = 0.0
+        t0 = _time.perf_counter()
+        reading, cool = bench._wait_until_cool(max_wait_sec=120.0)
+        assert not cool and _time.perf_counter() - t0 < 5.0
     finally:
-        bench._REF_SEC = old
+        bench._HOT_SEC, bench._WAIT_BUDGET[0] = old_hot, old_budget
 
 
-def test_bench_probe_fallback_calibration(monkeypatch):
-    """When the initial cool-down exhausts its budget (slower host than
-    the of-record pin — ADVICE r14), _calibrate_ref_fallback adopts the
-    measured idle floor as the effective reference: never below the
-    committed pin, and equal to the min of its spaced probe samples
-    when that min exceeds the pin."""
+def test_bench_guard_calibration(monkeypatch):
+    """_calibrate_guard (r16): on a slower host the floor of the
+    spaced samples becomes the reference and the hot threshold clears
+    the measured idle ceiling (second-max x headroom) — the r15
+    pin-factor rule read such a host's IDLE noise as permanent
+    contamination and slept every wait budget. On a pin-class host the
+    pin is kept and the threshold reduces to the r15 factor rule."""
     import bench
 
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    fake = iter([0.05, 0.04, 0.06, 0.041, 0.05, 0.07, 0.04, 0.05, 0.06, 0.05])
+    fake = iter([0.05, 0.04, 0.18, 0.041, 0.05, 0.07, 0.12, 0.05])
     monkeypatch.setattr(bench, "_probe", lambda: next(fake))
-    old = bench._REF_SEC
+    old = (bench._REF_SEC, bench._HOT_SEC)
     try:
-        floor = bench._calibrate_ref_fallback()
-        assert floor == 0.04  # min of the fake samples, > pin
-        assert bench._REF_SEC == floor
-        # and with a floor BELOW the pin, the pin is the lower bound
-        monkeypatch.setattr(bench, "_probe", lambda: 0.0001)
-        assert bench._calibrate_ref_fallback() == bench.PROBE_REF_SEC
+        cal = bench._calibrate_guard()
+        assert not cal["pin_kept"]
+        assert bench._REF_SEC == 0.04  # floor of the samples, > pin
+        # ceiling = second-max (0.12, the 0.18 outlier dropped)
+        assert abs(bench._HOT_SEC - 0.12 * bench.PROBE_NOISE_HEADROOM) < 1e-9
+        # idle-class readings now gate cool, a genuine burst reads hot
+        assert 0.12 <= bench._HOT_SEC < 0.18
+        # pin-class host: floor within factor of the pin → pin kept,
+        # threshold at least the r15 rule
+        fake2 = iter([bench.PROBE_REF_SEC * 1.1] * 8)
+        monkeypatch.setattr(bench, "_probe", lambda: next(fake2))
+        cal2 = bench._calibrate_guard()
+        assert cal2["pin_kept"]
+        assert bench._REF_SEC == bench.PROBE_REF_SEC
+        assert (
+            bench._HOT_SEC
+            >= bench.PROBE_HOT_FACTOR * bench.PROBE_REF_SEC - 1e-12
+        )
     finally:
-        bench._REF_SEC = old
+        bench._REF_SEC, bench._HOT_SEC = old
 
 
 def test_ivf_cell_local_assignment_matches_artifact_path(spark, monkeypatch):
