@@ -476,14 +476,28 @@ def _lsh_tuning_oracle() -> str:
     """
 
 
-def _lsh_tuning_pair_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_tuning_pair_agg(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """The pair relation + the ONE aggregation pass over it that
     dedup_lsh_tuning collects its single metadata row from. Private
     builder shared with tests/test_plans.py's single-agg plan pin so
     the pinned plan IS the shipped code path (ADVICE r11: a
     hand-reconstructed proxy plan in the test would keep passing if
-    the key regressed to a per-config agg loop)."""
-    sh = capped_shingles(mutated_documents(spark, sf_dir))
+    the key regressed to a per-config agg loop).
+
+    ``shingles`` lets the caller hand in a persisted capped-shingle
+    frame (r16, guide §1.2/§5): the relation feeds THREE consumers
+    (both self-join sides + sizes) and the optimizer reuses none of
+    them — the executed plan carried the tokenize + df-cap-window
+    subtree 4x (4 Window nodes, 16 parquet scans, 0 ReusedExchange).
+    The key persists it for the one bounded collect and releases it
+    before returning; same rows in, same sums out."""
+    sh = (
+        shingles
+        if shingles is not None
+        else capped_shingles(mutated_documents(spark, sf_dir))
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b_ = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -548,8 +562,15 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is exact integer arithmetic on both engines; s50 literals are
     Python-computed constants shared verbatim."""
     # bounded: ONE row of sums, built by the shared private builder
-    # whose plan the test pins (the shipped code path, not a proxy)
-    row = _lsh_tuning_pair_agg(spark, sf_dir).collect()[0]
+    # whose plan the test pins (the shipped code path, not a proxy).
+    # r16: the capped-shingle relation is pinned for the single
+    # collect (3 consumers, no optimizer reuse — see the builder
+    # docstring) and released before returning (cache-hygiene rule).
+    sh = capped_shingles(mutated_documents(spark, sf_dir)).persist()
+    try:
+        row = _lsh_tuning_pair_agg(spark, sf_dir, shingles=sh).collect()[0]
+    finally:
+        sh.unpersist()
     out = [
         (
             b,
@@ -3630,31 +3651,66 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded scores hash-match. One token pass feeds tf, dl, df, and N;
     the per-term idf table and the two scalars broadcast. Shared by
     text_bm25_topk and the RRF fusion key."""
+    # r16 (guide §2.3/§2.4): the r15 shape fed FOUR consumers (dl, st,
+    # tf, idf) from the token explode and the optimizer reused none —
+    # four corpus tokenize passes per score. Now ONE per-doc wide
+    # aggregate (dl + a tf column per fixed query term, map-side
+    # partial) carries everything: the (n, avgdl, df*) scalars reduce
+    # from it in a 1-row agg (second tokenize pass — the only other
+    # one), and the per-(doc, present-term) rows unpivot from it
+    # map-only. Operands reaching bm25_part_expr are value-identical
+    # (tf/df integer counts cast double, dl an exact BIGINT, avgdl the
+    # same exact-integer-sum division), so the 6-dp scores are
+    # unchanged.
     d = load(spark, sf_dir, "documents")
     tk = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
     ).filter(F.col("w").rlike("^[a-z]+$"))
-    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    st = dl.agg(
+    terms = list(BM25_TERMS)
+    wide = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0))
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = wide.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
     )
-    terms = list(BM25_TERMS)
-    tf = (
-        tk.filter(F.col("w").isin(terms))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    tfl = (
+        wide.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("w"), F.col(f"tf{i}").alias("tf")
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "dl", F.col("z.w").alias("w"), F.col("z.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
-    idf = (
-        tk.filter(F.col("w").isin(terms))
-        .groupBy("w")
-        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
-    )
+    dfcase = F.when(F.col("w") == terms[0], F.col("df0"))
+    for i in range(1, len(terms)):
+        dfcase = dfcase.when(F.col("w") == terms[i], F.col(f"df{i}"))
     part = bm25_part_expr()
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "w")
-        .crossJoin(F.broadcast(st))
+        tfl.crossJoin(F.broadcast(stats))
+        .withColumn("df", dfcase)
         .groupBy("doc_id")
         .agg(F.round(F.sum(part), 6).alias("score"))
     )

@@ -1973,7 +1973,24 @@ def _logreg_fit(spark: SparkSession, sf_dir: str) -> list[float]:
     model metadata — never data. The oracle replays the identical
     dataflow as an unrolled plain-CTE chain (the emb_kmeans_lloyd /
     vocab_bpe_train discipline)."""
-    f = _logreg_features(spark, sf_dir)
+    # r16 (guide §1.2/§5): every GD round aggregates the SAME feature
+    # projection, and the projection is the expensive part of a round
+    # (split + array_distinct tokenization of the whole corpus). Pin
+    # the narrow numeric frame (doc_id, lang, y, x0..x3) once for the
+    # K rounds — identical values feed identical integer-micro-unit
+    # aggs, so the fitted weights are bit-identical — and release it
+    # before returning (cache-hygiene rule).
+    f = _logreg_features(spark, sf_dir).persist()
+    try:
+        return _logreg_gd_rounds(f)
+    finally:
+        f.unpersist()
+
+
+def _logreg_gd_rounds(f: DataFrame) -> list[float]:
+    """The LOGREG_ITERS GD rounds over the (persisted) feature frame —
+    split out of _logreg_fit so the cache release wraps the whole loop
+    in one try/finally (the _bpe_rounds pattern)."""
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(LOGREG_ITERS):
         pmu = (

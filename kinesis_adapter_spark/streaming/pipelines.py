@@ -55,6 +55,73 @@ from kinesis_adapter_spark.sources.scans import (
 from kinesis_adapter_spark.streaming.kinesis_sink import KinesisForeachBatchSink
 
 
+def _ensure_doc_arrivals(sf_dir: str) -> Path:
+    """documents → 3 NDJSON arrival files split by ``doc_id % 3`` —
+    the ingest fixture stream_bm25_maintain consumes. Staged ONCE per
+    source fingerprint under the derived dir (r16, guide §1.2): the
+    r15 shape re-rendered the whole corpus to JSON on the DRIVER on
+    every call, so each bench iteration timed a fixture export instead
+    of the maintenance under measurement. Same input-format-staging
+    contract as ensure_events_ndjson (the arrival files are the
+    operator's INPUT; the maintained tiers are still rebuilt from them
+    on every invocation)."""
+    import pyarrow.parquet as pq
+
+    out = derived_dir(sf_dir) / "bm25_arrivals"
+    staging = fresh_staging(out, Path(sf_dir) / "documents.parquet")
+    if staging is not None:
+        done, fp = staging
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = list(
+            zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+        )
+        for b in range(3):
+            (out / f"arrivals_{b}.json").write_text(
+                "\n".join(
+                    json.dumps({"doc_id": d, "text": t})
+                    for d, t in rows
+                    if d % 3 == b
+                )
+            )
+        done.write_text(fp)
+    return out
+
+
+def _ensure_event_arrivals(sf_dir: str) -> Path:
+    """events (event_id, event_type, user_id) → 3 NDJSON arrival files
+    split by ``event_id % 3`` — stream_kmv_maintain's ingest fixture.
+    Same once-per-fingerprint contract as _ensure_doc_arrivals."""
+    import pyarrow.parquet as pq
+
+    out = derived_dir(sf_dir) / "kmv_arrivals"
+    staging = fresh_staging(out, Path(sf_dir) / "events.parquet")
+    if staging is not None:
+        done, fp = staging
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "user_id"],
+        )
+        rows = list(
+            zip(
+                tbl.column("event_id").to_pylist(),
+                tbl.column("event_type").to_pylist(),
+                tbl.column("user_id").to_pylist(),
+            )
+        )
+        for b in range(3):
+            (out / f"arrivals_{b}.json").write_text(
+                "\n".join(
+                    json.dumps({"event_id": e, "event_type": t, "user_id": u})
+                    for e, t, u in rows
+                    if e % 3 == b
+                )
+            )
+        done.write_text(fp)
+    return out
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None):
     src_dir = ensure_events_ndjson(sf_dir)
     reader = spark.readStream.schema(EVENTS_JSON_SCHEMA)
@@ -1762,6 +1829,11 @@ def _scd2_maintain_run(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # r16 (guide §1.2 "don't compute things twice"): the batch
+        # projection is consumed by THREE actions (empty-guard,
+        # bronze append, affected-user derivation) — unpersisted, each
+        # re-parsed the micro-batch's JSON files. Persist for the
+        # batch, release before returning.
         b = (
             batch_df.filter(F.col("user_id") < 50)
             .select(
@@ -1771,27 +1843,31 @@ def _scd2_maintain_run(
                 "event_id",
             )
             .withColumn("batch_id", F.lit(batch_id))
+            .persist()
         )
-        if not b.take(1):
-            return
-        b.write.mode("append").parquet(raw_dir)
-        users = b.select("user_id").distinct()
-        raw = _dedup_replays(sess.read.parquet(raw_dir), "event_id")
-        affected = collapse_scd2(
-            raw.join(F.broadcast(users), "user_id").select(
-                "user_id", "event_type", "ts_ns", "event_id"
+        try:
+            if not b.take(1):
+                return
+            b.write.mode("append").parquet(raw_dir)
+            users = b.select("user_id").distinct()
+            raw = _dedup_replays(sess.read.parquet(raw_dir), "event_id")
+            affected = collapse_scd2(
+                raw.join(F.broadcast(users), "user_id").select(
+                    "user_id", "event_type", "ts_ns", "event_id"
+                )
             )
-        )
-        if versions:
-            kept = sess.read.parquet(versions[-1]).join(
-                F.broadcast(users), "user_id", "left_anti"
-            )
-            nxt_hist = affected.unionByName(kept)
-        else:
-            nxt_hist = affected
-        nxt = str(work / f"hist_v{len(versions)}")
-        nxt_hist.write.mode("overwrite").parquet(nxt)
-        versions.append(nxt)
+            if versions:
+                kept = sess.read.parquet(versions[-1]).join(
+                    F.broadcast(users), "user_id", "left_anti"
+                )
+                nxt_hist = affected.unionByName(kept)
+            else:
+                nxt_hist = affected
+            nxt = str(work / f"hist_v{len(versions)}")
+            nxt_hist.write.mode("overwrite").parquet(nxt)
+            versions.append(nxt)
+        finally:
+            b.unpersist()
 
     stream = (
         spark.readStream.schema(EVENTS_JSON_SCHEMA)
@@ -1906,42 +1982,41 @@ def stream_bm25_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_part_expr,
     )
 
-    import pyarrow.parquet as pq
-
     work = Path(ephemeral_dir("kas_bm25stream_"))
-    src = work / "src"
-    src.mkdir()
+    src = _ensure_doc_arrivals(sf_dir)
     dl_path = str(work / "dl")
     post_path = str(work / "postings")
-
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    rows = list(
-        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
-    )
-    for b in range(3):
-        (src / f"arrivals_{b}.json").write_text(
-            "\n".join(
-                json.dumps({"doc_id": d, "text": t})
-                for d, t in rows
-                if d % 3 == b
-            )
-        )
 
     def index_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        tk = batch_df.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
-        ).filter(F.col("w").rlike("^[a-z]+$"))
-        tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(dl_path)
-        tk.groupBy("doc_id", "w").agg(
-            F.count(F.lit(1)).alias("tf")
-        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(post_path)
+        # r16 (guide §1.2/§2.3): the r15 shape tokenized the batch
+        # TWICE (once per tier write — the exploded token relation fed
+        # both unpersisted). Now the batch is tokenized once into the
+        # per-(doc, word) postings aggregate — the SMALL frame (per-doc
+        # distinct words, not per-token rows) — which is persisted for
+        # its two consumers: the postings append, and the dl tier
+        # derived as SUM(tf) per doc (≡ the old per-token COUNT(*):
+        # every token is counted by exactly one (doc, w) tf).
+        post = (
+            batch_df.select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+            )
+            .filter(F.col("w").rlike("^[a-z]+$"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
+        )
+        try:
+            post.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(post_path)
+            post.groupBy("doc_id").agg(F.sum("tf").alias("dl")).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(dl_path)
+        finally:
+            post.unpersist()
 
     q = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -2017,52 +2092,35 @@ def stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_u_expr,
     )
 
-    import pyarrow.parquet as pq
-
     work = Path(ephemeral_dir("kas_kmvstream_"))
-    src = work / "src"
-    src.mkdir()
+    src = _ensure_event_arrivals(sf_dir)
     sk_path = str(work / "sketch")
     d_path = str(work / "distinct")
-
-    tbl = pq.read_table(
-        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
-    )
-    rows = list(
-        zip(
-            tbl.column("event_id").to_pylist(),
-            tbl.column("event_type").to_pylist(),
-            tbl.column("user_id").to_pylist(),
-        )
-    )
-    for b in range(3):
-        (src / f"arrivals_{b}.json").write_text(
-            "\n".join(
-                json.dumps({"event_id": e, "event_type": t, "user_id": u})
-                for e, t, u in rows
-                if e % 3 == b
-            )
-        )
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
         if not batch_df.take(1):
             return
-        d = batch_df.select("event_type", "user_id").distinct()
-        d.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(d_path)
-        w = Window.partitionBy("event_type").orderBy("u", "user_id")
-        (
-            d.select("event_type", "user_id", kmv_u_expr().alias("u"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= KMV_K)  # LOCAL bottom-k: bounded append
-            .select("event_type", "user_id", "u")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(sk_path)
-        )
+        # r16: the per-batch distinct feeds BOTH tier writes —
+        # persist so the batch JSON is parsed and deduped once
+        d = batch_df.select("event_type", "user_id").distinct().persist()
+        try:
+            d.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(d_path)
+            w = Window.partitionBy("event_type").orderBy("u", "user_id")
+            (
+                d.select("event_type", "user_id", kmv_u_expr().alias("u"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= KMV_K)  # LOCAL bottom-k: bounded append
+                .select("event_type", "user_id", "u")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sk_path)
+            )
+        finally:
+            d.unpersist()
 
     q = (
         spark.readStream.schema("event_id bigint, event_type string, user_id bigint")
@@ -2215,23 +2273,30 @@ def stream_semdedup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- stage the corpus as 3 out-of-order NDJSON arrival batches ----
     work = Path(ephemeral_dir("kas_semdedup_stream_"))
-    src = work / "src"
-    src.mkdir()
     meta_path = str(work / "meta")
-    # export row-for-row WITHOUT a driver collect of the corpus: each
-    # arrival file is one filtered single-partition write, then the
-    # part file is renamed into the NDJSON source dir (the corpus is
-    # fixture-scale here; at 100 TB arrivals come from the ingest bus)
-    for b in range(3):
-        part_dir = work / f"part_{b}"
-        (
-            corpus.filter(F.col("vec_id") % 3 == b)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .json(str(part_dir))
-        )
-        part = next(Path(part_dir).glob("part-*.json"))
-        part.rename(src / f"arrivals_{b}.json")
+    # Staged ONCE per embeddings fingerprint (r16, the
+    # _ensure_doc_arrivals contract): the r15 shape re-exported the
+    # corpus per CALL — three filtered coalesce(1) JSON jobs every
+    # bench iteration timing a fixture export, not the maintenance.
+    # Export stays row-for-row WITHOUT a driver collect of the corpus:
+    # each arrival file is one filtered single-partition write, then
+    # the part file is renamed into the NDJSON source dir (the corpus
+    # is fixture-scale here; at 100 TB arrivals come from the bus).
+    src = derived_dir(sf_dir) / "semdedup_arrivals"
+    staging = fresh_staging(src, Path(sf_dir) / "embeddings.parquet")
+    if staging is not None:
+        done, fp = staging
+        for b in range(3):
+            part_dir = work / f"part_{b}"
+            (
+                corpus.filter(F.col("vec_id") % 3 == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .json(str(part_dir))
+            )
+            part = next(Path(part_dir).glob("part-*.json"))
+            part.rename(src / f"arrivals_{b}.json")
+        done.write_text(fp)
 
     docs = _semdedup_quality_docs(spark, sf_dir)
     index_batch = _semdedup_indexer(docs, k, kc, seed_table, meta_path)
