@@ -1208,11 +1208,26 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition) collected as k×d rows — never data — then re-rounded
     and re-broadcast. K rounds = K corpus passes, the Lloyd's floor;
     at 100 TB you mini-batch the update pass, same plumbing."""
+    # r16 (guide §1.2/§5): the Lloyd loop reads the parsed vector
+    # frame ~2x per round (the assign pass and the posexploded update
+    # join) plus the final assign — ~7 parquet-scan+cast passes for
+    # K=3. Pin it for the loop and materialize the final assignment
+    # through the shared per-call staging (_materialize_iterative),
+    # which releases the pin before returning — so the returned frame
+    # owns no persist and the declared rows are unchanged (the pin
+    # changes where bytes are read from, never a value).
+    from kinesis_adapter_spark.operators.insights import (
+        _materialize_iterative,
+    )
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
-    )
-    return _kmeans_fit_assign(e).orderBy("vec_id")
+    ).persist()
+    out = _kmeans_fit_assign(e)
+    return _materialize_iterative(
+        spark, out, "kas_kmeans", sf_dir, release=(e,)
+    ).orderBy("vec_id")
 
 
 def _kmeans_fit_assign(e: DataFrame, k: int = KM_K) -> DataFrame:

@@ -111,36 +111,44 @@ _CDC_SQL = """
 
 
 def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 (guide §2.4): the four union branches each re-scanned
+    orders (4 parquet scans per apply); the same rows now come from
+    ONE scan via a conditional per-row op array + explode — every
+    order emits its I row plus whichever U1/U2/D rows its key
+    qualifies for, with identical (seq, op, status, price) values."""
     o = load(spark, sf_dir, "orders")
-    ins = o.select(
-        "o_orderkey",
-        F.lit(1).alias("seq"),
-        F.lit("I").alias("op"),
-        "o_orderstatus",
-        "o_totalprice",
+
+    def ent(seq: int, op: str, status, price):
+        return F.struct(
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            (F.lit(status) if isinstance(status, str) else status).alias(
+                "o_orderstatus"
+            ),
+            (F.lit(price) if isinstance(price, float) else price).alias(
+                "o_totalprice"
+            ),
+        )
+
+    def when_key(mod: int, entry):
+        # slice to length 0 when the key doesn't qualify: an empty
+        # array of the entry's exact struct type (a bare F.array()
+        # would type-mismatch the concat)
+        return F.slice(
+            F.array(entry),
+            F.lit(1),
+            F.when(F.col("o_orderkey") % mod == 0, 1).otherwise(0),
+        )
+
+    ops = F.concat(
+        F.array(ent(1, "I", F.col("o_orderstatus"), F.col("o_totalprice"))),
+        when_key(4, ent(2, "U", "U1", F.col("o_totalprice") + 50.0)),
+        when_key(8, ent(3, "U", "U2", F.col("o_totalprice") + 75.0)),
+        when_key(6, ent(9, "D", "D", 0.0)),
     )
-    upd1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
-        "o_orderkey",
-        F.lit(2).alias("seq"),
-        F.lit("U").alias("op"),
-        F.lit("U1").alias("o_orderstatus"),
-        (F.col("o_totalprice") + 50.0).alias("o_totalprice"),
+    return o.select("o_orderkey", F.explode(ops).alias("z")).select(
+        "o_orderkey", "z.seq", "z.op", "z.o_orderstatus", "z.o_totalprice"
     )
-    upd2 = o.filter(F.col("o_orderkey") % 8 == 0).select(
-        "o_orderkey",
-        F.lit(3).alias("seq"),
-        F.lit("U").alias("op"),
-        F.lit("U2").alias("o_orderstatus"),
-        (F.col("o_totalprice") + 75.0).alias("o_totalprice"),
-    )
-    dels = o.filter(F.col("o_orderkey") % 6 == 0).select(
-        "o_orderkey",
-        F.lit(9).alias("seq"),
-        F.lit("D").alias("op"),
-        F.lit("D").alias("o_orderstatus"),
-        F.lit(0.0).alias("o_totalprice"),
-    )
-    return ins.unionByName(upd1).unionByName(upd2).unionByName(dels)
 
 
 # Shared verbatim by the streaming maintenance twin (stream_cdc_apply,

@@ -357,14 +357,18 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .select("doc_id", "lang", F.substring(F.md5("token"), 1, 2).alias("f"))
     )
-    raw = tok.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
-    tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-    )
-    feats = raw.join(tgt, "f", "left").select(
-        "f", "cr", F.coalesce("ct", F.lit(0)).cast("bigint").alias("ct")
+    # r16 (guide §1.2): raw and tgt were two separate corpus tokenize
+    # passes joined afterward; one conditional count produces the
+    # identical 256-row table (a bucket with no 'en' rows gets ct=0
+    # exactly as the old left-join coalesce did — rows proven equal)
+    # in a single pass. Exchange count 45 → 33; a persist-based
+    # restructure was ALSO tried and measured slower than the lazy
+    # recomputes at every scale, so the plan deliberately stays lazy.
+    feats = tok.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
     )
     tots = feats.agg(
         F.sum("cr").cast("bigint").alias("tr"),
