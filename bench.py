@@ -377,6 +377,24 @@ def _calibrate_guard(n: int = 8, spacing_sec: float = 0.5) -> dict:
     }
 
 
+def _calibration_suspect(pin_kept: bool, all_probes: list[float]) -> bool:
+    """Post-run cross-check of the startup calibration (ADVICE r15,
+    medium): `_calibrate_guard` cannot distinguish a genuinely slower
+    host from a sustained (longer-than-calibration-window) load burst
+    — both read a hot floor, and adopting a burst floor as the
+    reference relaxes every later contamination check while the output
+    looks clean. So after the run, if calibration DROPPED the pin but
+    any later per-query probe read pin-class cool (<= HOT_FACTOR x the
+    committed pin), the host demonstrably was NOT slower: the adopted
+    floor was contamination and adjudication must treat the run's
+    probe evidence (hot threshold, discards, probe_worst_x) as
+    suspect. Recorded in BENCH_DETAIL.json and, when true, in the
+    stdout contract line as `cal_suspect`."""
+    if pin_kept or not all_probes:
+        return False
+    return min(all_probes) <= PROBE_HOT_FACTOR * PROBE_REF_SEC
+
+
 def _wait_until_cool(max_wait_sec: float) -> tuple[float, bool]:
     """Probe until the host reads cool, the per-call wait budget runs
     out, or the GLOBAL sleep budget (_WAIT_BUDGET) is exhausted;
@@ -465,6 +483,7 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in HEADLINE), 4)
     all_probes = [p for pair in probes.values() for p in pair]
+    cal_suspect = _calibration_suspect(pin_kept, all_probes)
     detail = {
         "metric": "headline_total_warm_median",
         "value": total,
@@ -485,6 +504,12 @@ def main() -> None:
             "initial": [round(p0, 4), cool0],
             "floor": round(min(all_probes), 4),
             "worst": round(max(all_probes), 4),
+            # ADVICE r15: worst as a multiple of BOTH denominators, so
+            # cross-round comparisons are never apples-to-oranges when
+            # pin_kept differs between rounds
+            "worst_x_pin": round(max(all_probes) / PROBE_REF_SEC, 2),
+            "worst_x_eff": round(max(all_probes) / _REF_SEC, 2),
+            "calibration_suspect": cal_suspect,
             "per_query": probes,
             "discarded_attempts": discarded,
             "staging_pre_pass": True,
@@ -507,10 +532,16 @@ def main() -> None:
         out["ratio_worst"] = rs[-1]
         out["ratio_median"] = round(rs[len(rs) // 2], 3)
     # contamination-guard scalars: worst probe as a multiple of the
-    # committed idle reference, and how many timed blocks were
+    # EFFECTIVE guard reference (the committed pin when pin_kept, else
+    # the calibrated floor — BENCH_DETAIL.json carries worst_x against
+    # both denominators), and how many timed blocks were
     # discarded-and-retried because the host went hot mid-query
     out["probe_worst_x"] = round(max(all_probes) / _REF_SEC, 2)
     out["bench_discards"] = sum(discarded.values())
+    if cal_suspect:
+        # a later probe read pin-class cool after a dropped-pin
+        # calibration: the adopted floor was a burst, not the host
+        out["cal_suspect"] = True
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1900, f"stdout contract line too long ({len(line)})"
     print(line)

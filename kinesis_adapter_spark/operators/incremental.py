@@ -34,18 +34,37 @@ _UPDATES_SQL = """
 
 
 def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 (guide §2.4): one orders scan with a conditional op-array
+    explode instead of a 2-branch union (2 scans per reference, and
+    merge_upsert references the change-set twice — the anti-join key
+    build and the union — so this halves 4 scans to 2). Same rows,
+    same values."""
     o = load(spark, sf_dir, "orders")
-    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey",
-        F.lit("U").alias("o_orderstatus"),
-        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+
+    def opt(cond, entry):
+        return F.slice(F.array(entry), F.lit(1), F.when(cond, 1).otherwise(0))
+
+    rows = F.concat(
+        opt(
+            F.col("o_orderkey") % 10 == 0,
+            F.struct(
+                F.col("o_orderkey").alias("o_orderkey"),
+                F.lit("U").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+            ),
+        ),
+        opt(
+            F.col("o_orderkey") % 13 == 0,
+            F.struct(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice").alias("o_totalprice"),
+            ),
+        ),
     )
-    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
+    return o.select(F.explode(rows).alias("z")).select(
+        "z.o_orderkey", "z.o_orderstatus", "z.o_totalprice"
     )
-    return upd.unionByName(ins)
 
 
 @query(

@@ -3641,6 +3641,27 @@ def test_bench_guard_calibration(monkeypatch):
         bench._REF_SEC, bench._HOT_SEC = old
 
 
+def test_bench_calibration_suspect_crosscheck():
+    """_calibration_suspect (ADVICE r15, medium): a dropped-pin
+    calibration is retroactively marked suspect iff any later probe
+    reads pin-class cool — proof the 'slower host' floor was really a
+    sustained load burst. A kept pin is never suspect, and a dropped
+    pin on a host whose every later probe stays above the pin band is
+    a genuinely slower host, not contamination."""
+    import bench
+
+    pin = bench.PROBE_REF_SEC
+    hot = bench.PROBE_HOT_FACTOR
+    # kept pin: never suspect, whatever the probes say
+    assert not bench._calibration_suspect(True, [pin * 0.5, pin * 9])
+    # dropped pin + a later pin-class-cool probe => burst calibration
+    assert bench._calibration_suspect(False, [pin * 8, pin, pin * 6])
+    assert bench._calibration_suspect(False, [pin * hot])  # boundary
+    # dropped pin, all probes stay above the pin band => slower host
+    assert not bench._calibration_suspect(False, [pin * 5, pin * 1.8])
+    assert not bench._calibration_suspect(False, [])
+
+
 def test_ivf_cell_local_assignment_matches_artifact_path(spark, monkeypatch):
     """The >10⁶-seed cell-local cogroup path (r14) must produce the
     EXACT assignment map of the default artifact-read path on the same
