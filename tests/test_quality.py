@@ -3641,6 +3641,40 @@ def test_bench_guard_calibration(monkeypatch):
         bench._REF_SEC, bench._HOT_SEC = old
 
 
+def test_ivf_cell_local_threshold_rows_per_task_rule():
+    """_ivf_cell_local_threshold (VERDICT r15 next #3): the dynamic
+    rows-per-task rule must pick the MEASURED winner of the r15
+    crossover table (SCALE.md: 4k-row tasks, artifact/cell-local wall
+    3.5/9.7 at k=25k, 11.2/14.4 at 60k, 19.4/16.8 at 100k, 57.8/30.0
+    at 240k — crossover ≈80k), keep the 200k constant as the ceiling
+    at production partition sizes, and reduce to the constant when the
+    caller doesn't know the corpus size."""
+    from kinesis_adapter_spark.operators.embeddings_ops import (
+        IVF_CELL_LOCAL_K,
+        _ivf_cell_local_threshold,
+    )
+
+    # r15 measured regime: 128k corpus over 32 tasks = 4k rows/task
+    thr = _ivf_cell_local_threshold(128_000, 32)
+    assert thr == 80_000  # 20 x 4k — the measured local crossover
+    measured_winner = {
+        25_000: "artifact",
+        60_000: "artifact",
+        100_000: "cell_local",
+        240_000: "cell_local",
+    }
+    for k, winner in measured_winner.items():
+        pick = "cell_local" if k >= thr else "artifact"
+        assert pick == winner, (k, pick, winner)
+    # production 128 MB partitions (~1e5-1e6 rows/task): the constant
+    # is the ceiling — k ∝ n regimes always take the bounded path
+    assert _ivf_cell_local_threshold(10_000_000, 100) == IVF_CELL_LOCAL_K
+    # unknown corpus size (streaming micro-batches, tests): constant
+    assert _ivf_cell_local_threshold(None, None) == IVF_CELL_LOCAL_K
+    assert _ivf_cell_local_threshold(128_000, None) == IVF_CELL_LOCAL_K
+    assert _ivf_cell_local_threshold(0, 8) == IVF_CELL_LOCAL_K
+
+
 def test_bench_calibration_suspect_crosscheck():
     """_calibration_suspect (ADVICE r15, medium): a dropped-pin
     calibration is retroactively marked suspect iff any later probe

@@ -713,8 +713,14 @@ def smoke_ivf_cell_local_crossover(spark, factor: int, scaled: str) -> dict:
     )
     n_corpus = e.count()
     thr = eo.IVF_CELL_LOCAL_K
-    k_tiers = [thr // 2, int(thr * 1.2)]
+    # r16 (VERDICT r15 next #3): a deep-below-crossover tier (thr//5)
+    # joins the two r14 tiers so the DYNAMIC rows-per-task rule can be
+    # checked against the measured winner in BOTH regimes — the
+    # artifact-wins regime and the cell-local-wins regime.
+    k_tiers = [thr // 5, thr // 2, int(thr * 1.2)]
     k_max = max(k_tiers)
+    n_tasks = e.rdd.getNumPartitions()
+    thr_dyn = eo._ivf_cell_local_threshold(n_corpus, n_tasks)
 
     # seed source: enough sign-flip generations of the corpus to cover
     # k_max, dense-renumbered (row_number over a deterministic order —
@@ -789,6 +795,8 @@ def smoke_ivf_cell_local_crossover(spark, factor: int, scaled: str) -> dict:
                 os.environ.pop("KAS_IVF_CELL_LOCAL", None)
         same = sums["artifact"] == sums["cell_local"]
         agree = agree and same
+        dyn_pick = "cell_local" if k >= thr_dyn else "artifact"
+        measured_winner = min(timings, key=timings.get)
         rows.append(
             {
                 "k": k,
@@ -798,6 +806,9 @@ def smoke_ivf_cell_local_crossover(spark, factor: int, scaled: str) -> dict:
                 "cell_local_over_artifact": round(
                     timings["cell_local"] / timings["artifact"], 3
                 ),
+                "dyn_pick": dyn_pick,
+                "measured_winner": measured_winner,
+                "dyn_picks_winner": dyn_pick == measured_winner,
                 "paths_agree": same,
                 "n_assigned": sums["artifact"][0],
             }
@@ -813,6 +824,9 @@ def smoke_ivf_cell_local_crossover(spark, factor: int, scaled: str) -> dict:
         "ratio": above["cell_local_over_artifact"],
         "factor": factor,
         "n_corpus": n_corpus,
+        "n_tasks": n_tasks,
+        "dyn_threshold": thr_dyn,
+        "dyn_picks_winner_all_tiers": all(r["dyn_picks_winner"] for r in rows),
         "tiers": rows,
         "paths_agree": agree,
     }
