@@ -1079,17 +1079,27 @@ def triangle_stats(e: DataFrame) -> DataFrame:
     Output is ONE stats row, so the call materializes it and releases
     both localCheckpoints before returning (q21 bounded-collect
     pattern — the r10 persist-leak sweep caught this key pinning the
-    edge + oriented-edge frames across calls)."""
+    edge + oriented-edge frames across calls). The deg/adj pins are
+    released through their DataFrame HANDLES, not the RDD-level
+    released_persists sweep: ``df.persist()`` also registers a
+    plan-level CacheManager entry that an RDD unpersist leaves behind
+    (the replica sweep's ``unmaterialized_df_cache`` signature — caught
+    by the r16 round-close pytest run)."""
     spark = e.sparkSession
     with released_persists(spark):
-        plan = _triangle_stats_plan(e)
-        rows = plan.collect()  # 1 row: bounded result
+        plan, pins = _triangle_stats_plan(e)
+        try:
+            rows = plan.collect()  # 1 row: bounded result
+        finally:
+            for p in pins:
+                p.unpersist()
     return spark.createDataFrame(rows, plan.schema)
 
 
-def _triangle_stats_plan(e: DataFrame) -> DataFrame:
-    """triangle_stats' lazy plan (checkpoints included) — callers own
-    the materialize-and-release lifecycle (triangle_stats does both)."""
+def _triangle_stats_plan(e: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """triangle_stats' lazy plan (checkpoints included) plus the pinned
+    frames it holds — callers own the materialize-and-release lifecycle
+    (triangle_stats collects, then unpersists each pin by handle)."""
     e = e.localCheckpoint(eager=True)
     # r16 (guide §2.4 "remove shuffles outright"): deg feeds THREE
     # consumers (du, dv, the wedge/vertex stats) and adj TWO (au, av);
@@ -1145,7 +1155,7 @@ def _triangle_stats_plan(e: DataFrame) -> DataFrame:
         F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedge_total"),
     )
     ne = e.agg(F.count(F.lit(1)).alias("ne"))
-    return (
+    out = (
         stats.crossJoin(F.broadcast(ne))
         .crossJoin(F.broadcast(tri))
         .select(
@@ -1162,6 +1172,7 @@ def _triangle_stats_plan(e: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("global_clustering"),
         )
     )
+    return out, [deg, adj]
 
 
 @query(

@@ -1830,10 +1830,10 @@ def _scd2_maintain_run(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         # r16 (guide §1.2 "don't compute things twice"): the batch
-        # projection is consumed by THREE actions (empty-guard,
-        # bronze append, affected-user derivation) — unpersisted, each
-        # re-parsed the micro-batch's JSON files. Persist for the
-        # batch, release before returning.
+        # projection is consumed by TWO actions (affected-user
+        # derivation, bronze append) — unpersisted, each re-parsed the
+        # micro-batch's JSON files. Persist for the batch, release
+        # before returning.
         b = (
             batch_df.filter(F.col("user_id") < 50)
             .select(
@@ -1846,19 +1846,35 @@ def _scd2_maintain_run(
             .persist()
         )
         try:
-            if not b.take(1):
+            # r16 round-close (guide §6 pushdown / §2.4 fewer jobs):
+            # the affected-user set is BOUNDED (user_id < 50 ⇒ ≤50
+            # values), so collect it once — one job that doubles as
+            # the empty-batch guard (was a separate take(1)) — and
+            # filter both tier reads with a literal IN list instead of
+            # two broadcast joins: the In predicate pushes into the
+            # parquet scans (row-group pruning on the user-bucketed
+            # tier at 100 TB), and the affected filter now sits BELOW
+            # _dedup_replays' (event_id, batch_id) window instead of
+            # above it (equivalent: every row of an event_id carries
+            # the same user_id, so whole groups survive or go), so the
+            # per-batch window sorts only affected users' rows, never
+            # the whole bronze tier.
+            uvals = [r[0] for r in b.select("user_id").distinct().collect()]
+            if not uvals:
                 return
             b.write.mode("append").parquet(raw_dir)
-            users = b.select("user_id").distinct()
-            raw = _dedup_replays(sess.read.parquet(raw_dir), "event_id")
+            raw = _dedup_replays(
+                sess.read.parquet(raw_dir).filter(F.col("user_id").isin(uvals)),
+                "event_id",
+            )
             affected = collapse_scd2(
-                raw.join(F.broadcast(users), "user_id").select(
-                    "user_id", "event_type", "ts_ns", "event_id"
-                )
+                raw.select("user_id", "event_type", "ts_ns", "event_id")
             )
             if versions:
-                kept = sess.read.parquet(versions[-1]).join(
-                    F.broadcast(users), "user_id", "left_anti"
+                # user_id is non-null in every version tier row (built
+                # from the < 50 filter), so NOT IN ≡ the old left_anti.
+                kept = sess.read.parquet(versions[-1]).filter(
+                    ~F.col("user_id").isin(uvals)
                 )
                 nxt_hist = affected.unionByName(kept)
             else:
@@ -1869,10 +1885,16 @@ def _scd2_maintain_run(
         finally:
             b.unpersist()
 
+    # r16 round-close (guide §2.3 "project before the boundary"): the
+    # maintained dimension needs 4 of the 7 arrival fields — selecting
+    # them ON THE STREAM lets the JSON reader skip parsing ts_iso
+    # (timestamp parse), value and props for every arrival row. The
+    # per-batch dataflow is unchanged.
     stream = (
         spark.readStream.schema(EVENTS_JSON_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
         .json(src_dir)
+        .select("user_id", "event_type", "ts_ns", "event_id")
     )
     q = (
         stream.writeStream.foreachBatch(merge)
@@ -2135,18 +2157,24 @@ def stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    # merge: global bottom-k of the stored per-batch bottom-ks
+    # merge: global bottom-k of the stored per-batch bottom-ks.
+    # Replay collapse (r16 round-close, guide §2.4): a replayed batch
+    # re-appends IDENTICAL candidate rows (u is a deterministic
+    # function of user_id), so the trailing distinct over the projected
+    # columns SUBSUMES the per-(key, batch_id) window collapse — the
+    # same set survives with a hash aggregate instead of an exchange +
+    # full sort + row_number per tier.
     cand = (
-        _dedup_replays(spark.read.parquet(sk_path), "event_type", "user_id")
+        spark.read.parquet(sk_path)
         .select("event_type", "user_id", "u")
-        .distinct()  # a user sketched in several batches collapses
+        .distinct()  # collapses replays AND users sketched in several batches
     )
     w = Window.partitionBy("event_type").orderBy("u", "user_id")
     r = cand.withColumn("rn", F.row_number().over(w))
     ex = (
-        _dedup_replays(spark.read.parquet(d_path), "event_type", "user_id")
+        spark.read.parquet(d_path)
         .select("event_type", "user_id")
-        .distinct()
+        .distinct()  # collapses replays and cross-batch repeats alike
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact"))
     )
