@@ -27,6 +27,16 @@ both artifacts — so a bench launched on a host still digesting other
 work (the r13 driver context that read 7 queries >2x at a HEAD whose
 idle run read them <2x) waits, retries, and RECORDS the contamination
 instead of publishing it as the measurement.
+
+r17 adds the PARALLEL burn probe (VERDICT r16 item #1): the r16
+32-core driver artifact was contaminated by stolen cores — a
+32-process burn showed 6-21x per-worker spread with 3-9% steal while
+the single-threaded matmul probe read COOL, because parallel Spark
+stages are slowest-core-bound and a scalar probe only measures one
+core. Every gate now also runs a max-over-workers pure-Python burn
+across the bench core count (`_probe_parallel`), calibrated and
+pinned exactly like the matmul; a timed block is discarded when
+EITHER probe reads hot.
 """
 
 from __future__ import annotations
@@ -285,6 +295,16 @@ ANCHORS = {
 #: idle local[32] host, 2026-08-16; threaded BLAS, so host-wide CPU
 #: contention inflates it roughly proportionally)
 PROBE_REF_SEC = 0.0096
+#: committed idle-host cost of one PARALLEL burn probe (max-over-32-
+#: workers wall, median of 12 on an idle local[32] host, 2026-08-18 —
+#: r17, VERDICT r16 item #1: the scalar matmul reads COOL under
+#: stolen-core contamination that inflates parallel Spark stages
+#: 6-21x; this pin is the slowest-core-bound reference the scalar
+#: probe cannot provide. Idle floor measured 0.183 over 12 spaced
+#: samples, idle ceiling ~0.26; a host-wide 32-process burn read
+#: 0.37-0.40 on the same host — above the 1.5x band, while the
+#: scalar probe under the same burn read only ~9x its own pin)
+PROBE_PAR_REF_SEC = 0.183
 #: probe readings above HOT_FACTOR x reference mean "host is busy"
 PROBE_HOT_FACTOR = 1.5
 #: idle-noise headroom for the hot threshold (r16): on hosts whose
@@ -309,6 +329,10 @@ WAIT_BUDGET_TOTAL_SEC = 240.0
 _REF_SEC = PROBE_REF_SEC
 #: probe readings above this are "hot" (set by _calibrate_guard)
 _HOT_SEC = PROBE_HOT_FACTOR * PROBE_REF_SEC
+#: parallel-probe analogues (r17): same calibration rules, separate
+#: pin/threshold — gating is hot iff EITHER probe exceeds its band
+_PAR_REF_SEC = PROBE_PAR_REF_SEC
+_HOT_PAR_SEC = PROBE_HOT_FACTOR * PROBE_PAR_REF_SEC
 #: remaining global sleep budget (list so tests can reset it)
 _WAIT_BUDGET = [WAIT_BUDGET_TOTAL_SEC]
 _PROBE_ARR = None
@@ -330,6 +354,49 @@ def _probe() -> float:
     return statistics.median(samples)
 
 
+def _burn_once(_i: int) -> float:
+    """One worker's fixed pure-Python burn, self-timed (wall). Pure
+    Python so the reading measures THIS core's availability, never a
+    BLAS thread budget; self-timed so pool dispatch overhead is
+    excluded from the reading."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_000_000):
+        x = (x + i * i) ^ (x >> 7)
+    return time.perf_counter() - t0
+
+
+def _par_workers() -> int:
+    """Worker count for the parallel probe = the bench's core count
+    (the contamination that matters is on the cores Spark's parallel
+    stages will occupy)."""
+    return max(2, min(64, int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)))
+
+
+_PAR_POOL = None
+
+
+def _probe_parallel() -> float:
+    """MAX-over-workers wall of one fixed burn run on every bench core
+    at once (r17, VERDICT r16 item #1): parallel Spark stages are
+    slowest-core-bound, and the committed r16 diagnosis showed a
+    32-process external burn inflating per-worker times 6-21x while
+    the single-threaded matmul probe read COOL — scalar probes cannot
+    see stolen-core contamination. This probe can: under host-wide
+    contention the slowest worker's wall inflates roughly with the
+    worst core's steal. Workers are forked once and reused; each
+    worker times its own burn, so the reading excludes fork/dispatch
+    overhead."""
+    global _PAR_POOL
+    n = _par_workers()
+    if _PAR_POOL is None:
+        import multiprocessing as mp
+
+        _PAR_POOL = mp.get_context("fork").Pool(n)
+        _PAR_POOL.map(_burn_once, range(n))  # warm-up (pool spin-up)
+    return max(_PAR_POOL.map(_burn_once, range(n)))
+
+
 def _calibrate_guard(n: int = 8, spacing_sec: float = 0.5) -> dict:
     """Startup guard calibration (r16 measurement fix, replacing the
     r15 'exhaust the 300s cool-down, then fall back' flow): ALWAYS
@@ -349,10 +416,13 @@ def _calibrate_guard(n: int = 8, spacing_sec: float = 0.5) -> dict:
     threshold reduces to the r15 rule, so of-record comparability is
     preserved exactly where the pin is meaningful.
     """
-    global _REF_SEC, _HOT_SEC
+    global _REF_SEC, _HOT_SEC, _PAR_REF_SEC, _HOT_PAR_SEC
     samples = []
+    par_samples = []
     for i in range(n):
         samples.append(_probe())
+        if i % 2 == 0:  # parallel probe every other slot (it is ~5x the cost)
+            par_samples.append(_probe_parallel())
         if i < n - 1:
             time.sleep(spacing_sec)
     floor = min(samples)
@@ -362,11 +432,25 @@ def _calibrate_guard(n: int = 8, spacing_sec: float = 0.5) -> dict:
     _HOT_SEC = max(
         PROBE_HOT_FACTOR * _REF_SEC, PROBE_NOISE_HEADROOM * ceiling
     )
-    if not pin_kept:
+    # r17: identical rules for the parallel burn probe — floor vs the
+    # committed pin sets the reference, the threshold clears both the
+    # factor rule and the measured idle ceiling (robust second-max).
+    par_floor = min(par_samples)
+    par_pin_kept = par_floor <= PROBE_HOT_FACTOR * PROBE_PAR_REF_SEC
+    _PAR_REF_SEC = PROBE_PAR_REF_SEC if par_pin_kept else par_floor
+    par_ceiling = (
+        sorted(par_samples)[-2] if len(par_samples) >= 2 else par_samples[0]
+    )
+    _HOT_PAR_SEC = max(
+        PROBE_HOT_FACTOR * _PAR_REF_SEC, PROBE_NOISE_HEADROOM * par_ceiling
+    )
+    if not pin_kept or not par_pin_kept:
         print(
-            f"bench: idle probe floor {floor:.4f}s exceeds the pin "
-            f"({PROBE_REF_SEC}s x{PROBE_HOT_FACTOR}); slower host — "
-            f"guard reference {_REF_SEC:.4f}s, hot above {_HOT_SEC:.4f}s",
+            f"bench: idle probe floor {floor:.4f}s / parallel floor "
+            f"{par_floor:.4f}s vs pins ({PROBE_REF_SEC}s / "
+            f"{PROBE_PAR_REF_SEC}s x{PROBE_HOT_FACTOR}); slower host — "
+            f"guard refs {_REF_SEC:.4f}/{_PAR_REF_SEC:.4f}s, hot above "
+            f"{_HOT_SEC:.4f}/{_HOT_PAR_SEC:.4f}s",
             file=sys.stderr,
         )
     return {
@@ -374,10 +458,16 @@ def _calibrate_guard(n: int = 8, spacing_sec: float = 0.5) -> dict:
         "pin_kept": pin_kept,
         "ref_sec": round(_REF_SEC, 4),
         "hot_sec": round(_HOT_SEC, 4),
+        "par_samples": [round(s, 4) for s in par_samples],
+        "par_pin_kept": par_pin_kept,
+        "par_ref_sec": round(_PAR_REF_SEC, 4),
+        "par_hot_sec": round(_HOT_PAR_SEC, 4),
     }
 
 
-def _calibration_suspect(pin_kept: bool, all_probes: list[float]) -> bool:
+def _calibration_suspect(
+    pin_kept: bool, all_probes: list[float], ref_pin: float = PROBE_REF_SEC
+) -> bool:
     """Post-run cross-check of the startup calibration (ADVICE r15,
     medium): `_calibrate_guard` cannot distinguish a genuinely slower
     host from a sustained (longer-than-calibration-window) load burst
@@ -392,24 +482,32 @@ def _calibration_suspect(pin_kept: bool, all_probes: list[float]) -> bool:
     stdout contract line as `cal_suspect`."""
     if pin_kept or not all_probes:
         return False
-    return min(all_probes) <= PROBE_HOT_FACTOR * PROBE_REF_SEC
+    return min(all_probes) <= PROBE_HOT_FACTOR * ref_pin
 
 
-def _wait_until_cool(max_wait_sec: float) -> tuple[float, bool]:
-    """Probe until the host reads cool, the per-call wait budget runs
-    out, or the GLOBAL sleep budget (_WAIT_BUDGET) is exhausted;
-    returns (last probe reading, cool?). Sleep time is drawn from the
-    global budget so a host the guard cannot read as cool costs the
-    run a bounded number of minutes total, never per query (r16)."""
+def _wait_until_cool(max_wait_sec: float) -> tuple[float, float, bool]:
+    """Probe until the host reads cool ON BOTH PROBES, the per-call
+    wait budget runs out, or the GLOBAL sleep budget (_WAIT_BUDGET) is
+    exhausted; returns (last scalar reading, last parallel reading,
+    cool?). The cheap scalar probe drives the polling loop; once it
+    reads cool the parallel burn confirms the cores Spark will
+    actually occupy are available too (r17 — the scalar probe alone
+    read COOL under the r16 stolen-core contamination). Sleep time is
+    drawn from the global budget so a host the guard cannot read as
+    cool costs the run a bounded number of minutes total, never per
+    query (r16)."""
     start = time.perf_counter()
     deadline = start + min(max_wait_sec, _WAIT_BUDGET[0])
+    pp = -1.0
     try:
         while True:
             p = _probe()
             if p <= _HOT_SEC:
-                return p, True
+                pp = _probe_parallel()
+                if pp <= _HOT_PAR_SEC:
+                    return p, pp, True
             if time.perf_counter() >= deadline:
-                return p, False
+                return p, pp, False
             time.sleep(2.0)
     finally:
         _WAIT_BUDGET[0] = max(
@@ -449,7 +547,7 @@ def main() -> None:
     # context) starts hot.
     cal = _calibrate_guard()
     pin_kept = cal["pin_kept"]
-    p0, cool0 = _wait_until_cool(max_wait_sec=120.0)
+    p0, pp0, cool0 = _wait_until_cool(max_wait_sec=120.0)
 
     # Staging pre-pass: one untimed execution of every bench entry, so
     # every fingerprint-staged artifact (IVF layouts, DPP/interval/
@@ -464,18 +562,23 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     ratios: dict[str, float] = {}
     probes: dict[str, list[float]] = {}
+    par_probes: dict[str, list[float]] = {}
     discarded: dict[str, int] = {}
     for name, key in entries.items():
         for attempt in range(3):
-            pb, _ = _wait_until_cool(max_wait_sec=120.0)
+            pb, ppb, _ = _wait_until_cool(max_wait_sec=120.0)
             samples = time_query(QUERIES[key], spark, sf_dir)
             pa = _probe()
-            if pa <= _HOT_SEC or attempt == 2:
-                break
-            # host went hot DURING the timed block: the samples
+            ppa = _probe_parallel()
+            # hot on EITHER probe (r17: the scalar matmul misses
+            # stolen-core contamination the parallel burn sees) means
+            # the host went hot DURING the timed block: the samples
             # measured load, not code — discard and retry
+            if (pa <= _HOT_SEC and ppa <= _HOT_PAR_SEC) or attempt == 2:
+                break
             discarded[name] = discarded.get(name, 0) + 1
         probes[name] = [round(pb, 4), round(pa, 4)]
+        par_probes[name] = [round(ppb, 4), round(ppa, 4)]
         timings[name] = round(statistics.median(samples), 4)
         spread[name] = [round(min(samples), 4), timings[name], round(max(samples), 4)]
         if name in ANCHORS and sf == 0.1:  # anchors were measured at sf0.1
@@ -483,7 +586,16 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in HEADLINE), 4)
     all_probes = [p for pair in probes.values() for p in pair]
+    # parallel readings: -1.0 marks "never sampled" (wait budget
+    # exhausted before the scalar probe read cool) — excluded from
+    # floor/worst statistics
+    all_par = [
+        p for pair in par_probes.values() for p in pair if p >= 0.0
+    ]
     cal_suspect = _calibration_suspect(pin_kept, all_probes)
+    par_cal_suspect = _calibration_suspect(
+        cal["par_pin_kept"], all_par, ref_pin=PROBE_PAR_REF_SEC
+    )
     detail = {
         "metric": "headline_total_warm_median",
         "value": total,
@@ -513,6 +625,23 @@ def main() -> None:
             "per_query": probes,
             "discarded_attempts": discarded,
             "staging_pre_pass": True,
+            # r17 parallel burn probe (VERDICT r16 item #1)
+            "par_ref_sec": PROBE_PAR_REF_SEC,
+            "par_effective_ref_sec": round(_PAR_REF_SEC, 4),
+            "par_pin_kept": cal["par_pin_kept"],
+            "par_hot_sec": round(_HOT_PAR_SEC, 4),
+            "par_calibration": cal["par_samples"],
+            "par_initial": [round(pp0, 4)],
+            "par_floor": round(min(all_par), 4) if all_par else None,
+            "par_worst": round(max(all_par), 4) if all_par else None,
+            "par_worst_x_pin": (
+                round(max(all_par) / PROBE_PAR_REF_SEC, 2) if all_par else None
+            ),
+            "par_worst_x_eff": (
+                round(max(all_par) / _PAR_REF_SEC, 2) if all_par else None
+            ),
+            "par_calibration_suspect": par_cal_suspect,
+            "par_per_query": par_probes,
         },
     }
     Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
@@ -537,8 +666,12 @@ def main() -> None:
     # both denominators), and how many timed blocks were
     # discarded-and-retried because the host went hot mid-query
     out["probe_worst_x"] = round(max(all_probes) / _REF_SEC, 2)
+    # r17: the same scalar for the parallel burn probe — the one that
+    # actually sees stolen-core contamination on parallel stages
+    if all_par:
+        out["par_worst_x"] = round(max(all_par) / _PAR_REF_SEC, 2)
     out["bench_discards"] = sum(discarded.values())
-    if cal_suspect:
+    if cal_suspect or par_cal_suspect:
         # a later probe read pin-class cool after a dropped-pin
         # calibration: the adopted floor was a burst, not the host
         out["cal_suspect"] = True

@@ -1723,7 +1723,25 @@ def _materialize_iterative(
     readable for the life of the run; the node-sized copies are
     reaped with the run root, even after SIGKILL."""
     import hashlib
+    import os
     from kinesis_adapter_spark.staging import pid_staging_dir
+
+    # Evidence hook (VERDICT r16 item #4): the frame this helper
+    # RETURNS is a read of the staged result, so a plan dump of the
+    # declared key shows only Sort+Scan — the actual iterative loop
+    # plan was never committed as evidence. With KAS_ITER_PLAN_DUMP
+    # set (tools/dump_plan_r17.py), dump the PRE-materialization plan
+    # of the exact `out` about to execute.
+    dump_dir = os.environ.get("KAS_ITER_PLAN_DUMP")
+    if dump_dir:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        Path(dump_dir).mkdir(parents=True, exist_ok=True)
+        (Path(dump_dir) / f"{name}_loop.txt").write_text(buf.getvalue())
 
     seq = next(_ITER_STAGE_SEQ)
     sf_tag = hashlib.md5(

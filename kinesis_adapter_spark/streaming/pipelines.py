@@ -164,7 +164,15 @@ def _dedup_replays(tier: DataFrame, *keys: str) -> DataFrame:
     and no aggregate buffers (a groupBy+any_value variant was measured
     first and REJECTED: string/array payloads put ObjectHashAggregate
     in its >128-distinct-keys sort-based fallback, reading scd2
-    8.5 → 13.9 s — distinct's buffer-free grouping has no such cliff)."""
+    8.5 → 13.9 s — distinct's buffer-free grouping has no such cliff).
+
+    ``*keys`` documents the grouping contract (one row per (*keys,
+    batch_id)) but is not consulted: distinct() over the WHOLE row is
+    equivalent exactly because replayed rows are byte-identical, which
+    is the helper's precondition. A tier whose re-executed aggregation
+    could serialize an equal value differently (the HLL sketch blob)
+    must NOT use this helper — stream_hll_rollup dedups its sketch
+    tier by key with a keyed hll_union_agg instead (ADVICE r16)."""
     return tier.distinct()
 
 
@@ -1219,7 +1227,21 @@ def _stream_hll_rollup_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_done(q, 180)
 
-    tier = _dedup_replays(spark.read.parquet(sink), "event_type")
+    # Replay collapse BY KEY, not by row identity (ADVICE r16 medium):
+    # the other tiers' rows are deterministic integers, so byte-equal
+    # replays collapse under _dedup_replays' distinct(); the HLL blob
+    # from a RE-EXECUTED hll_sketch_agg is not guaranteed byte-stable
+    # (DataSketches coupon layout depends on merge order, and the
+    # reduce-side merge follows randomized shuffle fetch), so a replay
+    # could leave two rows per (event_type, batch_id) and inflate
+    # n_sketches. A keyed hll_union_agg collapses replays regardless
+    # of blob bytes — still sort-free, and union idempotence keeps the
+    # estimate identical (union of one-or-two equal-value sketches).
+    tier = (
+        spark.read.parquet(sink)
+        .groupBy("event_type", "batch_id")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
     per = tier.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         F.count(F.lit(1)).alias("n_sketches"),
@@ -1820,12 +1842,25 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-tier design exists for (a suppressed change resurrected by a
     late arrival) is staged explicitly in
     tests/test_streaming.py::test_scd2_maintain_resurrects_suppressed_change."""
-    return _scd2_maintain_run(spark, str(ensure_events_ndjson(sf_dir)), 4)
+    # r17 (VERDICT r16 item #3, guide §2.4 fewer jobs): the fixture
+    # stages one NDJSON file per day (30 at sf0.1), so 4 files per
+    # trigger ran EIGHT micro-batches — each paying the availableNow
+    # machinery (offset WAL + commit log) plus three jobs (affected-set
+    # collect, bronze append, silver rebuild). 10 files per trigger
+    # keeps the multi-batch incremental demonstration (3 batches, the
+    # arrival-fixture twins' count) while cutting the per-batch
+    # machinery floor ~2.5x; convergence to the batch truth is
+    # batch-count-independent (the oracle re-proves it at both sfs),
+    # and the late-data/resurrect semantics are pinned by the pytest
+    # gates, which stage their own arrival files and pacing.
+    return _scd2_maintain_run(spark, str(ensure_events_ndjson(sf_dir)), 10)
 
 
 def _scd2_maintain_run(
     spark: SparkSession, src_dir: str, max_files: int
 ) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from kinesis_adapter_spark.operators.incremental import collapse_scd2
 
     work = Path(ephemeral_dir("kas_scd2_"))
@@ -1858,35 +1893,66 @@ def _scd2_maintain_run(
             # filter both tier reads with a literal IN list instead of
             # two broadcast joins: the In predicate pushes into the
             # parquet scans (row-group pruning on the user-bucketed
-            # tier at 100 TB), and the affected filter now sits BELOW
-            # _dedup_replays' (event_id, batch_id) window instead of
-            # above it (equivalent: every row of an event_id carries
-            # the same user_id, so whole groups survive or go), so the
-            # per-batch window sorts only affected users' rows, never
-            # the whole bronze tier.
+            # tier at 100 TB), and the affected filter sits BELOW the
+            # _dedup_replays replay collapse (equivalent: every row of
+            # an event_id carries the same user_id, so whole duplicate
+            # groups survive or go), so the per-batch collapse hashes
+            # only affected users' rows, never the whole bronze tier.
             uvals = [r[0] for r in b.select("user_id").distinct().collect()]
             if not uvals:
                 return
-            b.write.mode("append").parquet(raw_dir)
-            raw = _dedup_replays(
-                sess.read.parquet(raw_dir).filter(F.col("user_id").isin(uvals)),
-                "event_id",
-            )
-            affected = collapse_scd2(
-                raw.select("user_id", "event_type", "ts_ns", "event_id")
-            )
-            if versions:
-                # user_id is non-null in every version tier row (built
-                # from the < 50 filter), so NOT IN ≡ the old left_anti.
-                kept = sess.read.parquet(versions[-1]).filter(
-                    ~F.col("user_id").isin(uvals)
+
+            # r17 (VERDICT r16 item #3, guide §2.6 overlap independent
+            # jobs): the silver rebuild no longer re-reads the bronze
+            # tier AFTER this batch's append — its input is
+            # prior-bronze ∪ the cached batch projection, an identical
+            # multiset up to the replay collapse (a replayed batch's
+            # rows are already IN prior-bronze and _dedup_replays
+            # collapses them, exactly as it collapsed the re-appended
+            # rows before). That makes the bronze append and the
+            # silver version write independent jobs, submitted from
+            # two driver threads so the batch's wall time is
+            # max(append, rebuild) instead of their sum; both read the
+            # already-materialized batch cache, so there is no cache
+            # race.
+            prior = (
+                sess.read.parquet(raw_dir).filter(
+                    F.col("user_id").isin(uvals)
                 )
-                nxt_hist = affected.unionByName(kept)
-            else:
-                nxt_hist = affected
-            nxt = str(work / f"hist_v{len(versions)}")
-            nxt_hist.write.mode("overwrite").parquet(nxt)
-            versions.append(nxt)
+                if Path(raw_dir).exists()
+                else None
+            )
+
+            def _append_bronze() -> None:
+                b.write.mode("append").parquet(raw_dir)
+
+            def _rebuild_silver() -> None:
+                hist_in = b if prior is None else b.unionByName(prior)
+                raw = _dedup_replays(hist_in, "event_id")
+                affected = collapse_scd2(
+                    raw.select("user_id", "event_type", "ts_ns", "event_id")
+                )
+                if versions:
+                    # user_id is non-null in every version tier row
+                    # (built from the < 50 filter), so NOT IN ≡ the
+                    # old left_anti.
+                    kept = sess.read.parquet(versions[-1]).filter(
+                        ~F.col("user_id").isin(uvals)
+                    )
+                    nxt_hist = affected.unionByName(kept)
+                else:
+                    nxt_hist = affected
+                nxt = str(work / f"hist_v{len(versions)}")
+                nxt_hist.write.mode("overwrite").parquet(nxt)
+                versions.append(nxt)
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(_append_bronze),
+                    pool.submit(_rebuild_silver),
+                ]
+                for f in futs:
+                    f.result()
         finally:
             b.unpersist()
 

@@ -3592,17 +3592,53 @@ def test_bench_probe_guard_respects_budget():
         bench._HOT_SEC = 0.0  # unreachably cool
         bench._WAIT_BUDGET[0] = bench.WAIT_BUDGET_TOTAL_SEC
         t0 = _time.perf_counter()
-        reading, cool = bench._wait_until_cool(max_wait_sec=0.5)
+        reading, _par, cool = bench._wait_until_cool(max_wait_sec=0.5)
         assert not cool and reading > 0
         assert _time.perf_counter() - t0 < 30.0
         assert bench._WAIT_BUDGET[0] < bench.WAIT_BUDGET_TOTAL_SEC
         # exhausted global budget → a gate is one probe, no sleep
         bench._WAIT_BUDGET[0] = 0.0
         t0 = _time.perf_counter()
-        reading, cool = bench._wait_until_cool(max_wait_sec=120.0)
+        reading, _par, cool = bench._wait_until_cool(max_wait_sec=120.0)
         assert not cool and _time.perf_counter() - t0 < 5.0
     finally:
         bench._HOT_SEC, bench._WAIT_BUDGET[0] = old_hot, old_budget
+
+
+def test_bench_parallel_probe_gates_when_scalar_reads_cool(monkeypatch):
+    """r17 (VERDICT r16 item #1): stolen-core contamination inflates
+    parallel Spark stages while the single-threaded matmul probe reads
+    COOL — the r16 32-core artifact published exactly that. The gate
+    must therefore be hot when the PARALLEL burn exceeds its band even
+    though the scalar probe is cool, and cool only when both are."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "_probe", lambda: 0.0)  # scalar: ice cold
+    old = (bench._HOT_PAR_SEC, bench._WAIT_BUDGET[0])
+    try:
+        bench._WAIT_BUDGET[0] = bench.WAIT_BUDGET_TOTAL_SEC
+        bench._HOT_PAR_SEC = 0.05
+        # parallel burn reads 4x the band: a stolen-core host
+        monkeypatch.setattr(bench, "_probe_parallel", lambda: 0.2)
+        _p, par, cool = bench._wait_until_cool(max_wait_sec=0.5)
+        assert not cool and par == 0.2
+        # both probes in band: cool
+        monkeypatch.setattr(bench, "_probe_parallel", lambda: 0.01)
+        _p, par, cool = bench._wait_until_cool(max_wait_sec=0.5)
+        assert cool and par == 0.01
+    finally:
+        bench._HOT_PAR_SEC, bench._WAIT_BUDGET[0] = old
+
+
+def test_bench_parallel_probe_reads_sane():
+    """_probe_parallel returns a positive sub-second max-over-workers
+    reading and is reusable (pooled workers)."""
+    import bench
+
+    p1 = bench._probe_parallel()
+    p2 = bench._probe_parallel()
+    assert 0 < p1 < 2.0 and 0 < p2 < 2.0
 
 
 def test_bench_guard_calibration(monkeypatch):
@@ -3617,7 +3653,13 @@ def test_bench_guard_calibration(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     fake = iter([0.05, 0.04, 0.18, 0.041, 0.05, 0.07, 0.12, 0.05])
     monkeypatch.setattr(bench, "_probe", lambda: next(fake))
-    old = (bench._REF_SEC, bench._HOT_SEC)
+    # r17: calibration also samples the parallel burn probe — feed it
+    # a slower-host series too (floor 2x the par pin) and check the
+    # same floor/ceiling rules apply to its band
+    par_pin = bench.PROBE_PAR_REF_SEC
+    fake_par = iter([par_pin * 2.5, par_pin * 2.0, par_pin * 3.0, par_pin * 2.2])
+    monkeypatch.setattr(bench, "_probe_parallel", lambda: next(fake_par))
+    old = (bench._REF_SEC, bench._HOT_SEC, bench._PAR_REF_SEC, bench._HOT_PAR_SEC)
     try:
         cal = bench._calibrate_guard()
         assert not cal["pin_kept"]
@@ -3626,19 +3668,42 @@ def test_bench_guard_calibration(monkeypatch):
         assert abs(bench._HOT_SEC - 0.12 * bench.PROBE_NOISE_HEADROOM) < 1e-9
         # idle-class readings now gate cool, a genuine burst reads hot
         assert 0.12 <= bench._HOT_SEC < 0.18
+        # parallel band: pin dropped (floor 2x pin), ceiling = second-
+        # max (2.5x pin, the 3x outlier dropped) x headroom
+        assert not cal["par_pin_kept"]
+        assert bench._PAR_REF_SEC == par_pin * 2.0
+        assert (
+            abs(
+                bench._HOT_PAR_SEC
+                - par_pin * 2.5 * bench.PROBE_NOISE_HEADROOM
+            )
+            < 1e-9
+        )
         # pin-class host: floor within factor of the pin → pin kept,
         # threshold at least the r15 rule
         fake2 = iter([bench.PROBE_REF_SEC * 1.1] * 8)
         monkeypatch.setattr(bench, "_probe", lambda: next(fake2))
+        fake_par2 = iter([par_pin * 1.1] * 4)
+        monkeypatch.setattr(bench, "_probe_parallel", lambda: next(fake_par2))
         cal2 = bench._calibrate_guard()
-        assert cal2["pin_kept"]
+        assert cal2["pin_kept"] and cal2["par_pin_kept"]
         assert bench._REF_SEC == bench.PROBE_REF_SEC
+        assert bench._PAR_REF_SEC == bench.PROBE_PAR_REF_SEC
         assert (
             bench._HOT_SEC
             >= bench.PROBE_HOT_FACTOR * bench.PROBE_REF_SEC - 1e-12
         )
+        assert (
+            bench._HOT_PAR_SEC
+            >= bench.PROBE_HOT_FACTOR * bench.PROBE_PAR_REF_SEC - 1e-12
+        )
     finally:
-        bench._REF_SEC, bench._HOT_SEC = old
+        (
+            bench._REF_SEC,
+            bench._HOT_SEC,
+            bench._PAR_REF_SEC,
+            bench._HOT_PAR_SEC,
+        ) = old
 
 
 def test_ivf_cell_local_threshold_rows_per_task_rule():
@@ -3694,6 +3759,12 @@ def test_bench_calibration_suspect_crosscheck():
     # dropped pin, all probes stay above the pin band => slower host
     assert not bench._calibration_suspect(False, [pin * 5, pin * 1.8])
     assert not bench._calibration_suspect(False, [])
+    # r17: same cross-check against the PARALLEL pin via ref_pin
+    ppin = bench.PROBE_PAR_REF_SEC
+    assert bench._calibration_suspect(False, [ppin * 4, ppin], ref_pin=ppin)
+    assert not bench._calibration_suspect(
+        False, [ppin * 4, ppin * 2], ref_pin=ppin
+    )
 
 
 def test_ivf_cell_local_assignment_matches_artifact_path(spark, monkeypatch):

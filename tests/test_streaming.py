@@ -307,6 +307,9 @@ def test_dedup_replays_partial_replay_and_sort_free_plan(spark, tmp_path):
 
     plan = tier._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan and "Window" not in plan, plan
+
+
+def test_outer_join_emits_unmatched_and_no_dup_on_resume(spark, tmp_path):
     """VERDICT r5 item #3's integration gate for
     stream_stream_join_outer's topology: two availableNow runs against
     ONE checkpoint must (run 1) emit a matched pair AND a null-padded
